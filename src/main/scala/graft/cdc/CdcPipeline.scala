@@ -1,0 +1,150 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.lake._
+
+/** The CDC engine: change-feed tail → LWW dedup → exactly-once MERGE into a
+  * [[LakeTable]], with per-partition lineage and throughput metrics emitted
+  * each micro-batch.
+  *
+  * Reference lifecycle analogue (SURVEY.md §3.1): Celery beat every 600 s →
+  * watermark read → extract → upsert → lineage record. Here:
+  * Structured Streaming checkpoint replaces the `sync_records` watermark
+  * table (ST2), `Trigger.AvailableNow` drains a bounded log (replay), and
+  * the epochId ledger inside the table's snapshot log turns foreachBatch's
+  * at-least-once into exactly-once (ST5).
+  */
+object CdcPipeline {
+
+  /** Envelope → merge-input normalization for a given table schema: selects
+    * the table's data columns (missing ones as null) + lsn + op. */
+  def toMergeInput(batch: DataFrame, table: LakeTable): DataFrame = {
+    val dataCols = table.meta.currentSchema.columns
+    val cols = dataCols.map { c =>
+      if (batch.columns.contains(c.name)) col(c.name).cast(c.dataType).as(c.name)
+      else lit(null).cast(c.dataType).as(c.name)
+    } ++ Seq(col("lsn"), col("op"))
+    batch.select(cols: _*)
+  }
+
+  /** Evolve the table if this batch contains envelopes from a newer schema
+    * version, per the evolution plan (version -> DDL ops). Reference
+    * analogue: yoyo migration runner (`cron_tasks.py:31-59`). */
+  def evolveIfNeeded(batch: DataFrame, table: LakeTable,
+      plan: Map[Int, Seq[SchemaChange]], tableVersionTracker: TableVersions): Unit = {
+    val maxV = batch.agg(max(col("schema_version"))).head().getInt(0)
+    var cur = tableVersionTracker.get(table.root)
+    while (cur < maxV) {
+      cur += 1
+      plan.get(cur).filter(_.nonEmpty).foreach(table.evolveSchema)
+      tableVersionTracker.set(table.root, cur)
+    }
+  }
+
+  /** Default evolution plan matching [[ChangeLogGen]]'s envelope versions. */
+  val defaultEvolution: Map[Int, Seq[SchemaChange]] = Map(
+    2 -> Seq(AddColumn("branch", StringType)),
+    3 -> Seq(AddColumn("size_bytes", IntegerType)),
+    4 -> Seq(WidenType("size_bytes", LongType)))
+
+  /** Envelope column name mapping for the generator's Dataset[ChangeEvent]. */
+  def envelopeDf(events: Dataset[ChangeEvent]): DataFrame =
+    events.toDF()
+      .withColumnRenamed("txnTs", "txn_ts")
+      .withColumnRenamed("schemaVersion", "schema_version")
+      .withColumnRenamed("sizeBytes", "size_bytes")
+
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("lsn", LongType, nullable = false),
+    StructField("txn_ts", TimestampType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("schema_version", IntegerType, nullable = false),
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("commit", StringType, nullable = false),
+    StructField("lang", StringType, nullable = true),
+    StructField("content", StringType, nullable = true),
+    StructField("branch", StringType, nullable = true),
+    StructField("size_bytes", LongType, nullable = true)))
+
+  val baseTableSchema: StructType = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("commit", StringType, nullable = false),
+    StructField("lang", StringType, nullable = true),
+    StructField("content", StringType, nullable = true)))
+
+  /** One micro-batch: dedup within batch (LWW hash-agg with map-side
+    * partial aggregation; salting knob for hot keys) → evolve schema if the
+    * batch crosses a version bump → idempotent MERGE → lineage + metrics. */
+  def processBatch(batch: DataFrame, epochId: Long, table: LakeTable,
+      evolution: Map[Int, Seq[SchemaChange]], versions: TableVersions,
+      lineageDir: Option[String], salts: Int = 0): Unit = {
+    if (batch.isEmpty) return
+    val t0 = System.nanoTime()
+    evolveIfNeeded(batch, table, evolution, versions)
+
+    // within-batch LWW dedup before the merge — shrinks the shuffle that
+    // feeds the COW rewrite to one row per key
+    val deduped = Dedup.lwwDf(batch, ChangeEvent.keyCols, salts)
+
+    val lineage = table.merge(toMergeInput(deduped, table), epochId)
+    lineage.foreach { lin =>
+      lineageDir.foreach { dir =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val elapsedSec = (System.nanoTime() - t0) / 1e9
+        val rows = lin.toDF()
+          .withColumn("events_per_sec",
+            lit(lin.map(_.rowsApplied).sum / math.max(elapsedSec, 1e-9)))
+        rows.coalesce(1).write.mode("append").parquet(dir)
+      }
+    }
+  }
+
+  /** Stream a change-log parquet directory into the table. Returns after
+    * draining all available input (Trigger.AvailableNow). `checkpoint`
+    * makes the run resumable: offsets live there, applied epochs live in
+    * the table's snapshot log. */
+  def run(spark: SparkSession, logDir: String, table: LakeTable,
+      checkpoint: String, lineageDir: Option[String] = None,
+      evolution: Map[Int, Seq[SchemaChange]] = defaultEvolution,
+      maxFilesPerTrigger: Option[Int] = None, salts: Int = 0): Unit = {
+    val versions = new TableVersions
+    val reader = spark.readStream.schema(envelopeSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(logDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(batch, epochId, table, evolution, versions, lineageDir, salts)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Batch replay of a bounded log (same code path as one giant micro-batch). */
+  def replayBatch(spark: SparkSession, log: DataFrame, table: LakeTable,
+      evolution: Map[Int, Seq[SchemaChange]] = defaultEvolution, salts: Int = 0): Unit = {
+    val versions = new TableVersions
+    processBatch(log, -1L, table, evolution, versions, None, salts)
+  }
+}
+
+/** Tracks the envelope schema_version each table has been evolved to.
+  * Persisted implicitly: on restart it is re-derived from the table's
+  * current schema (count of applied evolution steps). */
+class TableVersions {
+  private val m = scala.collection.concurrent.TrieMap.empty[String, Int]
+  def get(root: String): Int = m.getOrElseUpdate(root, {
+    // schemaId starts at 1 and each applied envelope version bumps it by
+    // at most one metadata commit, so the table's currentSchemaId equals
+    // the last applied envelope version with a non-empty change list.
+    LakeTable.forPath(null, root).meta.currentSchemaId
+  })
+  def set(root: String, v: Int): Unit = m.put(root, v)
+}

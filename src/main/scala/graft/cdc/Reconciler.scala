@@ -1,0 +1,57 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.lake.LakeTable
+
+/** Reconciliation / verification pass (reference: the nightly
+  * `SyncValidator` anti-join re-sync, `sync/sync_validator.py:24-62`,
+  * `celery_config.py:25-28`).
+  *
+  * In the reference this repairs rows the watermark poll missed; with a
+  * deterministic LSN log and idempotent MERGE, misses are impossible, so
+  * here it doubles as the correctness invariant: after any replay,
+  * `missing` and `stale` must both be empty.
+  *
+  * At scale both sides are distributed left-anti joins (the reference's
+  * driver-materialized `NOT IN (id list)` is replaced wholesale — SURVEY.md
+  * §2.2 P7). */
+object Reconciler {
+
+  /** Expected final state derived from the raw log via the *window-function*
+    * spec (independent code path from the Aggregator + MERGE pipeline). */
+  def expectedFromLog(log: DataFrame, keyCols: Seq[String]): DataFrame =
+    Dedup.lwwWindowSpec(log, keyCols, "lsn", "op").filter(col("op") =!= "D")
+
+  /** Keys present in the log's expected state but absent from the table. */
+  def missing(log: DataFrame, table: LakeTable): DataFrame = {
+    val keyCols = table.meta.keyCols
+    expectedFromLog(log, keyCols).select(keyCols.map(col): _*)
+      .join(table.currentState().select(keyCols.map(col): _*), keyCols, "left_anti")
+  }
+
+  /** Rows whose table state disagrees with the expected winner (content
+    * compared by sha-256, the per-row invariant from BASELINE.json). */
+  def stale(log: DataFrame, table: LakeTable): DataFrame = {
+    val keyCols = table.meta.keyCols
+    val exp = expectedFromLog(log, keyCols)
+      .select((keyCols.map(col) :+ sha2(coalesce(col("content"), lit("")), 256).as("h")): _*)
+    val got = table.currentState()
+      .select((keyCols.map(col) :+ sha2(coalesce(col("content"), lit("")), 256).as("h")): _*)
+    exp.join(got, keyCols, "full_outer")
+      .filter(not(exp("h") <=> got("h")))
+  }
+
+  /** Bounded-window repair: re-emit expected rows missing from the table
+    * within [lsnLo, lsnHi] back through the merge path (the reference's
+    * 2-day window, `sync/sync_validator.py:26-29`). Returns rows repaired. */
+  def repair(log: DataFrame, table: LakeTable, lsnLo: Long, lsnHi: Long): Long = {
+    val keyCols = table.meta.keyCols
+    val windowed = log.filter(col("lsn").between(lsnLo, lsnHi))
+    val exp = expectedFromLog(windowed, keyCols)
+    val miss = exp.join(table.currentState().select(keyCols.map(col): _*), keyCols, "left_anti")
+    val n = miss.count()
+    if (n > 0) table.merge(CdcPipeline.toMergeInput(miss, table))
+    n
+  }
+}

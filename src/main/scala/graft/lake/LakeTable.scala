@@ -1,0 +1,407 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** A keyed, snapshot-versioned lake table over Parquet with copy-on-write
+  * MERGE at hash-bucket granularity, exactly-once epoch commits, in-place
+  * schema evolution and time travel. See [[TableMeta]] for the format.
+  *
+  * Spark-first design notes:
+  *  - MERGE is expressed as a declarative plan — union(existing-bucket scan,
+  *    change batch) → hash aggregate `max_by(row, (lsn, opPriority))` per
+  *    key — so Catalyst gives partial aggregation, WholeStageCodegen and AQE
+  *    for free; only the commit protocol is custom code.
+  *  - Only buckets actually present in a batch are read and rewritten
+  *    (partition pruning by manifest), so merge cost scales with batch
+  *    key-coverage, not table size.
+  *  - Deletes always persist a tombstone (`_deleted=true`) — required for
+  *    correctness when an out-of-order older update can arrive in a later
+  *    micro-batch (the tombstone's LSN must keep outranking it). This also
+  *    mirrors the reference's soft-delete views
+  *    (`migrations/20230426_01_BozYM.sql:10`). `vacuum(upToLsn)` physically
+  *    drops tombstones once the stream watermark guarantees nothing older
+  *    can still arrive.
+  */
+class LakeTable private (val spark: SparkSession, val root: String) {
+  import LakeTable._
+
+  def meta: TableMeta = load(root)
+
+  private def dataRoot = Paths.get(root, "data")
+  private def metaDir = Paths.get(root, "metadata")
+
+  // ---------------------------------------------------------------- schema
+
+  def schema: StructType = meta.currentSchema.toStruct
+
+  /** Apply schema changes as a metadata-only commit (no data rewrite; old
+    * files stay readable through column-ID mapping). */
+  def evolveSchema(changes: Seq[SchemaChange]): Unit = retryCommit { m =>
+    var cols = m.currentSchema.columns
+    var nextId = m.schemas.flatMap(_.columns.map(_.id)).max + 1
+    changes.foreach {
+      case AddColumn(name, dt, nullable) =>
+        require(!cols.exists(_.name == name), s"column $name exists")
+        cols = cols :+ ColumnDef(nextId, name, dt.json, nullable)
+        nextId += 1
+      case RenameColumn(from, to) =>
+        require(cols.exists(_.name == from), s"no column $from")
+        require(!cols.exists(_.name == to), s"column $to exists")
+        cols = cols.map(c => if (c.name == from) c.copy(name = to) else c)
+      case WidenType(name, to) =>
+        val cur = cols.find(_.name == name).getOrElse(sys.error(s"no column $name"))
+        require(canWiden(cur.dataType, to), s"illegal widen ${cur.dataType} -> $to")
+        cols = cols.map(c => if (c.name == name) c.copy(dataTypeJson = to.json) else c)
+      case DropColumn(name) =>
+        require(!m.keyCols.contains(name), s"cannot drop key column $name")
+        cols = cols.filterNot(_.name == name)
+    }
+    val newSchema = SchemaVersion(m.currentSchemaId + 1, cols)
+    m.copy(schemas = m.schemas :+ newSchema, currentSchemaId = newSchema.schemaId)
+  }
+
+  // ---------------------------------------------------------------- reads
+
+  /** Current (or time-travel) table state as a DataFrame in the current
+    * schema, plus `_lsn` and `_deleted`. Old-schema data
+    * files are mapped by column ID: renamed columns resolve to their stored
+    * name, added columns fill with null, widened types are up-cast. */
+  def read(snapshotId: Option[Long] = None): DataFrame = {
+    val m = meta
+    val snap = snapshotId.map(id => m.snapshotById(id)
+      .getOrElse(sys.error(s"no snapshot $id"))).orElse(m.currentSnapshot)
+    // current reads always use the table's current schema (evolution applies
+    // immediately, Iceberg-style); explicit time travel pins the schema the
+    // snapshot was committed under
+    val readSchemaId = snapshotId.flatMap(_ => snap.map(_.schemaId))
+      .getOrElse(m.currentSchemaId)
+    val files = snap.map(_.files).getOrElse(Seq.empty)
+    readFiles(m, files, readSchemaId)
+  }
+
+  /** Live rows, data columns only (soft-deleted rows filtered out). */
+  def currentState(snapshotId: Option[Long] = None): DataFrame = {
+    val m = meta
+    val df = read(snapshotId)
+    val alive = df.filter(!col(DeletedCol))
+    alive.select(m.schemaById(
+      snapshotId.flatMap(id => m.snapshotById(id)).map(_.schemaId)
+        .getOrElse(m.currentSchemaId)).columns.map(c => col(c.name)): _*)
+  }
+
+  def bucketExpr(m: TableMeta): Column =
+    pmod(hash(m.keyCols.map(col): _*), lit(m.numBuckets))
+
+  // ---------------------------------------------------------------- merge
+
+  /** Idempotent keyed MERGE of a change batch. `changes` must carry the
+    * current schema's data columns plus `lsn` and `op` ("I"/"U"/"D").
+    * Returns per-bucket lineage, or None when `epochId` was already
+    * committed (exactly-once under foreachBatch replay, ST5).
+    *
+    * Within the batch AND against stored state, last writer wins by
+    * (lsn, op priority); stored rows lose ties to incoming rows with the
+    * same lsn (idempotent redelivery carries identical payloads). */
+  def merge(changes: DataFrame, epochId: Long = -1L): Option[Seq[graft.cdc.PartitionLineage]] = {
+    val m0 = meta
+    if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return None
+
+    val dataCols = m0.currentSchema.columns.map(_.name)
+    require(ChangeCols.forall(changes.columns.contains) &&
+      dataCols.forall(changes.columns.contains),
+      s"merge input needs columns ${dataCols ++ ChangeCols}, got ${changes.columns.toSeq}")
+
+    val snapshotId = m0.currentSnapshotId + 1
+    val b = bucketExpr(m0)
+    // cast every data column to its declared type — guards the storage
+    // format against NullType/narrower inputs from ad-hoc callers
+    val typedDataCols = m0.currentSchema.columns
+      .map(c => col(c.name).cast(c.dataType).as(c.name))
+    val incoming = changes
+      .select((typedDataCols ++ Seq(col("lsn").cast(LongType).as(LsnCol),
+        col("op"), b.as(BucketCol))): _*)
+
+    // Buckets touched by this batch — manifest-level partition pruning.
+    val touched = incoming.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val oldFiles = m0.currentSnapshot.map(_.files).getOrElse(Seq.empty)
+    val (rewritten, kept) = oldFiles.partition(f => touched.contains(f.bucket))
+
+    val existing0 = if (rewritten.isEmpty) None
+      else Some(readFiles(m0, rewritten, m0.currentSchemaId))
+    val existing = existing0.map { df =>
+      val opCol = when(col(DeletedCol), lit("D")).otherwise(lit("S"))
+      df.select((dataCols.map(col) ++ Seq(col(LsnCol), opCol.as("op"),
+        bucketExpr(m0).as(BucketCol))): _*)
+    }
+    val unioned = existing.map(_.unionByName(incoming)).getOrElse(incoming)
+
+    // LWW winner per key: hash agg with map-side partial agg (no window —
+    // a window would sort-shuffle every row of every touched bucket).
+    val pri = when(col("op") === "D", 2).when(col("op") === "U", 1)
+      .when(col("op") === "I", 0).otherwise(-1) // stored state loses ties
+    val rowStruct = struct((dataCols.map(col) ++ Seq(col(LsnCol), col("op"), col(BucketCol))): _*)
+    val winners = unioned
+      .groupBy(m0.keyCols.map(col): _*)
+      .agg(max_by(rowStruct, struct(col(LsnCol), pri)).as("__w"))
+      .select(col("__w.*"))
+
+    val out = winners.withColumn(DeletedCol, col("op") === "D").drop("op")
+      .repartition(math.max(touched.size, 1), col(BucketCol))
+      .persist()
+
+    try {
+      // new data files under data/<snapshotId>/b=<bucket>/
+      val stagingRel = f"data/snap-$snapshotId%012d"
+      val staging = Paths.get(root, stagingRel)
+      out.write.partitionBy(BucketCol).parquet(staging.toString)
+
+      val stats = out.groupBy(col(BucketCol)).agg(
+        count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val newFiles = listParquet(staging).map { p =>
+        val rel = Paths.get(root).relativize(p).toString
+        val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+        val (cnt, mn, mx) = stats.getOrElse(bucket, (0L, 0L, 0L))
+        DataFileMeta(rel, bucket, m0.currentSchemaId, cnt, mn, mx)
+      }
+
+      val applied = incoming.groupBy(col(BucketCol)).agg(
+        count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
+        .collect().map { r =>
+          graft.cdc.PartitionLineage(epochId, r.getInt(0), r.getLong(2),
+            r.getLong(3), r.getLong(1), snapshotId)
+        }.toSeq
+
+      retryCommit { m =>
+        require(m.currentSnapshotId == m0.currentSnapshotId,
+          s"concurrent commit detected (base ${m0.currentSnapshotId}, now ${m.currentSnapshotId})")
+        val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
+          m.currentSchemaId, "merge", kept ++ newFiles, System.currentTimeMillis())
+        m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+      }
+      Some(applied)
+    } finally out.unpersist()
+  }
+
+  /** Append rows without key reconciliation (reference S5: the technicians
+    * insert has no ON CONFLICT, `queries/dim_technicians.py:14-21`). */
+  def append(rows: DataFrame, epochId: Long = -1L): Unit = {
+    val m0 = meta
+    if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return
+    val dataCols = m0.currentSchema.columns.map(_.name)
+    val snapshotId = m0.currentSnapshotId + 1
+    val withMeta0 = rows.select((dataCols.map(col) :+
+      (if (rows.columns.contains("lsn")) col("lsn").cast(LongType).as(LsnCol)
+       else lit(0L).as(LsnCol)) :+ bucketExpr(m0).as(BucketCol)): _*)
+    val withMeta = withMeta0.withColumn(DeletedCol, lit(false)).persist()
+    try {
+      val stagingRel = f"data/snap-$snapshotId%012d"
+      val staging = Paths.get(root, stagingRel)
+      withMeta.write.partitionBy(BucketCol).parquet(staging.toString)
+      val stats = withMeta.groupBy(col(BucketCol)).agg(
+        count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val newFiles = listParquet(staging).map { p =>
+        val rel = Paths.get(root).relativize(p).toString
+        val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+        val (cnt, mn, mx) = stats.getOrElse(bucket, (0L, 0L, 0L))
+        DataFileMeta(rel, bucket, m0.currentSchemaId, cnt, mn, mx)
+      }
+      retryCommit { m =>
+        require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+        val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
+          m.currentSchemaId, "append",
+          m.currentSnapshot.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+          System.currentTimeMillis())
+        m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+      }
+    } finally withMeta.unpersist()
+  }
+
+  /** Physically drop tombstones with `_lsn <= upToLsn`. Safe once the
+    * stream's replay watermark has passed `upToLsn` — no event that old can
+    * still arrive, so the tombstone's anti-resurrection job is done. Only
+    * buckets that actually contain eligible tombstones are rewritten. */
+  def vacuum(upToLsn: Long = Long.MaxValue): Long = {
+    val m0 = meta
+    val snap = m0.currentSnapshot.getOrElse(return 0L)
+    val all = read()
+    val eligible = all.filter(col(DeletedCol) && col(LsnCol) <= upToLsn)
+    val touched = eligible.select(bucketExpr(m0).as(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return 0L
+    val (rewrittenFiles, kept) = snap.files.partition(f => touched.contains(f.bucket))
+    val surviving = readFiles(m0, rewrittenFiles, m0.currentSchemaId)
+      .filter(!(col(DeletedCol) && col(LsnCol) <= upToLsn))
+      .withColumn(BucketCol, bucketExpr(m0))
+      .repartition(math.max(touched.size, 1), col(BucketCol))
+      .persist()
+    try {
+      val snapshotId = m0.currentSnapshotId + 1
+      val staging = Paths.get(root, f"data/snap-$snapshotId%012d")
+      surviving.write.partitionBy(BucketCol).parquet(staging.toString)
+      val stats = surviving.groupBy(col(BucketCol)).agg(
+        count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val newFiles = listParquet(staging).map { p =>
+        val rel = Paths.get(root).relativize(p).toString
+        val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+        val (cnt, mn, mx) = stats.getOrElse(bucket, (0L, 0L, 0L))
+        DataFileMeta(rel, bucket, m0.currentSchemaId, cnt, mn, mx)
+      }
+      val removed = rewrittenFiles.map(_.rowCount).sum - newFiles.map(_.rowCount).sum
+      retryCommit { m =>
+        require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+        val s = Snapshot(snapshotId, m0.currentSnapshotId, -1,
+          m.currentSchemaId, "vacuum", kept ++ newFiles, System.currentTimeMillis())
+        m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId)
+      }
+      removed
+    } finally surviving.unpersist()
+  }
+
+  // ------------------------------------------------------------- internals
+
+  /** Read a set of data files, projecting every file group (by the schema
+    * it was written under) into `targetSchemaId` via column-ID mapping. */
+  private def readFiles(m: TableMeta, files: Seq[DataFileMeta], targetSchemaId: Int): DataFrame = {
+    val target = m.schemaById(targetSchemaId)
+    val extra = metaCols(m)
+    if (files.isEmpty) {
+      val full = StructType(target.toStruct.fields ++ extra)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    }
+    files.groupBy(_.schemaId).map { case (sid, fs) =>
+      val written = m.schemaById(sid)
+      val writtenById = written.byId
+      val df = spark.read
+        .schema(StructType(written.toStruct.fields ++ extra))
+        .parquet(fs.map(f => s"$root/${f.path}"): _*)
+      val projected = target.columns.map { c =>
+        writtenById.get(c.id) match {
+          case Some(old) if old.dataTypeJson == c.dataTypeJson => col(old.name).as(c.name)
+          case Some(old) => col(old.name).cast(c.dataType).as(c.name)
+          case None => lit(null).cast(c.dataType).as(c.name)
+        }
+      } ++ extra.map(f => col(f.name))
+      df.select(projected: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  private def metaCols(m: TableMeta): Seq[StructField] = Seq(
+    StructField(LsnCol, LongType, nullable = false),
+    StructField(DeletedCol, BooleanType, nullable = false))
+
+  private def retryCommit(f: TableMeta => TableMeta): Unit = {
+    var attempts = 0
+    while (true) {
+      val m = load(root)
+      val next = f(m).copy(version = m.version + 1)
+      if (tryWriteVersion(metaDir, next)) return
+      attempts += 1
+      if (attempts > 5) sys.error(s"commit conflict persisted after $attempts attempts at $root")
+    }
+  }
+}
+
+object LakeTable {
+  val LsnCol = "_lsn"
+  val DeletedCol = "_deleted"
+  val BucketCol = "__b"
+  val ChangeCols: Seq[String] = Seq("lsn", "op")
+
+  def create(spark: SparkSession, root: String, schema: StructType,
+      keyCols: Seq[String], lsnCol: String = "lsn",
+      numBuckets: Int = 32): LakeTable = {
+    require(keyCols.forall(schema.fieldNames.contains), "key cols must be in schema")
+    val metaDir = Paths.get(root, "metadata")
+    Files.createDirectories(metaDir)
+    Files.createDirectories(Paths.get(root, "data"))
+    val m = TableMeta(
+      formatVersion = 1,
+      tableId = java.util.UUID.randomUUID().toString, // metadata-only id, not on the data path
+      location = root,
+      keyCols = keyCols, lsnCol = lsnCol, numBuckets = numBuckets,
+      schemas = Seq(TableMeta.schemaVersionOf(1, schema, 1)),
+      currentSchemaId = 1,
+      snapshots = Seq.empty, currentSnapshotId = 0L, version = 0L)
+    require(tryWriteVersion(metaDir, m.copy(version = 1L)), s"table exists at $root")
+    new LakeTable(spark, root)
+  }
+
+  def forPath(spark: SparkSession, root: String): LakeTable = {
+    require(exists(root), s"no lake table at $root")
+    new LakeTable(spark, root)
+  }
+
+  def exists(root: String): Boolean = {
+    val d = Paths.get(root, "metadata")
+    Files.isDirectory(d) && latestVersion(d).isDefined
+  }
+
+  def createOrReplace(spark: SparkSession, root: String, schema: StructType,
+      keyCols: Seq[String], numBuckets: Int = 32): LakeTable = {
+    val p = Paths.get(root)
+    if (Files.exists(p)) deleteRecursively(p)
+    create(spark, root, schema, keyCols, numBuckets = numBuckets)
+  }
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  private[lake] def load(root: String): TableMeta = {
+    val d = Paths.get(root, "metadata")
+    val v = latestVersion(d).getOrElse(sys.error(s"no metadata at $root"))
+    TableMeta.fromJson(Files.readString(d.resolve(f"v$v%012d.json")))
+  }
+
+  private[lake] def latestVersion(metaDir: Path): Option[Long] = {
+    if (!Files.isDirectory(metaDir)) return None
+    val vs = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Atomic create-if-absent of the next metadata version: write a temp
+    * file, then hard-link it to the version name — link(2) is atomic and
+    * fails with EEXIST if a concurrent writer won, which is the whole
+    * optimistic-concurrency protocol. (POSIX rename would silently replace;
+    * on HDFS this maps to create-no-overwrite, on S3 to a conditional PUT —
+    * out of scope for the sandbox.) */
+  private[lake] def tryWriteVersion(metaDir: Path, m: TableMeta): Boolean = {
+    val target = metaDir.resolve(f"v${m.version}%012d.json")
+    if (Files.exists(target)) return false
+    val tmp = Files.createTempFile(metaDir, ".tmp-", ".json")
+    Files.writeString(tmp, TableMeta.toJson(m))
+    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp); false
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
+  }
+
+  private[lake] def listParquet(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+
+  private[lake] def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType) => true
+    case (IntegerType, DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (d1: DecimalType, d2: DecimalType) =>
+      d2.precision >= d1.precision && d2.scale >= d1.scale
+    case _ => false
+  }
+}

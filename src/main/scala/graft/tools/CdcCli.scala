@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.cdc._
+import graft.lake._
+
+/** spark-submit entry point for the CDC engine (also runnable via
+  * `sbt "runMain graft.tools.CdcCli ..."` in local mode).
+  *
+  * Subcommands:
+  *   gen <logDir> <numEvents> [numRepos] [files]   — write a synthetic change log
+  *   stream <logDir> <tableDir> <checkpointDir>    — tail the log into the table (AvailableNow)
+  *   show <tableDir>                               — table state summary
+  *   reconcile <logDir> <tableDir>                 — anti-join verification (must be 0/0)
+  *   vacuum <tableDir> [upToLsn]                   — drop old tombstones
+  */
+object CdcCli {
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
+      .appName("graft-cdc")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "gen" :: logDir :: n :: rest =>
+      val cfg = GenConfig(numEvents = n.toLong,
+        numRepos = rest.headOption.map(_.toInt).getOrElse(200))
+      val files = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      CdcPipeline.envelopeDf(ChangeLogGen.generate(spark, cfg))
+        .repartitionByRange(files, col("lsn")) // file order ~ lsn order, like a real log
+        .write.mode("overwrite").parquet(logDir)
+      println(s"[gen] wrote ${n} events to $logDir in $files files")
+
+    case "stream" :: logDir :: tableDir :: ckpt :: rest =>
+      val table =
+        if (LakeTable.exists(tableDir)) LakeTable.forPath(spark, tableDir)
+        else LakeTable.create(spark, tableDir, CdcPipeline.baseTableSchema,
+          ChangeEvent.keyCols, numBuckets = rest.headOption.map(_.toInt).getOrElse(64))
+      val t0 = System.nanoTime()
+      CdcPipeline.run(spark, logDir, table, ckpt,
+        lineageDir = Some(s"$tableDir/_lineage"),
+        maxFilesPerTrigger = rest.drop(1).headOption.map(_.toInt))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val m = table.meta
+      println(f"[stream] done in $sec%.1f s; snapshots=${m.snapshots.size} " +
+        f"currentSnapshot=${m.currentSnapshotId} epochs=${m.committedEpochs.size}")
+
+    case "show" :: tableDir :: Nil =>
+      val table = LakeTable.forPath(spark, tableDir)
+      val m = table.meta
+      println(s"[show] schemaId=${m.currentSchemaId} cols=${m.currentSchema.columns.map(c => s"${c.name}:${c.dataType.simpleString}").mkString(",")}")
+      println(s"[show] snapshots=${m.snapshots.map(s => s"${s.snapshotId}:${s.operation}(epoch=${s.epochId},files=${s.files.size})").mkString(" ")}")
+      val st = table.currentState()
+      val n = st.count()
+      val h = st.agg(sum(crc32(coalesce(col("content"), lit("")))).as("chk")).head().getLong(0)
+      println(s"[show] liveRows=$n contentChecksum=$h")
+
+    case "reconcile" :: logDir :: tableDir :: Nil =>
+      val table = LakeTable.forPath(spark, tableDir)
+      val log = spark.read.schema(CdcPipeline.envelopeSchema).parquet(logDir)
+      val miss = Reconciler.missing(log, table).count()
+      val stale = Reconciler.stale(log, table).count()
+      println(s"[reconcile] missing=$miss stale=$stale " +
+        (if (miss == 0 && stale == 0) "OK" else "MISMATCH"))
+      if (miss != 0 || stale != 0) sys.exit(2)
+
+    case "vacuum" :: tableDir :: rest =>
+      val table = LakeTable.forPath(spark, tableDir)
+      val removed = table.vacuum(rest.headOption.map(_.toLong).getOrElse(Long.MaxValue))
+      println(s"[vacuum] removed=$removed tombstones")
+
+    case other =>
+      System.err.println(s"unknown args: $other\n" +
+        "usage: gen <logDir> <n> [repos] [files] | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn]")
+      sys.exit(1)
+  }
+}
