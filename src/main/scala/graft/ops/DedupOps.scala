@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import Tables._
+
+/** Deduplication suite for a training-data pipeline over `documents`.
+  *
+  * Scale design: every method is candidate-generation-then-verify. Candidate
+  * generation is a hash-bucket join (minhash bands / simhash chunks / exact
+  * digests), never an all-pairs cross join — all-pairs appears only in the
+  * small-scale oracle-checkable variants (q20/q21) that double as the recall
+  * reference for the bucketed methods.
+  */
+object DedupOps {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), " "), x => x =!= "")
+
+  /** Word w-shingles via sequence+transform (pure Column, codegen'd). */
+  def shingles(c: Column, w: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < w, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - w),
+        i => array_join(slice(toks, i + 1, lit(w)), " ")))
+  }
+
+  /** MinHash signature: for each of k hash streams, min over the shingle
+    * set of xxhash64(shingle, stream). Deterministic (seeded by stream id),
+    * one pass, no UDF. */
+  def minhashSig(shingleArr: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(shingleArr, sh => xxhash64(sh, lit(j))))): _*)
+
+  /** LSH band keys: hash r-sized slices of the signature into b band keys. */
+  def bandKeys(sig: Column, b: Int, r: Int): Column =
+    array((0 until b).map(i => xxhash64(lit(i), array_join(
+      transform(slice(sig, i * r + 1, r), x => x.cast("string")), "_"))): _*)
+
+  def jaccard(a: Column, bC: Column): Column =
+    size(array_intersect(a, bC)).cast("double") /
+      size(array_union(a, bC)).cast("double")
+
+  /** 64-bit SimHash over word unigrams (per-bit majority vote of token
+    * hashes). Implemented as a pure Column fold over the 64 bit positions:
+    * for each bit i, count tokens whose xxhash64 has bit i set vs total. */
+  def simhash64(c: Column): Column = {
+    val toks = array_distinct(tokens(c))
+    val hashes = transform(toks, t => xxhash64(t))
+    val n = size(toks)
+    (0 until 64).map { i =>
+      val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << i)) =!= 0L))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // --------------------------------------------------------------- queries
+
+  val all: Seq[OpQuery] = Seq(
+
+    // Exact dedup: hash-groupBy on a normalized digest; keeps min doc_id as
+    // the canonical survivor. One shuffle on the digest, partial-agg'd.
+    // The corpus has no natural exact duplicates, so duplicates are
+    // injected deterministically (a second copy of every 7th doc under a
+    // shifted id) — the operator under test is the digest-groupBy survivor
+    // selection, identical in both engines.
+    OpQuery("q20_dedup_exact",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dupes = docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+        docs.unionByName(dupes)
+          .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+          .filter(col("n_copies") > 1)
+      },
+      Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             |  count(*) AS n_copies, min(doc_id) AS keep_doc_id
+             |FROM (SELECT doc_id, text FROM documents
+             |      UNION ALL
+             |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+             |GROUP BY 1 HAVING count(*) > 1""".stripMargin)),
+
+    // N-gram (here unigram-set) Jaccard near-dup pairs within a language —
+    // the small-scale exact reference (all-pairs within lang partitions;
+    // the scale path is q27's MinHash+LSH whose recall is measured against
+    // this in DedupSpec).
+    OpQuery("q21_dedup_jaccard_pairs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            array_distinct(tokens(col("text"))).as("toks"))
+        val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
+        val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
+        a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
+          .withColumn("jac", round(jaccard(col("toks_a"), col("toks_b")), 6))
+          .filter(col("jac") >= 0.8)
+          .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
+      },
+      Some("""SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jac
+             |FROM (SELECT doc_id, lang, list_distinct(list_filter(string_split(lower(text),' '), x -> x <> '')) AS toks FROM documents) a
+             |JOIN (SELECT doc_id, lang, list_distinct(list_filter(string_split(lower(text),' '), x -> x <> '')) AS toks FROM documents) b
+             |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin)),
+
+    // MinHash + LSH near-dup candidates → verified pairs. The scale path:
+    // shingle → 32-minhash → 16 bands × 2 rows → explode bands → self-join on
+    // band key (shuffle ∝ corpus size × 16, never all-pairs) → exact-Jaccard
+    // verify on candidates only. Band/row choice puts the s-curve midpoint at
+    // (1/16)^(1/2) = 0.25, giving ~99% recall at jaccard 0.5. No SQL oracle
+    // (hash-function-specific); DedupSpec checks recall vs exact all-pairs.
+    OpQuery("q27_dedup_minhash_lsh",
+      (s, d) => minhashLshPairs(t(s, d, "documents"), w = 3, k = 32, b = 16, r = 2, threshold = 0.5),
+      None),
+
+    // SimHash near-dup: 64-bit fingerprint, candidates via 16-bit chunk
+    // equality (4 chunks — two docs within hamming ≤3 share ≥1 chunk by
+    // pigeonhole), verified by hamming distance.
+    OpQuery("q28_dedup_simhash",
+      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),
+      None))
+
+  /** MinHash+LSH pipeline (reused by queries and DedupSpec). */
+  def minhashLshPairs(docs: DataFrame, w: Int, k: Int, b: Int, r: Int,
+      threshold: Double): DataFrame = {
+    require(b * r == k, "bands × rows must equal signature length")
+    val base = docs.select(col("doc_id"), col("lang"),
+      array_distinct(shingles(col("text"), w)).as("sh"))
+      .withColumn("sig", minhashSig(col("sh"), k))
+    val banded = base.select(col("doc_id"), col("lang"), col("sh"),
+      posexplode(bandKeys(col("sig"), b, r)).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col("lang"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val bb = banded.select(col("band"), col("bkey"), col("lang"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(bb, Seq("band", "bkey", "lang"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("lang"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
+      .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** SimHash pipeline (reused by queries and DedupSpec). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val chunked = base.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** CDC-shaped operators over the driver's `events` table (the 1:1 stand-in
+  * for the change feed: event_id→lsn, user_id→key, event_type→op, ts→txn_ts;
+  * FIXTURES.md §4). These are the batch-expressible faces of the streaming
+  * engine's hot path. */
+object EventOps {
+
+  val all: Seq[OpQuery] = Seq(
+
+    // A1/W1 — last-writer-wins per key over the event stream (the engine's
+    // flagship dedup; reference: DISTINCT ON, queries/fact_studies.py:4,34).
+    OpQuery("q09_lww_last_event_per_user",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"), col("value").as("last_value"))
+      },
+      Some("""SELECT user_id, event_id AS last_event_id,
+             |  event_type AS last_event_type, value AS last_value
+             |FROM (SELECT *, row_number() OVER
+             |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events) WHERE rn = 1""".stripMargin)),
+
+    // P3/S2 — watermark-incremental extraction (reference: created_at > wm OR
+    // updated_at > wm, queries/fact_studies.py:30-31). The timestamp filter is
+    // pushed into the Parquet scan (row-group min/max pruning on `ts`).
+    OpQuery("q10_watermark_incremental",
+      (s, d) => t(s, d, "events")
+        .filter(col("ts") > lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          max(col("event_id")).as("max_lsn")),
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  max(event_id) AS max_lsn
+             |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+             |GROUP BY event_type""".stripMargin)),
+
+    // A2/A5/F8 — per-day rollup with the yyyymmdd int key (reference:
+    // studies_uploaded_by_date view, migrations/20230207_01_53Bud.sql:4-8).
+    OpQuery("q11_daily_rollup",
+      (s, d) => t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyyMMdd").cast("int").as("date_dim_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value")),
+      Some("""SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS date_dim_id,
+             |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // F-group — regex field extraction from a JSON-ish payload (the change
+    // envelope's schema-change payload surface; SURVEY.md §2.7 note).
+    OpQuery("q15_props_extraction",
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n")),
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // SO1 — set difference on keys (reference: source ∖ destination
+    // reconciliation, sync/sync_validator.py:40-62).
+    OpQuery("q17_except_user_days",
+      (s, d) => {
+        val e = t(s, d, "events")
+        def userDays(et: String) = e.filter(col("event_type") === et)
+          .select(col("user_id"), date_format(col("ts"), "yyyyMMdd").cast("int").as("day"))
+          .distinct()
+        userDays("click").except(userDays("purchase"))
+      },
+      Some("""SELECT DISTINCT user_id, CAST(strftime(ts, '%Y%m%d') AS INT) AS day
+             |FROM events WHERE event_type = 'click'
+             |EXCEPT
+             |SELECT DISTINCT user_id, CAST(strftime(ts, '%Y%m%d') AS INT) AS day
+             |FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    // A6/S6 — lineage-shaped rollup: per key-range bucket, applied-row counts
+    // and lsn bounds (reference: sync_records, queries/sync_records.py:7-19).
+    OpQuery("q19_lineage_rollup",
+      (s, d) => t(s, d, "events")
+        .groupBy(pmod(col("user_id"), lit(16)).as("bucket"))
+        .agg(count(lit(1)).as("rows_applied"),
+          min(col("event_id")).as("lsn_min"),
+          max(col("event_id")).as("lsn_max")),
+      Some("""SELECT user_id % 16 AS bucket, count(*) AS rows_applied,
+             |  min(event_id) AS lsn_min, max(event_id) AS lsn_max
+             |FROM events GROUP BY 1""".stripMargin)))
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import Tables._
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (vec_id, embedding: array<float>, label).
+  *
+  * Scale design: brute-force cosine is the exact reference (a broadcast of
+  * the query vector over a single scan — fine for one query even at 100 TB,
+  * since it's one pass); the LSH-bucketed variant is the path for
+  * query-set × corpus joins, trading recall for a bucket-equijoin instead of
+  * a cross join. Recall is measured in SimilaritySpec.
+  */
+object SimilarityOps {
+
+  /** Sequential left-to-right dot product — identical IEEE evaluation order
+    * in Spark and the DuckDB oracle (both fold pairwise products in index
+    * order after a cast to double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def emb(c: Column): Column = c.cast("array<double>")
+
+  /** Deterministic pseudo-random hyperplane: element j of plane p derived
+    * from splitmix-style hashing — same trick as the data generator, pure
+    * Column form: sign bits of xxhash64(p, j). */
+  def hyperplaneBit(v: Column, plane: Column, dim: Int): Column = {
+    val proj = aggregate(
+      zip_with(v, transform(sequence(lit(0), lit(dim - 1)),
+        j => (xxhash64(plane, j) % 1000000L).cast("double") / 1000000.0 - 0.5),
+        (x, w) => x * w),
+      lit(0.0), (acc, x) => acc + x)
+    (proj >= 0).cast("int")
+  }
+
+  /** LSH bucket id from `nPlanes` sign bits. */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map(p => hyperplaneBit(v, lit(p), dim) * lit(1 << p))
+      .reduce(_ + _)
+
+  val all: Seq[OpQuery] = Seq(
+
+    // Brute-force cosine top-k for a fixed query vector (vec_id = 0),
+    // deterministic rank tiebreak on vec_id. Oracle: DuckDB
+    // list_cosine_similarity over DOUBLE[] casts.
+    OpQuery("q22_ann_bruteforce_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(emb(col("embedding")).as("qv"))
+        val scored = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("sim", round(cosine(emb(col("embedding")), col("qv")), 6))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+          .select(col("vec_id"), col("label"), col("sim"), col("rk"))
+      },
+      Some("""SELECT vec_id, label, sim, rk FROM (
+             |  SELECT e.vec_id, e.label,
+             |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim,
+             |    row_number() OVER (ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC, e.vec_id ASC) AS rk
+             |  FROM embeddings e,
+             |       (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+             |  WHERE e.vec_id <> 0)
+             |WHERE rk <= 10""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs above a similarity floor (all-pairs
+    // exact reference at test scale; LSH q30 is the scale path).
+    OpQuery("q26_embedding_neardup_pairs",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), emb(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+          .filter(col("sim") >= 0.40)
+          .select(col("id_a"), col("id_b"), col("sim"))
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.40""".stripMargin)),
+
+    // LSH-bucketed near-dup (scale path): L independent hash tables of
+    // nPlanes sign bits each (OR-amplification: a pair is a candidate if it
+    // collides in ANY table), cosine-verified within buckets only. Recall
+    // per pair at angle θ: 1-(1-(1-θ/π)^nPlanes)^L. No SQL oracle
+    // (hash-specific); SimilaritySpec measures recall vs q26.
+    OpQuery("q30_embedding_neardup_lsh",
+      (s, d) => lshNearDup(t(s, d, "embeddings"), nPlanes = 6, tables = 8,
+        dim = 64, floor = 0.40),
+      None))
+
+  def lshNearDup(embeddings: DataFrame, nPlanes: Int, tables: Int, dim: Int,
+      floor: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), emb(col("embedding")).as("v"))
+      .withColumn("tb", explode(array((0 until tables).map(lit(_)): _*)))
+      .withColumn("bucket", (0 until nPlanes).map(p =>
+        hyperplaneBit(col("v"), col("tb") * nPlanes + lit(p), dim) * lit(1 << p))
+        .reduce(_ + _))
+    val a = e.select(col("tb"), col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("tb"), col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("tb", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= floor)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import Tables._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (doc_id, text, lang, source, n_chars): quality scoring, token counting,
+  * fingerprinting, canonicalization, language-ID. All pure Column
+  * compositions (codegen'd, no UDFs) except where noted. */
+object TextOps {
+
+  /** Canonical token-set digest: lower → split → drop empties → distinct →
+    * sort → join → md5 (reference analogue: the composite-modality
+    * canonicalizer, sync/modalities.py:56-101 / utils.py:20-31). */
+  def canonicalDigest(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(
+      filter(split(lower(text), " "), x => x =!= ""))), ","))
+
+  /** Whitespace-collapsed lowercase fingerprint (document identity under
+    * formatting noise). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is",
+    "it", "on", "for", "with", "as", "at", "by", "from")
+
+  /** Tiny per-language marker dictionaries for the n-gram/stopword language
+    * heuristic. Deterministic, vocabulary-driven; real systems would load
+    * fastText-style models — the *shape* (score-per-lang → argmax) is what
+    * the pipeline needs. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "is", "of"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("de", "shi", "le", "he"))
+
+  private def tokenArr(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+
+  val all: Seq[OpQuery] = Seq(
+
+    // Quality scoring: length/word/punctuation/stopword features + a
+    // composite keep/drop flag — the standard pre-training filter shape.
+    OpQuery("q23_text_quality",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val nWords = size(words)
+        val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+        val stopHits = size(filter(words, w => w.isin(stopwords: _*)))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_actual"),
+          nWords.as("n_words"),
+          punct.as("n_punct"),
+          stopHits.as("n_stopwords"),
+          (length(col("text")) >= 100 && nWords >= 20).as("passes_quality"))
+      },
+      Some(s"""SELECT doc_id, length(text) AS n_chars_actual,
+              |  len(string_split(text, ' ')) AS n_words,
+              |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+              |  len(list_filter(string_split(text, ' '), w -> w IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS n_stopwords,
+              |  length(text) >= 100 AND len(string_split(text, ' ')) >= 20 AS passes_quality
+              |FROM documents""".stripMargin)),
+
+    // Token counting: whitespace tokens + a BPE-ish regex token count
+    // (alpha runs / digit runs / single punctuation marks).
+    OpQuery("q24_token_count",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).as("bpe_ish_tokens")),
+      Some("""SELECT doc_id,
+             |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens
+             |FROM documents""".stripMargin)),
+
+    // Document fingerprinting (F11-style deterministic identity — no uuid()).
+    OpQuery("q25_fingerprint",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        canonicalDigest(col("text")).as("token_set_digest")),
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             |  md5(array_to_string(list_sort(list_distinct(
+             |    list_filter(string_split(lower(text), ' '), x -> x <> ''))), ',')) AS token_set_digest
+             |FROM documents""".stripMargin)),
+
+    // A3 — ordered distinct string_agg per group (reference:
+    // string_agg(DISTINCT ... ORDER BY ...), queries/dim_technicians.py:4-11).
+    OpQuery("q12_string_agg_sorted",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+          count(lit(1)).as("n_docs")),
+      Some("""SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+             |  count(*) AS n_docs
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // F4/F5 — trim/nullif/coalesce fallback chains with empty-string-as-null
+    // (reference: name_es or name or identifier, sync/modalities.py:122-125).
+    OpQuery("q14_coalesce_fallbacks",
+      (s, d) => {
+        def nullWhenEmpty(c: Column): Column = when(trim(c) === "", lit(null)).otherwise(trim(c))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          coalesce(nullWhenEmpty(col("source")), nullWhenEmpty(col("lang")), lit("unknown")).as("label"))
+          .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT coalesce(nullif(trim(source), ''), nullif(trim(lang), ''), 'unknown') AS label,
+             |  count(*) AS n
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Language-ID heuristic: marker-dictionary hit counts → argmax with
+    // deterministic tiebreak. Oracle-expressible via the same CASE ladder.
+    OpQuery("q29_lang_id",
+      (s, d) => {
+        val toks = tokenArr(col("text"))
+        val scores = langMarkers.toSeq.sortBy(_._1).map { case (lg, ms) =>
+          size(filter(toks, w => w.isin(ms: _*))).as(s"score_$lg")
+        }
+        val df = t(s, d, "documents").select((col("doc_id") +: col("lang") +: scores): _*)
+        // argmax with lexicographic tiebreak: pick first lang (sorted) whose
+        // score equals the row max
+        val maxScore = greatest(langMarkers.keys.toSeq.sorted.map(lg => col(s"score_$lg")): _*)
+        val pred = langMarkers.keys.toSeq.sorted.reverse
+          .foldLeft(lit("unknown")) { (acc, lg) =>
+            when(col(s"score_$lg") === maxScore, lit(lg)).otherwise(acc) }
+        df.select(col("doc_id"), col("lang").as("labeled_lang"),
+          when(maxScore === 0, lit("unknown")).otherwise(pred).as("predicted_lang"))
+      },
+      {
+        val langs = langMarkers.keys.toSeq.sorted
+        def score(lg: String) =
+          s"len(list_filter(list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> ''), w -> w IN (${langMarkers(lg).map(m => s"'$m'").mkString(",")})))"
+        val maxExpr = s"greatest(${langs.map(score).mkString(", ")})"
+        val ladder = langs.map(lg => s"WHEN ${score(lg)} = $maxExpr THEN '$lg'").mkString(" ")
+        Some(s"""SELECT doc_id, lang AS labeled_lang,
+                |  CASE WHEN $maxExpr = 0 THEN 'unknown' $ladder ELSE 'unknown' END AS predicted_lang
+                |FROM documents""".stripMargin)
+      }))
+}

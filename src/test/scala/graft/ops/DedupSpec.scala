@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.t(spark, dir, "documents")
+
+  /** Exact all-pairs shingle-Jaccard within lang — the recall reference. */
+  private def exactPairs(w: Int, threshold: Double) = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      array_distinct(DedupOps.shingles(col("text"), w)).as("sh"))
+    val a = base.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
+      .withColumn("jac", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  test("minhash LSH: perfect precision (exact verify) and high recall vs all-pairs") {
+    val lsh = DedupOps.minhashLshPairs(docs, w = 3, k = 32, b = 16, r = 2, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactPairs(3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision: every LSH pair passed the exact-jaccard verify filter
+    assert(lsh.subsetOf(exact.keySet),
+      s"LSH emitted pairs below threshold: ${lsh -- exact.keySet}")
+    // recall on confidently-similar pairs (s-curve: ~99% per pair at j>=0.5)
+    val high = exact.filter(_._2 >= 0.6).keySet
+    if (high.nonEmpty) {
+      val recall = high.count(lsh.contains).toDouble / high.size
+      assert(recall >= 0.9, s"recall $recall over ${high.size} pairs with j>=0.6")
+    }
+    assert(exact.nonEmpty, "test data produced no exact near-dup pairs — recalibrate w/threshold")
+  }
+
+  test("minhash LSH is deterministic across runs and partitionings") {
+    val p1 = DedupOps.minhashLshPairs(docs, 3, 32, 16, 2, 0.5)
+      .collect().map(_.toSeq).toSet
+    val p2 = DedupOps.minhashLshPairs(docs.repartition(7), 3, 32, 16, 2, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(p1 == p2)
+  }
+
+  test("simhash: reorder/whitespace duplicate is found at hamming 0; bound holds") {
+    // simhash over distinct unigrams is invariant to token order, repetition
+    // and whitespace — plant a shuffled double-spaced copy of doc 0
+    val planted = docs.filter(col("doc_id") === 0)
+      .select(lit(990001L).as("doc_id"),
+        concat_ws("  ", reverse(split(col("text"), " "))).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+    val pairs = DedupOps.simhashPairs(corpus, maxHamming = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.forall(_._3 <= 3))
+    assert(got.exists(p => p._1 == 0L && p._2 == 990001L && p._3 == 0),
+      s"planted reordered dup (0, 990001) not found at hamming 0")
+  }
+
+  test("exact dedup finds exactly the injected duplicates") {
+    val q = SparkEntry_queriesHelper("q20_dedup_exact")
+    val n = q(spark, dir).count()
+    // every 7th doc_id in [0,500) → ceil(500/7) = 72 groups at sf0.001
+    assert(n == docs.filter(col("doc_id") % 7 === 0).count())
+  }
+
+  private def SparkEntry_queriesHelper(name: String) = graft.SparkEntry.queries(name)
+}

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.t(spark, dir, "embeddings")
+
+  test("LSH near-dup: perfect precision and bounded recall loss vs brute force") {
+    val exact = SparkEntry_q("q26_embedding_neardup_pairs")(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshNearDup(emb, nPlanes = 6, tables = 8, dim = 64, floor = 0.40)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-near-dup pairs: ${lsh -- exact}")
+    assert(exact.nonEmpty, "no exact near-dup pairs at floor 0.40 — recalibrate")
+    // 8 tables × 6 hyperplanes at cosine≈0.4 (θ≈66°): per-pair candidate
+    // probability ≈ 1-(1-(1-θ/π)^6)^8 ≈ 0.40 — assert a safe floor under it
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall over ${exact.size} pairs")
+  }
+
+  test("brute-force top-k is deterministic under repartitioning") {
+    val a = SparkEntry_q("q22_ann_bruteforce_topk")(spark, dir).collect().map(_.toSeq)
+    val b = SparkEntry_q("q22_ann_bruteforce_topk")(spark, dir).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bad = e.withColumn("c", SimilarityOps.cosine(col("v"), col("v")))
+      .filter(abs(col("c") - 1.0) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  private def SparkEntry_q(name: String) = graft.SparkEntry.queries(name)
+}
