@@ -77,9 +77,12 @@ object CdcPipeline {
     StructField("lang", StringType, nullable = true),
     StructField("content", StringType, nullable = true)))
 
-  /** One micro-batch: dedup within batch (LWW hash-agg with map-side
-    * partial aggregation; salting knob for hot keys) → evolve schema if the
-    * batch crosses a version bump → idempotent MERGE → lineage + metrics. */
+  /** One micro-batch: evolve schema if the batch crosses a version bump →
+    * idempotent MERGE (whose single LWW aggregation is simultaneously the
+    * within-batch dedup and the merge against stored state — a separate
+    * pre-dedup pass would shuffle the same payload twice) → lineage +
+    * metrics. `salts > 1` adds an explicit salted pre-aggregation for
+    * pathologically hot keys (update storms on one (repo,path,commit)). */
   def processBatch(batch: DataFrame, epochId: Long, table: LakeTable,
       evolution: Map[Int, Seq[SchemaChange]], versions: TableVersions,
       lineageDir: Option[String], salts: Int = 0): Unit = {
@@ -87,9 +90,8 @@ object CdcPipeline {
     val t0 = System.nanoTime()
     evolveIfNeeded(batch, table, evolution, versions)
 
-    // within-batch LWW dedup before the merge — shrinks the shuffle that
-    // feeds the COW rewrite to one row per key
-    val deduped = Dedup.lwwDf(batch, ChangeEvent.keyCols, salts)
+    val deduped = if (salts > 1) Dedup.lwwDf(batch, ChangeEvent.keyCols, salts)
+      else batch
 
     val lineage = table.merge(toMergeInput(deduped, table), epochId)
     lineage.foreach { lin =>

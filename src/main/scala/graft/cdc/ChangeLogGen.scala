@@ -121,10 +121,14 @@ object ChangeLogGen {
     base + off
   }
 
-  /** The change log in arrival order. */
-  def generate(spark: SparkSession, cfg: GenConfig): Dataset[ChangeEvent] = {
+  /** The change log in arrival order. `numPartitions` fixes the source
+    * split count independently of cluster size — required for the N-vs-4N
+    * scaling protocol (same input partitioning at both parallelism levels). */
+  def generate(spark: SparkSession, cfg: GenConfig,
+      numPartitions: Option[Int] = None): Dataset[ChangeEvent] = {
     import spark.implicits._
-    spark.range(cfg.numEvents).mapPartitions { it =>
+    val parts = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
+    spark.range(0, cfg.numEvents, 1, parts).mapPartitions { it =>
       it.map(a => eventAt(cfg, arrivalToSource(cfg, a)))
     }
   }

@@ -65,26 +65,36 @@ object Dedup {
   }
 
   /** Untyped LWW dedup over an envelope DataFrame (dynamic schema — needed
-    * once schema evolution is in play): one hash aggregate with
-    * `max_by(row, (lsn, opPriority))`. Catalyst plans partial (map-side)
-    * aggregation, so a hot key collapses to one row per input partition
+    * once schema evolution is in play) using the native [[graft.functions
+    * .LwwMaxBy]] TypedImperativeAggregate: plans as ObjectHashAggregateExec
+    * with map-side partial aggregation and NO sort (built-in
+    * `max_by(struct,...)` would plan a SortAggregate that sorts every
+    * payload row twice). A hot key collapses to one row per input partition
     * before the shuffle — the primary skew defense. `salts > 1` adds an
     * explicit two-phase salted aggregation on top (north-rule requirement)
     * for keys so hot that even the final-stage hash table is a bottleneck. */
-  def lwwDf(batch: DataFrame, keyCols: Seq[String], salts: Int = 0): DataFrame = {
-    val pri = when(col("op") === "D", 2).when(col("op") === "U", 1).otherwise(0)
+  def lwwDf(batch: DataFrame, keyCols: Seq[String], salts: Int = 0,
+      lsnCol: String = "lsn", opCol: String = "op"): DataFrame = {
+    graft.functions.LwwMaxBy.tuneSession(batch.sparkSession)
+    val pri = opPriority(col(opCol))
     val allCols = batch.columns.toSeq
     def agg(df: DataFrame, keys: Seq[Column]): DataFrame =
       df.groupBy(keys: _*)
-        .agg(max_by(struct(allCols.map(col): _*), struct(col("lsn"), pri)).as("__w"))
+        .agg(graft.functions.LwwMaxBy.lwwMaxBy(
+          struct(allCols.map(col): _*), col(lsnCol).cast("long"), pri).as("__w"))
         .select("__w.*")
     if (salts <= 1) agg(batch, keyCols.map(col))
     else {
-      val phase1 = agg(batch.withColumn("__salt", pmod(col("lsn"), lit(salts))),
+      val phase1 = agg(batch.withColumn("__salt", pmod(col(lsnCol), lit(salts))),
         keyCols.map(col) :+ col("__salt")) // __salt is not in allCols → dropped by select
       agg(phase1, keyCols.map(col))
     }
   }
+
+  /** op → tiebreak priority (D > U > I > stored-state). */
+  def opPriority(op: Column): Column =
+    when(op === "D", 2).when(op === "U", 1).when(op === "I", 0)
+      .otherwise(-1).cast("int")
 
   /** Window-function spec of the same semantics (untyped; used as the
     * property-test oracle and as the SQL-expressible operator variant). */

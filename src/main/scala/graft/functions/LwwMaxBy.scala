@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Last-writer-wins argmax as a native Catalyst aggregate.
+  *
+  * Why not `max_by(struct(row), struct(lsn, pri))`: MaxBy is a
+  * DeclarativeAggregate whose buffer holds a struct — HashAggregateExec only
+  * supports mutable primitive buffers, so Catalyst plans it as
+  * SortAggregateExec, which sorts every (wide, content-carrying) row by the
+  * string key on both the map and reduce side. At 10^10 events that sort IS
+  * the job. A TypedImperativeAggregate plans as ObjectHashAggregateExec:
+  * hash-based, one retained winner row per key per partition, no sort
+  * (raise `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` so the
+  * hash path is not abandoned at 128 keys).
+  *
+  * Semantics: winner = max by (lsn, opPriority) with total order, the same
+  * commutative monoid as [[graft.cdc.LwwAggregator]] (reference:
+  * `SELECT DISTINCT ON (id) ... ORDER BY id, pr.created_at DESC`,
+  * queries/fact_studies.py:4,34).
+  *
+  * Buffer/serialization: winner's (lsn, pri) + the projected value row as
+  * UnsafeRow bytes (shuffle-stable, offset-based — no Java object graph).
+  */
+case class LwwMaxBy(
+    valueStruct: Expression,
+    lsn: Expression,
+    pri: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LwwBuffer] with TernaryLike[Expression] {
+
+  override def first: Expression = valueStruct
+  override def second: Expression = lsn
+  override def third: Expression = pri
+
+  override def dataType: DataType = valueStruct.dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lww_max_by"
+
+  private lazy val valueSchema = valueStruct.dataType.asInstanceOf[StructType]
+  @transient private lazy val toUnsafe = UnsafeProjection.create(valueSchema)
+
+  override def createAggregationBuffer(): LwwBuffer = new LwwBuffer(Long.MinValue, Int.MinValue, null)
+
+  override def update(buf: LwwBuffer, input: InternalRow): LwwBuffer = {
+    val l = lsn.eval(input).asInstanceOf[Long]
+    val p = pri.eval(input).asInstanceOf[Int]
+    if (buf.row == null || l > buf.lsn || (l == buf.lsn && p > buf.pri)) {
+      buf.lsn = l; buf.pri = p
+      buf.row = toUnsafe(valueStruct.eval(input).asInstanceOf[InternalRow]).copy()
+    }
+    buf
+  }
+
+  override def merge(a: LwwBuffer, b: LwwBuffer): LwwBuffer = {
+    if (a.row == null) b
+    else if (b.row == null) a
+    else if (b.lsn > a.lsn || (b.lsn == a.lsn && b.pri > a.pri)) b
+    else a
+  }
+
+  override def eval(buf: LwwBuffer): Any = buf.row
+
+  override def serialize(buf: LwwBuffer): Array[Byte] = {
+    if (buf.row == null) return Array.emptyByteArray
+    val rowBytes = buf.row.getBytes
+    val out = java.nio.ByteBuffer.allocate(12 + rowBytes.length)
+    out.putLong(buf.lsn); out.putInt(buf.pri); out.put(rowBytes)
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): LwwBuffer = {
+    if (bytes.isEmpty) return createAggregationBuffer()
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val l = in.getLong; val p = in.getInt
+    val row = new UnsafeRow(valueSchema.length)
+    row.pointTo(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 12L, bytes.length - 12)
+    new LwwBuffer(l, p, row)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LwwMaxBy =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LwwMaxBy =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): LwwMaxBy =
+    copy(valueStruct = newFirst, lsn = newSecond, pri = newThird)
+}
+
+final class LwwBuffer(var lsn: Long, var pri: Int, var row: UnsafeRow)
+
+object LwwMaxBy {
+  /** Column API: winner-struct per group. */
+  def lwwMaxBy(value: Column, lsn: Column, pri: Column): Column =
+    ColumnShim.column(
+      LwwMaxBy(ColumnShim.expression(value),
+        ColumnShim.expression(lsn),
+        ColumnShim.expression(pri)).toAggregateExpression())
+
+  /** ObjectHashAggregateExec abandons its hash map for sort-based
+    * aggregation after only 128 distinct keys by default — which would
+    * reintroduce exactly the per-row sort this aggregate exists to avoid.
+    * Raise the threshold (runtime-settable SQLConf); memory stays bounded
+    * because each entry holds one winner row and partitions are sized to
+    * fit (spill falls back gracefully past the threshold). */
+  def tuneSession(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 21).toString)
+}

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-similarity kernels. The composed-Column forms
+  * (array_intersect/array_union per pair; 64 × filter+size per simhash;
+  * k × transform per minhash signature) rebuild hash sets / intermediate
+  * arrays per evaluation and dominate the benchmark. Each expression here
+  * is a single pass calling a static helper, and `defineCodeGen` emits a
+  * plain static call so whole-stage codegen keeps the surrounding pipeline
+  * fused. Hash function = XXH64 seed 42, identical to Spark's `xxhash64`.
+  */
+object TextSimHelpers {
+  private def xxhStr(s: UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** Jaccard over two string arrays that are already sets (distinct):
+    * |A∩B| / (|A| + |B| - |A∩B|). One set build + one probe pass. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  /** 64-bit SimHash over the distinct tokens of the array: per-bit majority
+    * vote of the tokens' xxhash64 values. */
+  def simhash64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val seen = new java.util.HashSet[Long](n * 2)
+    val counts = new Array[Int](64)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val h = xxhStr(tokens.getUTF8String(i), 42L)
+      if (seen.add(h)) {
+        total += 1
+        var bit = 0
+        while (bit < 64) {
+          if ((h & (1L << bit)) != 0L) counts(bit) += 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) * 2 > total) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** MinHash signature: k independent streams in one pass over the shingle
+    * set. Stream j's hash of shingle s = xxh64(j as int, seed = xxh64(s,
+    * seed 42)) — the same chaining Spark's multi-arg xxhash64(s, j) uses. */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val base = xxhStr(shingles.getUTF8String(i), 42L)
+      var j = 0
+      while (j < k) {
+        val hj = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, base)
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** LSH band keys: hash r consecutive signature entries per band. */
+  def bandKeys(sig: ArrayData, b: Int, r: Int): ArrayData = {
+    val out = new Array[Long](b)
+    var band = 0
+    while (band < b) {
+      var h = 42L + band
+      var j = 0
+      while (j < r) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig.getLong(band * r + j), h)
+        j += 1
+      }
+      out(band) = h
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextSimHelpers.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextSimHelpers.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(a: Any): Any =
+    TextSimHelpers.simhash64(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextSimHelpers.simhash64($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(a: Any): Any =
+    TextSimHelpers.minhash(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextSimHelpers.minhash($a, $k)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class LshBandKeys(child: Expression, b: Int, r: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+  override def nullSafeEval(a: Any): Any =
+    TextSimHelpers.bandKeys(a.asInstanceOf[ArrayData], b, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextSimHelpers.bandKeys($a, $b, $r)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TextSimExprs {
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnShim.column(JaccardSim(ColumnShim.expression(a), ColumnShim.expression(b)))
+  def simhash64(tokens: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+  def minhashSig(shingles: Column, k: Int): Column =
+    ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), k))
+  def lshBandKeys(sig: Column, b: Int, r: Int): Column =
+    ColumnShim.column(LshBandKeys(ColumnShim.expression(sig), b, r))
+}

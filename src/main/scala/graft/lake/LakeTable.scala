@@ -108,6 +108,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * (lsn, op priority); stored rows lose ties to incoming rows with the
     * same lsn (idempotent redelivery carries identical payloads). */
   def merge(changes: DataFrame, epochId: Long = -1L): Option[Seq[graft.cdc.PartitionLineage]] = {
+    graft.functions.LwwMaxBy.tuneSession(spark)
     val m0 = meta
     if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return None
 
@@ -126,9 +127,14 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .select((typedDataCols ++ Seq(col("lsn").cast(LongType).as(LsnCol),
         col("op"), b.as(BucketCol))): _*)
 
-    // Buckets touched by this batch — manifest-level partition pruning.
-    val touched = incoming.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet
+    // ONE light stats pass over the batch (projects only bucket + lsn — the
+    // parquet scan prunes content): per-bucket applied-row counts and lsn
+    // bounds. Doubles as touched-bucket discovery for manifest-level
+    // partition pruning, and as the lineage record.
+    val appliedStats = incoming.groupBy(col(BucketCol)).agg(
+      count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val touched = appliedStats.keySet
     val oldFiles = m0.currentSnapshot.map(_.files).getOrElse(Seq.empty)
     val (rewritten, kept) = oldFiles.partition(f => touched.contains(f.bucket))
 
@@ -141,52 +147,53 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     }
     val unioned = existing.map(_.unionByName(incoming)).getOrElse(incoming)
 
-    // LWW winner per key: hash agg with map-side partial agg (no window —
-    // a window would sort-shuffle every row of every touched bucket).
-    val pri = when(col("op") === "D", 2).when(col("op") === "U", 1)
-      .when(col("op") === "I", 0).otherwise(-1) // stored state loses ties
+    // LWW winner per key via the native TypedImperativeAggregate —
+    // ObjectHashAggregate with map-side partial agg: no per-row sort (the
+    // built-in max_by(struct) would SortAggregate), no window (a window
+    // would sort-shuffle every row of every touched bucket). This single
+    // aggregation is simultaneously the within-batch dedup and the
+    // merge-against-stored-state.
+    val pri = graft.cdc.Dedup.opPriority(col("op"))
     val rowStruct = struct((dataCols.map(col) ++ Seq(col(LsnCol), col("op"), col(BucketCol))): _*)
     val winners = unioned
       .groupBy(m0.keyCols.map(col): _*)
-      .agg(max_by(rowStruct, struct(col(LsnCol), pri)).as("__w"))
+      .agg(graft.functions.LwwMaxBy.lwwMaxBy(rowStruct, col(LsnCol), pri).as("__w"))
       .select(col("__w.*"))
 
+    // winners only (≈1 row/key) flow through this shuffle — cheap
     val out = winners.withColumn(DeletedCol, col("op") === "D").drop("op")
       .repartition(math.max(touched.size, 1), col(BucketCol))
-      .persist()
 
-    try {
-      // new data files under data/<snapshotId>/b=<bucket>/
-      val stagingRel = f"data/snap-$snapshotId%012d"
-      val staging = Paths.get(root, stagingRel)
-      out.write.partitionBy(BucketCol).parquet(staging.toString)
+    // single heavy pass: aggregate + write staging; per-file stats come from
+    // re-reading the staged files' (bucket, lsn) columns — a metadata-cheap
+    // columnar scan, instead of persisting the whole merged output
+    val stagingRel = f"data/snap-$snapshotId%012d"
+    val staging = Paths.get(root, stagingRel)
+    out.write.partitionBy(BucketCol).parquet(staging.toString)
 
-      val stats = out.groupBy(col(BucketCol)).agg(
+    val fileStats = spark.read.parquet(staging.toString)
+      .groupBy(col(BucketCol)).agg(
         count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-      val newFiles = listParquet(staging).map { p =>
-        val rel = Paths.get(root).relativize(p).toString
-        val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-        val (cnt, mn, mx) = stats.getOrElse(bucket, (0L, 0L, 0L))
-        DataFileMeta(rel, bucket, m0.currentSchemaId, cnt, mn, mx)
-      }
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val newFiles = listParquet(staging).map { p =>
+      val rel = Paths.get(root).relativize(p).toString
+      val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+      val (cnt, mn, mx) = fileStats.getOrElse(bucket, (0L, 0L, 0L))
+      DataFileMeta(rel, bucket, m0.currentSchemaId, cnt, mn, mx)
+    }
 
-      val applied = incoming.groupBy(col(BucketCol)).agg(
-        count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
-        .collect().map { r =>
-          graft.cdc.PartitionLineage(epochId, r.getInt(0), r.getLong(2),
-            r.getLong(3), r.getLong(1), snapshotId)
-        }.toSeq
+    val applied = appliedStats.toSeq.map { case (bucket, (cnt, mn, mx)) =>
+      graft.cdc.PartitionLineage(epochId, bucket, mn, mx, cnt, snapshotId)
+    }
 
-      retryCommit { m =>
-        require(m.currentSnapshotId == m0.currentSnapshotId,
-          s"concurrent commit detected (base ${m0.currentSnapshotId}, now ${m.currentSnapshotId})")
-        val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
-          m.currentSchemaId, "merge", kept ++ newFiles, System.currentTimeMillis())
-        m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
-      }
-      Some(applied)
-    } finally out.unpersist()
+    retryCommit { m =>
+      require(m.currentSnapshotId == m0.currentSnapshotId,
+        s"concurrent commit detected (base ${m0.currentSnapshotId}, now ${m.currentSnapshotId})")
+      val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
+        m.currentSchemaId, "merge", kept ++ newFiles, System.currentTimeMillis())
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+    }
+    Some(applied)
   }
 
   /** Append rows without key reconciliation (reference S5: the technicians
@@ -264,6 +271,28 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       }
       removed
     } finally surviving.unpersist()
+  }
+
+  /** Expire old snapshots: keep the latest `keepLast`, drop older snapshot
+    * entries from metadata and delete data files no surviving snapshot
+    * references. Bounds table-directory growth under continuous ingest
+    * (every COW merge supersedes whole bucket files; without expiry the
+    * table retains every historical bucket file for time travel forever). */
+  def expireSnapshots(keepLast: Int = 1): Long = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    var dead: Set[String] = Set.empty
+    retryCommit { m =>
+      val ordered = m.snapshots.sortBy(_.snapshotId)
+      if (ordered.size <= keepLast) return 0L
+      val keep = ordered.takeRight(keepLast)
+      val live = keep.flatMap(_.files.map(_.path)).toSet
+      dead = ordered.dropRight(keepLast).flatMap(_.files.map(_.path)).toSet -- live
+      m.copy(snapshots = keep)
+    }
+    // physical deletion strictly AFTER the metadata commit — a failed commit
+    // must never orphan-reference deleted files
+    dead.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
+    dead.size
   }
 
   // ------------------------------------------------------------- internals

@@ -27,34 +27,25 @@ object DedupOps {
         i => array_join(slice(toks, i + 1, lit(w)), " ")))
   }
 
-  /** MinHash signature: for each of k hash streams, min over the shingle
-    * set of xxhash64(shingle, stream). Deterministic (seeded by stream id),
-    * one pass, no UDF. */
+  /** MinHash signature — native one-pass expression (k hash streams per
+    * shingle; the k × transform Column form was interpreted and rebuilt k
+    * intermediate arrays per document). */
   def minhashSig(shingleArr: Column, k: Int): Column =
-    array((0 until k).map(j =>
-      array_min(transform(shingleArr, sh => xxhash64(sh, lit(j))))): _*)
+    graft.functions.TextSimExprs.minhashSig(shingleArr, k)
 
   /** LSH band keys: hash r-sized slices of the signature into b band keys. */
   def bandKeys(sig: Column, b: Int, r: Int): Column =
-    array((0 until b).map(i => xxhash64(lit(i), array_join(
-      transform(slice(sig, i * r + 1, r), x => x.cast("string")), "_"))): _*)
+    graft.functions.TextSimExprs.lshBandKeys(sig, b, r)
 
+  /** Exact set Jaccard — native single-pass expression (one hash-set build +
+    * one probe; array_intersect + array_union built four sets per pair). */
   def jaccard(a: Column, bC: Column): Column =
-    size(array_intersect(a, bC)).cast("double") /
-      size(array_union(a, bC)).cast("double")
+    graft.functions.TextSimExprs.jaccardSim(a, bC)
 
-  /** 64-bit SimHash over word unigrams (per-bit majority vote of token
-    * hashes). Implemented as a pure Column fold over the 64 bit positions:
-    * for each bit i, count tokens whose xxhash64 has bit i set vs total. */
-  def simhash64(c: Column): Column = {
-    val toks = array_distinct(tokens(c))
-    val hashes = transform(toks, t => xxhash64(t))
-    val n = size(toks)
-    (0 until 64).map { i =>
-      val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << i)) =!= 0L))
-      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash over word unigrams (per-bit majority vote of distinct
+    * token hashes) — native one-pass expression. */
+  def simhash64(c: Column): Column =
+    graft.functions.TextSimExprs.simhash64(tokens(c))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

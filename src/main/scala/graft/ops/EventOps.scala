@@ -87,6 +87,20 @@ object EventOps {
              |SELECT DISTINCT user_id, CAST(strftime(ts, '%Y%m%d') AS INT) AS day
              |FROM events WHERE event_type = 'purchase'""".stripMargin)),
 
+    // F7 — timezone shift + date trunc (reference: `(ts AT TIME ZONE tz)::
+    // date` with facility timezones, queries/fact_studies.py:101-106). The
+    // calendar key becomes a pure expression of the shifted timestamp — the
+    // reference's per-row dim_calendar lookup (J8) disappears entirely.
+    OpQuery("q33_tz_local_rollup",
+      (s, d) => t(s, d, "events")
+        .select(date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+          "yyyyMMdd").cast("int").as("local_date_id"))
+        .groupBy(col("local_date_id"))
+        .agg(count(lit(1)).as("n_events")),
+      Some("""SELECT CAST(strftime(CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS TIMESTAMP), '%Y%m%d') AS INT) AS local_date_id,
+             |  count(*) AS n_events
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // A6/S6 — lineage-shaped rollup: per key-range bucket, applied-row counts
     // and lsn bounds (reference: sync_records, queries/sync_records.py:7-19).
     OpQuery("q19_lineage_rollup",

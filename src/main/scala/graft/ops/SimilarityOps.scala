@@ -15,32 +15,28 @@ import Tables._
   */
 object SimilarityOps {
 
-  /** Sequential left-to-right dot product — identical IEEE evaluation order
-    * in Spark and the DuckDB oracle (both fold pairwise products in index
-    * order after a cast to double). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd single-pass cosine (native Catalyst expression — the
+    * aggregate/zip_with composition is interpreted CodegenFallback and was
+    * the benchmark hot spot). Sequential index-order accumulation keeps
+    * results bit-identical to the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.cosineSim(a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dotProduct(a, b)
 
   private def emb(c: Column): Column = c.cast("array<double>")
 
-  /** Deterministic pseudo-random hyperplane: element j of plane p derived
-    * from splitmix-style hashing — same trick as the data generator, pure
-    * Column form: sign bits of xxhash64(p, j). */
-  def hyperplaneBit(v: Column, plane: Column, dim: Int): Column = {
-    val proj = aggregate(
-      zip_with(v, transform(sequence(lit(0), lit(dim - 1)),
-        j => (xxhash64(plane, j) % 1000000L).cast("double") / 1000000.0 - 0.5),
-        (x, w) => x * w),
-      lit(0.0), (acc, x) => acc + x)
-    (proj >= 0).cast("int")
-  }
+  /** Deterministic pseudo-random hyperplane `plane`: literal weight vector
+    * derived from the seeded splitmix stream (computed once on the driver,
+    * broadcast as a constant — no per-row weight-array construction). */
+  def hyperplane(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(j => graft.cdc.Det.u01(42L, 1000L + plane, j.toLong) - 0.5)
+
+  def hyperplaneBit(v: Column, plane: Int, dim: Int): Column =
+    (dot(v, typedlit(hyperplane(plane, dim).toSeq)) >= 0).cast("int")
 
   /** LSH bucket id from `nPlanes` sign bits. */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).map(p => hyperplaneBit(v, lit(p), dim) * lit(1 << p))
+    (0 until nPlanes).map(p => hyperplaneBit(v, p, dim) * lit(1 << p))
       .reduce(_ + _)
 
   val all: Seq[OpQuery] = Seq(
@@ -99,11 +95,16 @@ object SimilarityOps {
 
   def lshNearDup(embeddings: DataFrame, nPlanes: Int, tables: Int, dim: Int,
       floor: Double): DataFrame = {
+    // all T×P hyperplanes are constants: per row, T codegen'd bucket ids,
+    // then posexplode into (table, bucket) — no per-row weight generation
+    val bucketsPerTable = array((0 until tables).map { tb =>
+      (0 until nPlanes).map(p =>
+        hyperplaneBit(col("v"), tb * nPlanes + p, dim) * lit(1 << p))
+        .reduce(_ + _)
+    }: _*)
     val e = embeddings.select(col("vec_id"), emb(col("embedding")).as("v"))
-      .withColumn("tb", explode(array((0 until tables).map(lit(_)): _*)))
-      .withColumn("bucket", (0 until nPlanes).map(p =>
-        hyperplaneBit(col("v"), col("tb") * nPlanes + lit(p), dim) * lit(1 << p))
-        .reduce(_ + _))
+      .select(col("vec_id"), col("v"),
+        posexplode(bucketsPerTable).as(Seq("tb", "bucket")))
     val a = e.select(col("tb"), col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = e.select(col("tb"), col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("tb", "bucket")).filter(col("id_a") < col("id_b"))

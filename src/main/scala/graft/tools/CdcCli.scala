@@ -21,7 +21,9 @@ object CdcCli {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
       .appName("graft-cdc")
-      .config("spark.sql.shuffle.partitions", cores)
+      // 2× reduce tasks per core: smooths the last wave without paying
+      // per-task overhead; AQE coalesces when volume is small
+      .config("spark.sql.shuffle.partitions", cores.toInt * 2)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -77,6 +79,45 @@ object CdcCli {
       val table = LakeTable.forPath(spark, tableDir)
       val removed = table.vacuum(rest.headOption.map(_.toLong).getOrElse(Long.MaxValue))
       println(s"[vacuum] removed=$removed tombstones")
+
+    case "explain" :: logDir :: Nil =>
+      val log = spark.read.schema(CdcPipeline.envelopeSchema).parquet(logDir)
+      println("== dedup (lwwDf) plan ==")
+      Dedup.lwwDf(log, ChangeEvent.keyCols).explain("formatted")
+
+    case "bench" :: logDir :: rest =>
+      import org.apache.spark.sql.functions.{col => c}
+      // stage-level timing: wall duration vs summed task run time exposes
+      // contention (tasks slow) vs scheduling gaps (stages sparse)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = for { s <- si.submissionTime; e <- si.completionTime } yield e - s
+          println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d " +
+            f"wall=${wall.getOrElse(-1L) / 1000.0}%7.2fs " +
+            f"taskTime=${si.taskMetrics.executorRunTime / 1000.0}%8.2fs " +
+            f"gc=${si.taskMetrics.jvmGCTime / 1000.0}%6.2fs " +
+            f"shufW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+            f"name=${si.name.take(60)}")
+        }
+      })
+      val sch = CdcPipeline.envelopeSchema
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[bench] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val log = spark.read.schema(sch).parquet(logDir)
+      timed("scan_count")(log.count())
+      timed("scan_agg")(log.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(c("content")))).head())
+      timed("dedup_count")(Dedup.lwwDf(log, ChangeEvent.keyCols).count())
+      // table lives next to the log so bench I/O stays on the same device
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(logDir).toAbsolutePath.getParent, "benchtbl").toString
+      val table = LakeTable.create(spark, s"$dir/t", CdcPipeline.baseTableSchema,
+        ChangeEvent.keyCols, numBuckets = rest.headOption.map(_.toInt).getOrElse(64))
+      timed("full_merge")(CdcPipeline.replayBatch(spark, log, table, Map.empty))
+      LakeTable.deleteRecursively(java.nio.file.Paths.get(dir))
 
     case other =>
       System.err.println(s"unknown args: $other\n" +

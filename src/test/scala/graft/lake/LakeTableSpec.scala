@@ -175,6 +175,41 @@ class LakeTableSpec extends SparkTestBase {
       Seq("repo", "path", "commit", "lang", "content", "ref", "size_bytes"))
   }
 
+  test("append sink adds rows without key reconciliation (reference S5)") {
+    val t = freshTable()
+    import spark.implicits._
+    val rows = Seq((1L, "I", "r", "p", "c", "scala", "v1"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    t.merge(rows, 0)
+    // append the SAME key again — no dedup, both rows visible
+    t.append(Seq(("r", "p", "c", "scala", "v2", 2L))
+      .toDF("repo", "path", "commit", "lang", "content", "lsn"))
+    assert(t.currentState().count() == 2)
+  }
+
+  test("expireSnapshots prunes history and deletes unreferenced files") {
+    val t = freshTable()
+    import spark.implicits._
+    def batch(lsn: Long, content: String) = Seq(
+      (lsn, "U", "r", "p", "c", "scala", content))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    t.merge(batch(1, "one"), 0)
+    t.merge(batch(2, "two"), 1)
+    t.merge(batch(3, "three"), 2)
+    val before = LakeTable.listParquet(
+      java.nio.file.Paths.get(t.root, "data")).size
+    val removed = t.expireSnapshots(keepLast = 1)
+    assert(removed > 0)
+    val after = LakeTable.listParquet(
+      java.nio.file.Paths.get(t.root, "data")).size
+    assert(after == before - removed)
+    assert(t.meta.snapshots.size == 1)
+    // current state untouched
+    assert(t.currentState().head().getAs[String]("content") == "three")
+    // expired snapshot no longer time-travelable
+    intercept[Exception](t.read(Some(1L)).count())
+  }
+
   test("drop column forbidden on key; add of existing name rejected") {
     val t = freshTable()
     intercept[Exception](t.evolveSchema(Seq(DropColumn("repo"))))
