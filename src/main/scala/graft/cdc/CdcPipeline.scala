@@ -33,9 +33,8 @@ object CdcPipeline {
   /** Evolve the table if this batch contains envelopes from a newer schema
     * version, per the evolution plan (version -> DDL ops). Reference
     * analogue: yoyo migration runner (`cron_tasks.py:31-59`). */
-  def evolveIfNeeded(batch: DataFrame, table: LakeTable,
+  def evolveTo(maxV: Int, table: LakeTable,
       plan: Map[Int, Seq[SchemaChange]], tableVersionTracker: TableVersions): Unit = {
-    val maxV = batch.agg(max(col("schema_version"))).head().getInt(0)
     var cur = tableVersionTracker.get(table.root)
     while (cur < maxV) {
       cur += 1
@@ -86,9 +85,17 @@ object CdcPipeline {
   def processBatch(batch: DataFrame, epochId: Long, table: LakeTable,
       evolution: Map[Int, Seq[SchemaChange]], versions: TableVersions,
       lineageDir: Option[String], salts: Int = 0): Unit = {
-    if (batch.isEmpty) return
     val t0 = System.nanoTime()
-    evolveIfNeeded(batch, table, evolution, versions)
+    // One summary pass replaces a separate isEmpty job + max(schema_version)
+    // scan — and is skipped entirely once every planned evolution step has
+    // been applied (the steady state after bootstrap: zero extra passes).
+    val planExhausted = evolution.isEmpty ||
+      versions.get(table.root) >= evolution.keys.max
+    if (!planExhausted) {
+      val summary = batch.agg(count(lit(1)), max(col("schema_version"))).head()
+      if (summary.getLong(0) == 0L) return
+      evolveTo(summary.getInt(1), table, evolution, versions)
+    }
 
     val deduped = if (salts > 1) Dedup.lwwDf(batch, ChangeEvent.keyCols, salts)
       else batch

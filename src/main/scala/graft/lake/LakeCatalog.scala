@@ -1,0 +1,63 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** Multi-tenant namespace layer: one directory per namespace, one lake table
+  * per (namespace, table) pair (reference: one Postgres schema per
+  * organization, created per-org by the migration runner —
+  * `queries/schema_organizations.py:16-18`, `cron_tasks.py:48-56`;
+  * namespace names sanitized exactly like the reference's `utils.py:6-12`).
+  */
+class LakeCatalog(val spark: SparkSession, val warehouse: String) {
+
+  /** Sanitize a tenant slug to a namespace name (reference `utils.py:6-12`:
+    * strip everything outside [A-Za-z0-9]). */
+  def namespaceName(slug: String): String = {
+    val n = slug.replaceAll("[^A-Za-z0-9]+", "")
+    require(n.nonEmpty, s"slug '$slug' sanitizes to empty")
+    n
+  }
+
+  def createNamespace(slug: String): String = {
+    val ns = namespaceName(slug)
+    Files.createDirectories(Paths.get(warehouse, ns))
+    ns
+  }
+
+  def listNamespaces(): Seq[String] = {
+    val w = Paths.get(warehouse)
+    if (!Files.isDirectory(w)) return Seq.empty
+    Files.list(w).iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def tablePath(ns: String, table: String): String =
+    Paths.get(warehouse, namespaceName(ns), table).toString
+
+  def createTable(ns: String, table: String, schema: StructType,
+      keyCols: Seq[String], numBuckets: Int = 32): LakeTable = {
+    createNamespace(ns)
+    LakeTable.create(spark, tablePath(ns, table), schema, keyCols,
+      numBuckets = numBuckets)
+  }
+
+  def tableExists(ns: String, table: String): Boolean =
+    LakeTable.exists(tablePath(ns, table))
+
+  def loadTable(ns: String, table: String): LakeTable =
+    LakeTable.forPath(spark, tablePath(ns, table))
+
+  def listTables(ns: String): Seq[String] = {
+    val d = Paths.get(warehouse, namespaceName(ns))
+    if (!Files.isDirectory(d)) return Seq.empty
+    Files.list(d).iterator().asScala
+      .filter(p => LakeTable.exists(p.toString))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def dropTable(ns: String, table: String): Unit =
+    LakeTable.deleteRecursively(Paths.get(tablePath(ns, table)))
+}

@@ -134,6 +134,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     val appliedStats = incoming.groupBy(col(BucketCol)).agg(
       count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    if (appliedStats.isEmpty) return None // empty batch: nothing to commit
     val touched = appliedStats.keySet
     val oldFiles = m0.currentSnapshot.map(_.files).getOrElse(Seq.empty)
     val (rewritten, kept) = oldFiles.partition(f => touched.contains(f.bucket))

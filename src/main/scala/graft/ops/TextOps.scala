@@ -113,6 +113,23 @@ object TextOps {
              |  count(*) AS n
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // F6 — first-true fallback + merge of two comma-packed string-sets into
+    // one sorted canonical pack (reference: `first_true` + combine-and-sort
+    // of two dicts' values, utils.py:15-31, feeding the composite-modality
+    // upsert).
+    OpQuery("q34_pack_merge",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(array_sort(array_distinct(filter(
+            concat(split(col("source"), ","), split(col("lang"), ",")),
+            x => x =!= ""))), ",").as("merged_pack"))
+        .groupBy(col("merged_pack")).agg(count(lit(1)).as("n")),
+      Some("""SELECT array_to_string(list_sort(list_distinct(list_filter(
+             |    list_concat(string_split(source, ','), string_split(lang, ',')),
+             |    x -> x <> ''))), ',') AS merged_pack,
+             |  count(*) AS n
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // Language-ID heuristic: marker-dictionary hit counts → argmax with
     // deterministic tiebreak. Oracle-expressible via the same CASE ladder.
     OpQuery("q29_lang_id",

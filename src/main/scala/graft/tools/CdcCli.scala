@@ -29,8 +29,23 @@ object CdcCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("GRAFT_STAGE_LOG")) addStageListener(spark)
     try run(spark, args.toList) finally spark.stop()
   }
+
+  def addStageListener(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = for { s <- si.submissionTime; e <- si.completionTime } yield e - s
+        println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d " +
+          f"wall=${wall.getOrElse(-1L) / 1000.0}%7.2fs " +
+          f"taskTime=${si.taskMetrics.executorRunTime / 1000.0}%8.2fs " +
+          f"gc=${si.taskMetrics.jvmGCTime / 1000.0}%6.2fs " +
+          f"shufW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+          f"name=${si.name.take(60)}")
+      }
+    })
 
   def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "gen" :: logDir :: n :: rest =>
@@ -87,26 +102,12 @@ object CdcCli {
 
     case "bench" :: logDir :: rest =>
       import org.apache.spark.sql.functions.{col => c}
-      // stage-level timing: wall duration vs summed task run time exposes
-      // contention (tasks slow) vs scheduling gaps (stages sparse)
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val si = sc.stageInfo
-          val wall = for { s <- si.submissionTime; e <- si.completionTime } yield e - s
-          println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d " +
-            f"wall=${wall.getOrElse(-1L) / 1000.0}%7.2fs " +
-            f"taskTime=${si.taskMetrics.executorRunTime / 1000.0}%8.2fs " +
-            f"gc=${si.taskMetrics.jvmGCTime / 1000.0}%6.2fs " +
-            f"shufW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
-            f"name=${si.name.take(60)}")
-        }
-      })
-      val sch = CdcPipeline.envelopeSchema
+      addStageListener(spark)
       def timed[A](label: String)(f: => A): A = {
         val t0 = System.nanoTime(); val r = f
         println(f"[bench] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
       }
-      val log = spark.read.schema(sch).parquet(logDir)
+      val log = spark.read.schema(CdcPipeline.envelopeSchema).parquet(logDir)
       timed("scan_count")(log.count())
       timed("scan_agg")(log.agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.length(c("content")))).head())
