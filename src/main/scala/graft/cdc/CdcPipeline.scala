@@ -76,15 +76,36 @@ object CdcPipeline {
     StructField("lang", StringType, nullable = true),
     StructField("content", StringType, nullable = true)))
 
+  /** Per-key histogram summary of a batch (column-pruned: keys only, no
+    * payload). Drives the salt decision and is emitted with the lineage so
+    * skew is VISIBLE per batch (north rule; SURVEY.md ST9: "salt count
+    * derived from per-key batch histograms"). */
+  case class KeyHistogram(distinctKeys: Long, maxKeyCount: Long, totalRows: Long) {
+    /** Salts sized so a storm on one key splits into ~targetPerSalt-row
+      * partial groups; 0 = unsalted (the common case: partial aggregation
+      * already collapses per-partition duplicates map-side). */
+    def saltsFor(stormThreshold: Long, targetPerSalt: Long): Int =
+      if (maxKeyCount <= stormThreshold) 0
+      else math.min(64, math.max(2, (maxKeyCount / targetPerSalt).toInt))
+  }
+
+  def keyHistogram(batch: DataFrame): KeyHistogram = {
+    val r = batch.groupBy(ChangeEvent.keyCols.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)), max(col("c")), sum(col("c"))).head()
+    if (r.isNullAt(1)) KeyHistogram(0, 0, 0)
+    else KeyHistogram(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** One micro-batch: evolve schema if the batch crosses a version bump →
-    * idempotent MERGE (whose single LWW aggregation is simultaneously the
-    * within-batch dedup and the merge against stored state — a separate
-    * pre-dedup pass would shuffle the same payload twice) → lineage +
-    * metrics. `salts > 1` adds an explicit salted pre-aggregation for
-    * pathologically hot keys (update storms on one (repo,path,commit)). */
+    * skew-aware dedup decision (auto-salt from the key histogram, or a
+    * fixed `salts` override) → idempotent MERGE (whose single LWW
+    * aggregation is simultaneously the within-batch dedup and the merge
+    * against stored state) → lineage + skew metrics. */
   def processBatch(batch: DataFrame, epochId: Long, table: LakeTable,
       evolution: Map[Int, Seq[SchemaChange]], versions: TableVersions,
-      lineageDir: Option[String], salts: Int = 0): Unit = {
+      lineageDir: Option[String], salts: Int = 0,
+      autoSaltThreshold: Long = 500000L): Unit = {
     val t0 = System.nanoTime()
     // One summary pass replaces a separate isEmpty job + max(schema_version)
     // scan — and is skipped entirely once every planned evolution step has
@@ -97,8 +118,16 @@ object CdcPipeline {
       evolveTo(summary.getInt(1), table, evolution, versions)
     }
 
-    val deduped = if (salts > 1) Dedup.lwwDf(batch, ChangeEvent.keyCols, salts)
-      else batch
+    // skew probe only when lineage is on or auto-salt can trigger: keys-only
+    // scan, payload column pruned at the source
+    val hist = if (lineageDir.isDefined || salts == 0) keyHistogram(batch)
+      else KeyHistogram(-1, -1, -1)
+    val effectiveSalts =
+      if (salts > 1) salts
+      else hist.saltsFor(stormThreshold = autoSaltThreshold, targetPerSalt = autoSaltThreshold / 4)
+    val deduped = if (effectiveSalts > 1)
+      Dedup.lwwDf(batch, ChangeEvent.keyCols, effectiveSalts)
+    else batch
 
     val lineage = table.merge(toMergeInput(deduped, table), epochId)
     lineage.foreach { lin =>
@@ -109,6 +138,9 @@ object CdcPipeline {
         val rows = lin.toDF()
           .withColumn("events_per_sec",
             lit(lin.map(_.rowsApplied).sum / math.max(elapsedSec, 1e-9)))
+          .withColumn("distinct_keys", lit(hist.distinctKeys))
+          .withColumn("max_key_count", lit(hist.maxKeyCount))
+          .withColumn("salts_used", lit(effectiveSalts))
         rows.coalesce(1).write.mode("append").parquet(dir)
       }
     }

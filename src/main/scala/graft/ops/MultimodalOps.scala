@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.types._
 import Tables._
 
@@ -33,6 +33,39 @@ object MultimodalOps {
     transform(
       sequence(lit(0), greatest(ceil(length(payload) / lit(blockSize * stride)).cast("int") - 1, lit(0))),
       i => md5(substring(payload, (i * blockSize * stride + 1).cast("int"), lit(blockSize))))
+
+  /** Typed decoded-asset record (what a real decoder would emit). */
+  case class DecodedAsset(assetId: Long, width: Int, height: Int,
+      channels: Int, nBytes: Long, digest: String)
+
+  /** Batched decode plumbing via mapPartitions — the Scala analogue of a
+    * Pandas/Arrow batch UDF: ONE "codec" initialization per partition (real
+    * impl: a libjpeg/ffmpeg handle, model session, etc.), then a streamed
+    * iterator over the partition's assets. The decode kernel itself is the
+    * deterministic stub; the partition/batch shape, typed output schema and
+    * per-partition init are exactly what a real decoder needs. */
+  def decodeBatched(assets: DataFrame): Dataset[DecodedAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init happens HERE (once), not per row
+        val codec = new StubCodec
+        it.map { case (id, bytes) => codec.decode(id, bytes) }
+      }
+  }
+
+  /** Deterministic stand-in for a native decoder handle. */
+  final class StubCodec {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def decode(id: Long, bytes: Array[Byte]): DecodedAsset = {
+      md.reset(); val d = md.digest(bytes).map("%02x".format(_)).mkString
+      val h = java.util.Arrays.hashCode(bytes).toLong & 0x7FFFFFFFL
+      DecodedAsset(id, (h % 1920 + 16).toInt, (h / 1920 % 1080 + 16).toInt,
+        (bytes.length % 3) + 1, bytes.length.toLong, d)
+    }
+  }
 
   val all: Seq[OpQuery] = Seq(
 

@@ -29,6 +29,20 @@ class OpsSmokeSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("batched decode plumbing: per-partition codec, typed output, deterministic") {
+    import org.apache.spark.sql.functions._
+    val assets = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("payload"))
+    val out = MultimodalOps.decodeBatched(assets)
+    assert(out.columns.toSeq ==
+      Seq("assetId", "width", "height", "channels", "nBytes", "digest"))
+    val r1 = out.collect().map(_.toString).sorted
+    val r2 = MultimodalOps.decodeBatched(assets.repartition(7)).collect()
+      .map(_.toString).sorted
+    assert(r1.toSeq == r2.toSeq) // partitioning-invariant
+    assert(out.filter(col("nBytes") <= 0).count() == 0)
+  }
+
   test("multimodal pipeline: schema, determinism, frame shape") {
     val q = SparkEntry.queries("q32_multimodal_pipeline")
     val a = q(spark, dir)
