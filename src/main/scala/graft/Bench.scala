@@ -29,12 +29,16 @@ import graft.lake._
   * not the sandbox's disk writeback.
   */
 object Bench {
-  private val REPS = 2
+  private val REPS = 3
 
-  private def session(cores: Int): SparkSession = {
+  private def session(cores: Int, localDir: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
+      // shuffle/spill scratch follows the workdir (RAM-backed when
+      // /dev/shm exists) — measured numbers must not depend on the
+      // sandbox's disk-writeback mood
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cores * 2)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -57,10 +61,11 @@ object Bench {
     val workRoot = if (java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val work = java.nio.file.Files.createTempDirectory(workRoot, "graft-bench").toString
+    val localDir = s"$work/sparklocal"
 
     try {
       // ---------------- phase A: operator suite ----------------
-      val sA = session(cpus)
+      val sA = session(cpus, localDir)
       SparkEntry.queries.foreach { case (_, fn) => // warm pass
         try fn(sA, sfDir).count() catch { case _: Throwable => }
       }
@@ -72,7 +77,7 @@ object Bench {
       // ---------------- phase B: CDC end-to-end replay ----------------
       val cfg = GenConfig(numEvents = scaleEvents, numRepos = 400,
         pathsPerRepo = 50, commitsPerFile = 8)
-      val sB = session(cpus)
+      val sB = session(cpus, localDir)
       val genSec = timeSec {
         CdcPipeline.envelopeDf(ChangeLogGen.generate(sB, cfg, Some(256)))
           .write.mode("overwrite").parquet(s"$work/log")
@@ -103,7 +108,7 @@ object Bench {
           ChangeLogGen.generate(s, cfg, Some(256))), ChangeEvent.keyCols).count()
 
       def atLevel(cores: Int): (Double, Double, String) = {
-        val s = session(cores)
+        val s = session(cores, localDir)
         try {
           var bestE2e = Double.MaxValue; var bestCompute = Double.MaxValue
           var chk = ""
