@@ -83,6 +83,18 @@ object SimilarityOps {
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.40""".stripMargin)),
 
+    // IVF-style ANN: assign every vector to its nearest of K coarse
+    // centroids (one broadcastable pass), then answer top-k probing only the
+    // nProbe closest centroid cells — the classic inverted-file trade
+    // (scan fraction ≈ nProbe/K) vs q22's full scan. Centroids are a
+    // deterministic seeded sample of the corpus (k-means would refine them;
+    // the cell/probe machinery is identical). Recall vs q22 in
+    // SimilaritySpec; no SQL oracle (assignment is centroid-set-specific).
+    OpQuery("q35_ann_ivf_topk",
+      (s, d) => ivfTopK(t(s, d, "embeddings"), queryVecId = 0, k = 10,
+        nCells = 16, nProbe = 4),
+      None),
+
     // LSH-bucketed near-dup (scale path): L independent hash tables of
     // nPlanes sign bits each (OR-amplification: a pair is a candidate if it
     // collides in ANY table), cosine-verified within buckets only. Recall
@@ -92,6 +104,44 @@ object SimilarityOps {
       (s, d) => lshNearDup(t(s, d, "embeddings"), nPlanes = 6, tables = 8,
         dim = 64, floor = 0.40),
       None))
+
+  /** IVF top-k: centroid cells from a deterministic corpus sample, probe the
+    * `nProbe` cells nearest the query. At 100 TB the assignment pass runs
+    * once at ingest (cell id stored as a partition column → probing = true
+    * partition pruning); here it's computed inline. */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int, nCells: Int,
+      nProbe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = embeddings.select(col("vec_id"), col("label"), emb(col("embedding")).as("v"))
+    // deterministic coarse centroids: evenly-strided corpus sample
+    val centroids = e.withColumn("__r", pmod(col("vec_id"), lit(97)))
+      .filter(col("__r") < lit(nCells)).limit(nCells)
+      .select(col("__r").cast("int").as("cell"), col("v").as("cv"))
+    val cells = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(cells.nonEmpty, "no centroids sampled")
+    // argmax via array_max over (sim, cell) structs — linear expression
+    // size (a when-chain reduce would duplicate subtrees exponentially)
+    def cellOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_max(array(cells.map { case (id, cv) =>
+        struct(cosine(v, typedlit(cv.toSeq)).as("s"), lit(id).as("c"))
+      }: _*)).getField("c")
+    val assigned = e.withColumn("cell", cellOf(col("v")))
+    val q = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv")).head()
+    val qv = q.getSeq[Double](0).toArray.toSeq
+    val probeCells = cells.map { case (id, cv) =>
+      val dot = cv.zip(qv).map { case (a, b) => a * b }.sum
+      val n = math.sqrt(cv.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)
+      (id, dot / n)
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryVecId)
+      .withColumn("sim", round(cosine(col("v"), typedlit(qv)), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("vec_id"), col("label"), col("sim"), col("rk"))
+  }
 
   def lshNearDup(embeddings: DataFrame, nPlanes: Int, tables: Int, dim: Int,
       floor: Double): DataFrame = {

@@ -26,6 +26,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("IVF top-k: subset of corpus, deterministic, decent recall vs brute force") {
+    val exact = SparkEntry_q("q22_ann_bruteforce_topk")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf1 = SimilarityOps.ivfTopK(emb, queryVecId = 0, k = 10, nCells = 16, nProbe = 4)
+      .collect()
+    val ivf2 = SimilarityOps.ivfTopK(emb, queryVecId = 0, k = 10, nCells = 16, nProbe = 4)
+      .collect()
+    assert(ivf1.map(_.toSeq).toSeq == ivf2.map(_.toSeq).toSeq) // deterministic
+    val got = ivf1.map(_.getLong(0)).toSet
+    assert(!got.contains(0L))
+    val recall = exact.count(got.contains).toDouble / exact.size
+    // probing 4/16 cells scans ~25% of the corpus; near-top neighbors
+    // concentrate in the query's own cells, so recall far exceeds 25%
+    assert(recall >= 0.3, s"IVF recall $recall (got ${got.toSeq.sorted})")
+    // probing ALL cells must reproduce brute force exactly
+    val full = SimilarityOps.ivfTopK(emb, 0, 10, 16, 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+  }
+
   test("cosine of a vector with itself is 1") {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bad = e.withColumn("c", SimilarityOps.cosine(col("v"), col("v")))
