@@ -172,16 +172,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     val staging = Paths.get(root, stagingRel)
     out.write.partitionBy(BucketCol).parquet(staging.toString)
 
-    val fileStats = spark.read.parquet(staging.toString)
-      .groupBy(col(BucketCol)).agg(
-        count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val newFiles = listParquet(staging).map { p =>
-      val rel = Paths.get(root).relativize(p).toString
-      val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-      val (cnt, mn, mx) = fileStats.getOrElse(bucket, (0L, 0L, 0L))
-      DataFileMeta(rel, bucket, m0.currentSchemaId, cnt, mn, mx)
-    }
+    val newFiles = statsFromFooters(staging, m0.currentSchemaId)
 
     val applied = appliedStats.toSeq.map { case (bucket, (cnt, mn, mx)) =>
       graft.cdc.PartitionLineage(epochId, bucket, mn, mx, cnt, snapshotId)
@@ -212,15 +203,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       val stagingRel = f"data/snap-$snapshotId%012d"
       val staging = Paths.get(root, stagingRel)
       withMeta.write.partitionBy(BucketCol).parquet(staging.toString)
-      val stats = withMeta.groupBy(col(BucketCol)).agg(
-        count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-      val newFiles = listParquet(staging).map { p =>
-        val rel = Paths.get(root).relativize(p).toString
-        val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-        val (cnt, mn, mx) = stats.getOrElse(bucket, (0L, 0L, 0L))
-        DataFileMeta(rel, bucket, m0.currentSchemaId, cnt, mn, mx)
-      }
+      val newFiles = statsFromFooters(staging, m0.currentSchemaId)
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
         val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
@@ -254,15 +237,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       val snapshotId = m0.currentSnapshotId + 1
       val staging = Paths.get(root, f"data/snap-$snapshotId%012d")
       surviving.write.partitionBy(BucketCol).parquet(staging.toString)
-      val stats = surviving.groupBy(col(BucketCol)).agg(
-        count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-      val newFiles = listParquet(staging).map { p =>
-        val rel = Paths.get(root).relativize(p).toString
-        val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-        val (cnt, mn, mx) = stats.getOrElse(bucket, (0L, 0L, 0L))
-        DataFileMeta(rel, bucket, m0.currentSchemaId, cnt, mn, mx)
-      }
+      val newFiles = statsFromFooters(staging, m0.currentSchemaId)
       val removed = rewrittenFiles.map(_.rowCount).sum - newFiles.map(_.rowCount).sum
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
@@ -294,6 +269,45 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // must never orphan-reference deleted files
     dead.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
     dead.size
+  }
+
+  /** Per-file stats from parquet footers — row counts and `_lsn` min/max
+    * come free from file metadata (block statistics), replacing a cluster
+    * job per commit with O(files) driver-side footer reads. (At real scale
+    * these stats come back from the write tasks themselves; footer reads
+    * are the equivalent for the file-system commit path.) */
+  private def statsFromFooters(staging: Path, schemaId: Int): Seq[DataFileMeta] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    listParquet(staging).map { p =>
+      val rel = Paths.get(root).relativize(p).toString
+      val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var cnt = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        blocks.forEach { b =>
+          cnt += b.getRowCount
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == LsnCol && c.getStatistics != null &&
+                !c.getStatistics.isEmpty) {
+              c.getStatistics.genericGetMin match {
+                case l: java.lang.Long =>
+                  if (l < mn) mn = l
+                  val hi = c.getStatistics.genericGetMax.asInstanceOf[java.lang.Long]
+                  if (hi > mx) mx = hi
+                case _ =>
+              }
+            }
+          }
+        }
+        if (cnt == 0) { mn = 0L; mx = 0L }
+        DataFileMeta(rel, bucket, schemaId, cnt, if (mn == Long.MaxValue) 0L else mn,
+          if (mx == Long.MinValue) 0L else mx)
+      } finally reader.close()
+    }
   }
 
   // ------------------------------------------------------------- internals
