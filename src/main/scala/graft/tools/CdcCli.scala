@@ -95,6 +95,12 @@ object CdcCli {
       val removed = table.vacuum(rest.headOption.map(_.toLong).getOrElse(Long.MaxValue))
       println(s"[vacuum] removed=$removed tombstones")
 
+    case "expire" :: tableDir :: rest =>
+      val table = LakeTable.forPath(spark, tableDir)
+      val removed = table.expireSnapshots(rest.headOption.map(_.toInt).getOrElse(1))
+      println(s"[expire] removed=$removed unreferenced data files; " +
+        s"snapshots=${table.meta.snapshots.size}")
+
     case "explain" :: logDir :: Nil =>
       val log = spark.read.schema(CdcPipeline.envelopeSchema).parquet(logDir)
       println("== dedup (lwwDf) plan ==")
@@ -122,7 +128,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn]")
+        "usage: gen <logDir> <n> [repos] [files] | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | expire <tableDir> [keepLast] | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }
