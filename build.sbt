@@ -24,6 +24,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // ParallelGC beats G1 for this batch-throughput workload (full_merge
+  // 8M events: 21.6s -> 18.6s at 8 threads, 35s -> 24s at 32)
+  sys.env.getOrElse("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
