@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -97,6 +97,43 @@ object CdcPipeline {
     else KeyHistogram(r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** Everything the driver side needs to know about a micro-batch, from ONE
+    * column-pruned scan (keys + lsn + schema_version — `content`, the bulk of
+    * the bytes, is never read): per-bucket applied counts and lsn bounds
+    * (touched-bucket discovery + lineage), the key histogram (salt decision +
+    * skew metrics), and the max envelope schema version (evolution trigger).
+    * Replaces the three separate probe passes the round-1 hot path paid. */
+  case class BatchStats(
+      perBucket: Map[Int, (Long, Long, Long)], // bucket -> (rows, lsnMin, lsnMax)
+      hist: KeyHistogram,
+      maxSchemaVersion: Int) {
+    def isEmpty: Boolean = perBucket.isEmpty
+  }
+
+  def batchStats(batch: DataFrame, bucket: Column): BatchStats = {
+    val sv = if (batch.columns.contains("schema_version")) col("schema_version")
+      else lit(1)
+    // two-level aggregation: per (bucket, key) first — its partial (map-side)
+    // phase collapses hot keys before the shuffle — then per bucket
+    val perKey = batch
+      .groupBy((bucket.as("__b") +: ChangeEvent.keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("c"), min(col("lsn")).as("mn"),
+        max(col("lsn")).as("mx"), max(sv).as("sv"))
+    val rows = perKey.groupBy(col("__b"))
+      .agg(sum(col("c")).as("cnt"), count(lit(1)).as("keys"),
+        max(col("c")).as("maxk"), min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"), max(col("sv")).as("sv"))
+      .collect()
+    if (rows.isEmpty) return BatchStats(Map.empty, KeyHistogram(0, 0, 0), 1)
+    val perBucket = rows.map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    val hist = KeyHistogram(
+      distinctKeys = rows.map(_.getLong(2)).sum, // each key lives in exactly one bucket
+      maxKeyCount = rows.map(_.getLong(3)).max,
+      totalRows = rows.map(_.getLong(1)).sum)
+    BatchStats(perBucket, hist, rows.map(_.getInt(6)).max)
+  }
+
   /** One micro-batch: evolve schema if the batch crosses a version bump →
     * skew-aware dedup decision (auto-salt from the key histogram, or a
     * fixed `salts` override) → idempotent MERGE (whose single LWW
@@ -107,21 +144,16 @@ object CdcPipeline {
       lineageDir: Option[String], salts: Int = 0,
       autoSaltThreshold: Long = 500000L): Unit = {
     val t0 = System.nanoTime()
-    // One summary pass replaces a separate isEmpty job + max(schema_version)
-    // scan — and is skipped entirely once every planned evolution step has
-    // been applied (the steady state after bootstrap: zero extra passes).
+    // ONE column-pruned probe pass per batch (was three in round 1: emptiness
+    // + max schema_version, key histogram, per-bucket applied-stats inside
+    // merge). Everything driver-side decisions need comes out of it.
+    val stats = batchStats(batch, table.bucketExpr(table.meta))
+    if (stats.isEmpty) return
     val planExhausted = evolution.isEmpty ||
       versions.get(table.root) >= evolution.keys.max
-    if (!planExhausted) {
-      val summary = batch.agg(count(lit(1)), max(col("schema_version"))).head()
-      if (summary.getLong(0) == 0L) return
-      evolveTo(summary.getInt(1), table, evolution, versions)
-    }
+    if (!planExhausted) evolveTo(stats.maxSchemaVersion, table, evolution, versions)
 
-    // skew probe only when lineage is on or auto-salt can trigger: keys-only
-    // scan, payload column pruned at the source
-    val hist = if (lineageDir.isDefined || salts == 0) keyHistogram(batch)
-      else KeyHistogram(-1, -1, -1)
+    val hist = stats.hist
     val effectiveSalts =
       if (salts > 1) salts
       else hist.saltsFor(stormThreshold = autoSaltThreshold, targetPerSalt = autoSaltThreshold / 4)
@@ -129,7 +161,10 @@ object CdcPipeline {
       Dedup.lwwDf(batch, ChangeEvent.keyCols, effectiveSalts)
     else batch
 
-    val lineage = table.merge(toMergeInput(deduped, table), epochId)
+    // lineage row counts are change events routed to the bucket (pre-dedup):
+    // the number the source delivered, which is what throughput reports mean
+    val lineage = table.merge(toMergeInput(deduped, table), epochId,
+      precomputedStats = Some(stats.perBucket))
     lineage.foreach { lin =>
       lineageDir.foreach { dir =>
         val spark = batch.sparkSession
@@ -185,7 +220,9 @@ class TableVersions {
     // schemaId starts at 1 and each applied envelope version bumps it by
     // at most one metadata commit, so the table's currentSchemaId equals
     // the last applied envelope version with a non-empty change list.
-    LakeTable.forPath(null, root).meta.currentSchemaId
+    // metaAt is session-free file I/O — no SparkSession needed (or allowed:
+    // this can run before the session is fully wired).
+    LakeTable.metaAt(root).currentSchemaId
   })
   def set(root: String, v: Int): Unit = m.put(root, v)
 }

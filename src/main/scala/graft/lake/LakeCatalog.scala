@@ -34,8 +34,17 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
       .map(_.getFileName.toString).toSeq.sorted
   }
 
+  /** Table names are restricted to [A-Za-z0-9_] — a name containing '/' or
+    * '..' would escape the warehouse directory (and dropTable would then
+    * delete an arbitrary path). */
+  def tableName(table: String): String = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"illegal table name '$table' (allowed: [A-Za-z0-9_]+)")
+    table
+  }
+
   def tablePath(ns: String, table: String): String =
-    Paths.get(warehouse, namespaceName(ns), table).toString
+    Paths.get(warehouse, namespaceName(ns), tableName(table)).toString
 
   def createTable(ns: String, table: String, schema: StructType,
       keyCols: Seq[String], numBuckets: Int = 32): LakeTable = {

@@ -43,6 +43,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * files stay readable through column-ID mapping). */
   def evolveSchema(changes: Seq[SchemaChange]): Unit = retryCommit { m =>
     var cols = m.currentSchema.columns
+    var keyCols = m.keyCols
     var nextId = m.schemas.flatMap(_.columns.map(_.id)).max + 1
     changes.foreach {
       case AddColumn(name, dt, nullable) =>
@@ -53,6 +54,9 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         require(cols.exists(_.name == from), s"no column $from")
         require(!cols.exists(_.name == to), s"column $to exists")
         cols = cols.map(c => if (c.name == from) c.copy(name = to) else c)
+        // a key column rename must land in keyCols in the SAME commit, or
+        // every later read/merge (bucketExpr resolves keys by name) fails
+        keyCols = keyCols.map(k => if (k == from) to else k)
       case WidenType(name, to) =>
         val cur = cols.find(_.name == name).getOrElse(sys.error(s"no column $name"))
         require(canWiden(cur.dataType, to), s"illegal widen ${cur.dataType} -> $to")
@@ -62,7 +66,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         cols = cols.filterNot(_.name == name)
     }
     val newSchema = SchemaVersion(m.currentSchemaId + 1, cols)
-    m.copy(schemas = m.schemas :+ newSchema, currentSchemaId = newSchema.schemaId)
+    m.copy(schemas = m.schemas :+ newSchema, currentSchemaId = newSchema.schemaId,
+      keyCols = keyCols)
   }
 
   // ---------------------------------------------------------------- reads
@@ -107,7 +112,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * Within the batch AND against stored state, last writer wins by
     * (lsn, op priority); stored rows lose ties to incoming rows with the
     * same lsn (idempotent redelivery carries identical payloads). */
-  def merge(changes: DataFrame, epochId: Long = -1L): Option[Seq[graft.cdc.PartitionLineage]] = {
+  def merge(changes: DataFrame, epochId: Long = -1L,
+      precomputedStats: Option[Map[Int, (Long, Long, Long)]] = None): Option[Seq[graft.cdc.PartitionLineage]] = {
     graft.functions.LwwMaxBy.tuneSession(spark)
     val m0 = meta
     if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return None
@@ -127,13 +133,16 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .select((typedDataCols ++ Seq(col("lsn").cast(LongType).as(LsnCol),
         col("op"), b.as(BucketCol))): _*)
 
-    // ONE light stats pass over the batch (projects only bucket + lsn — the
-    // parquet scan prunes content): per-bucket applied-row counts and lsn
-    // bounds. Doubles as touched-bucket discovery for manifest-level
-    // partition pruning, and as the lineage record.
-    val appliedStats = incoming.groupBy(col(BucketCol)).agg(
-      count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // Per-bucket applied-row counts and lsn bounds: touched-bucket discovery
+    // for manifest-level partition pruning, and the lineage record. The CDC
+    // pipeline precomputes this inside its single batch-probe pass
+    // (CdcPipeline.batchStats); direct merge() callers pay one light
+    // column-pruned scan (bucket + lsn only) here.
+    val appliedStats = precomputedStats.getOrElse {
+      incoming.groupBy(col(BucketCol)).agg(
+        count(lit(1)).as("cnt"), min(col(LsnCol)).as("mn"), max(col(LsnCol)).as("mx"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    }
     if (appliedStats.isEmpty) return None // empty batch: nothing to commit
     val touched = appliedStats.keySet
     val oldFiles = m0.currentSnapshot.map(_.files).getOrElse(Seq.empty)
@@ -170,7 +179,10 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // columnar scan, instead of persisting the whole merged output
     val stagingRel = f"data/snap-$snapshotId%012d"
     val staging = Paths.get(root, stagingRel)
-    out.write.partitionBy(BucketCol).parquet(staging.toString)
+    // overwrite: a crashed attempt (or a lost optimistic-commit race) leaves a
+    // partial staging dir at this deterministic path; the epoch replay must be
+    // able to recompute it, or exactly-once recovery (ST5) can never self-heal
+    out.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
 
     val newFiles = statsFromFooters(staging, m0.currentSchemaId)
 
@@ -202,7 +214,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     try {
       val stagingRel = f"data/snap-$snapshotId%012d"
       val staging = Paths.get(root, stagingRel)
-      withMeta.write.partitionBy(BucketCol).parquet(staging.toString)
+      withMeta.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
       val newFiles = statsFromFooters(staging, m0.currentSchemaId)
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
@@ -236,7 +248,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     try {
       val snapshotId = m0.currentSnapshotId + 1
       val staging = Paths.get(root, f"data/snap-$snapshotId%012d")
-      surviving.write.partitionBy(BucketCol).parquet(staging.toString)
+      surviving.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
       val newFiles = statsFromFooters(staging, m0.currentSchemaId)
       val removed = rewrittenFiles.map(_.rowCount).sum - newFiles.map(_.rowCount).sum
       retryCommit { m =>
@@ -261,9 +273,14 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       val ordered = m.snapshots.sortBy(_.snapshotId)
       if (ordered.size <= keepLast) return 0L
       val keep = ordered.takeRight(keepLast)
+      val expired = ordered.dropRight(keepLast)
       val live = keep.flatMap(_.files.map(_.path)).toSet
-      dead = ordered.dropRight(keepLast).flatMap(_.files.map(_.path)).toSet -- live
-      m.copy(snapshots = keep)
+      dead = expired.flatMap(_.files.map(_.path)).toSet -- live
+      // fold expired snapshots' epoch ids into the durable ledger: retention
+      // must not reopen the exactly-once window (a replayed old epoch would
+      // re-append rows or resurrect vacuumed deletes)
+      val retired = (m.retiredEpochs ++ expired.map(_.epochId).filter(_ >= 0)).distinct.sorted
+      m.copy(snapshots = keep, retiredEpochs = retired)
     }
     // physical deletion strictly AFTER the metadata commit — a failed commit
     // must never orphan-reference deleted files
@@ -279,8 +296,12 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   private def statsFromFooters(staging: Path, schemaId: Int): Seq[DataFileMeta] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.collection.parallel.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    listParquet(staging).map { p =>
+    // footer reads are independent I/O — do them in parallel; a serial loop
+    // over O(buckets) files is a fixed driver-side cost per commit that eats
+    // into scaling efficiency (the commit doesn't get faster with cores)
+    listParquet(staging).par.map { p =>
       val rel = Paths.get(root).relativize(p).toString
       val bucket = p.getParent.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
       val reader = ParquetFileReader.open(
@@ -307,7 +328,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         DataFileMeta(rel, bucket, schemaId, cnt, if (mn == Long.MaxValue) 0L else mn,
           if (mx == Long.MinValue) 0L else mx)
       } finally reader.close()
-    }
+    }.seq.toSeq
   }
 
   // ------------------------------------------------------------- internals
@@ -383,6 +404,11 @@ object LakeTable {
     require(exists(root), s"no lake table at $root")
     new LakeTable(spark, root)
   }
+
+  /** Session-free metadata read — for callers that only need the table's
+    * metadata (schema version trackers, catalogs listing tables) and must
+    * not depend on a live SparkSession. */
+  def metaAt(root: String): TableMeta = load(root)
 
   def exists(root: String): Boolean = {
     val d = Paths.get(root, "metadata")

@@ -60,12 +60,17 @@ case class TableMeta(
     currentSchemaId: Int,
     snapshots: Seq[Snapshot],
     currentSnapshotId: Long,
-    version: Long) {
+    version: Long,
+    // Epoch ids whose snapshots were expired: snapshot retention must never
+    // erase commit idempotence (Iceberg separates the two the same way) — a
+    // replayed epoch whose snapshot aged out would otherwise re-apply.
+    retiredEpochs: Seq[Long] = Seq.empty) {
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)
   def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
-  def committedEpochs: Set[Long] = snapshots.map(_.epochId).filter(_ >= 0).toSet
+  def committedEpochs: Set[Long] =
+    (snapshots.map(_.epochId).filter(_ >= 0) ++ retiredEpochs).toSet
 }
 
 object TableMeta {

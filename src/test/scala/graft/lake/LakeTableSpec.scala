@@ -210,6 +210,70 @@ class LakeTableSpec extends SparkTestBase {
     intercept[Exception](t.read(Some(1L)).count())
   }
 
+  test("a crashed attempt's partial staging dir does not wedge epoch replay") {
+    val t = freshTable()
+    import spark.implicits._
+    val in = Seq((1L, "I", "r", "p", "c", "scala", "v1"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    // simulate a crash after staging was partially written but before commit:
+    // the NEXT snapshot id's deterministic staging path already exists
+    val staging = java.nio.file.Paths.get(t.root,
+      f"data/snap-${t.meta.currentSnapshotId + 1}%012d")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.writeString(staging.resolve("part-garbage.parquet"), "junk")
+    // recovery (foreachBatch replays the epoch) must overwrite and succeed
+    assert(t.merge(in, epochId = 0).isDefined)
+    assert(t.currentState().count() == 1)
+    // same for append and vacuum staging paths
+    val staging2 = java.nio.file.Paths.get(t.root,
+      f"data/snap-${t.meta.currentSnapshotId + 1}%012d")
+    java.nio.file.Files.createDirectories(staging2)
+    t.append(Seq(("r2", "p2", "c2", "scala", "v2", 2L))
+      .toDF("repo", "path", "commit", "lang", "content", "lsn"))
+    assert(t.currentState().count() == 2)
+  }
+
+  test("snapshot expiry preserves the epoch ledger (exactly-once survives retention)") {
+    val t = freshTable()
+    import spark.implicits._
+    def batch(lsn: Long, content: String) = Seq(
+      (lsn, "U", "r", "p", "c", "scala", content))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    t.merge(batch(1, "one"), 0)
+    t.merge(batch(2, "two"), 1)
+    t.merge(batch(3, "three"), 2)
+    t.expireSnapshots(keepLast = 1)
+    // epochs 0 and 1 only exist in expired snapshots — they must STILL be
+    // treated as committed, or a checkpoint replay re-applies them
+    assert(t.meta.committedEpochs == Set(0L, 1L, 2L))
+    assert(t.merge(batch(1, "one"), epochId = 0).isEmpty)
+    assert(t.currentState().head().getAs[String]("content") == "three")
+  }
+
+  test("renaming a key column propagates into keyCols in the same commit") {
+    val t = freshTable()
+    import spark.implicits._
+    val v1 = Seq((1L, "I", "r", "p", "c", "scala", "v1"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    t.merge(v1, 0)
+    t.evolveSchema(Seq(RenameColumn("repo", "repository")))
+    assert(t.meta.keyCols == Seq("repository", "path", "commit"))
+    // reads and merges keep working: bucketExpr resolves the new name
+    assert(t.currentState().count() == 1)
+    val v2 = Seq((2L, "U", "r", "p", "c", "scala", "v2"))
+      .toDF("lsn", "op", "repository", "path", "commit", "lang", "content")
+    t.merge(v2, 1)
+    val cur = t.currentState().collect()
+    assert(cur.length == 1 && cur(0).getAs[String]("content") == "v2")
+  }
+
+  test("catalog rejects table names that would escape the warehouse") {
+    val cat = new LakeCatalog(spark, tmpDir("wh"))
+    intercept[IllegalArgumentException](cat.tablePath("ns", "../evil"))
+    intercept[IllegalArgumentException](cat.tablePath("ns", "a/b"))
+    assert(cat.tablePath("ns", "code_files").endsWith("ns/code_files"))
+  }
+
   test("drop column forbidden on key; add of existing name rejected") {
     val t = freshTable()
     intercept[Exception](t.evolveSchema(Seq(DropColumn("repo"))))
