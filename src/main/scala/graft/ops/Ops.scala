@@ -25,4 +25,26 @@ object Tables {
 
   /** Exact decimal sum of a 2-dp double column, surfaced as DOUBLE. */
   def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Distributed top-k: `orderBy().limit(k)` plans TakeOrderedAndProject —
+    * per-partition bounded heaps merged on the driver — instead of the
+    * global-window formulation that funnels EVERY surviving row through one
+    * task (the round-1 scale-killer in q16/q22/q35). `order` must be a total
+    * order (include a unique tiebreak column) for replay determinism. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** topK + a 1-based rank column. The rank is derived from the ≤k collected
+    * rows (already in total order after TakeOrderedAndProject), not from a
+    * window: collecting k rows is aggregate-result-sized, a window over the
+    * full input is a single-partition shuffle. */
+  def rankedTopK(df: DataFrame, k: Int, order: Column*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val limited = topK(df, k, order: _*)
+    val ranked = limited.collect().zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+    }
+    df.sparkSession.createDataFrame(ranked.toSeq.asJava,
+      limited.schema.add("rk", org.apache.spark.sql.types.IntegerType, nullable = false))
+  }
 }

@@ -161,13 +161,13 @@ object RelationalOps {
 
     // W2 + deterministic top-k — rank with a total tiebreak order so LIMIT
     // semantics are replay-stable (ties broken by key, never by scan order).
+    // Plans TakeOrderedAndProject (distributed heaps), NOT a global window.
     OpQuery("q16_topk_customers",
       (s, d) => {
         val sums = t(s, d, "orders").groupBy(col("o_custkey"))
           .agg(dsum(col("o_totalprice")).as("total_spend"))
-        val w = Window.orderBy(col("total_spend").desc, col("o_custkey").asc)
-        sums.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-          .select(col("o_custkey"), col("total_spend"), col("rk"))
+        rankedTopK(sums.select(col("o_custkey"), col("total_spend")),
+          10, col("total_spend").desc, col("o_custkey").asc)
       },
       Some("""SELECT o_custkey, total_spend, rk FROM (
              |  SELECT o_custkey,

@@ -52,10 +52,10 @@ object SimilarityOps {
         val scored = e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("sim", round(cosine(emb(col("embedding")), col("qv")), 6))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("sim").desc, col("vec_id").asc)
-        scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-          .select(col("vec_id"), col("label"), col("sim"), col("rk"))
+        // TakeOrderedAndProject over the scored scan — a global window here
+        // would rank the whole corpus through one task
+        rankedTopK(scored.select(col("vec_id"), col("label"), col("sim")),
+          10, col("sim").desc, col("vec_id").asc)
       },
       Some("""SELECT vec_id, label, sim, rk FROM (
              |  SELECT e.vec_id, e.label,
@@ -87,9 +87,9 @@ object SimilarityOps {
     // centroids (one broadcastable pass), then answer top-k probing only the
     // nProbe closest centroid cells — the classic inverted-file trade
     // (scan fraction ≈ nProbe/K) vs q22's full scan. Centroids are a
-    // deterministic seeded sample of the corpus (k-means would refine them;
-    // the cell/probe machinery is identical). Recall vs q22 in
-    // SimilaritySpec; no SQL oracle (assignment is centroid-set-specific).
+    // deterministic evenly-strided corpus sample (k-means would refine them;
+    // the cell/probe machinery is identical). Recall + partitioning
+    // invariance vs q22 in SimilaritySpec.
     OpQuery("q35_ann_ivf_topk",
       (s, d) => ivfTopK(t(s, d, "embeddings"), queryVecId = 0, k = 10,
         nCells = 16, nProbe = 4),
@@ -111,14 +111,17 @@ object SimilarityOps {
     * partition pruning); here it's computed inline. */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int, nCells: Int,
       nProbe: Int): DataFrame = {
-    val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"), col("label"), emb(col("embedding")).as("v"))
-    // deterministic coarse centroids: evenly-strided corpus sample
-    val centroids = e.withColumn("__r", pmod(col("vec_id"), lit(97)))
-      .filter(col("__r") < lit(nCells)).limit(nCells)
-      .select(col("__r").cast("int").as("cell"), col("v").as("cv"))
-    val cells = centroids.collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // Deterministic coarse centroids: an evenly-strided corpus sample in
+    // vec_id order. Unique cell ids (0..nCells-1 by sample position), stable
+    // across runs and partitioning-invariant — `limit` without an order, or
+    // residue-class ids, would be neither (round-1 defect).
+    val n = e.count()
+    val stride = math.max(1L, n / nCells)
+    val cells = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(nCells)
+      .select(col("v")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
     require(cells.nonEmpty, "no centroids sampled")
     // argmax via array_max over (sim, cell) structs — linear expression
     // size (a when-chain reduce would duplicate subtrees exponentially)
@@ -135,12 +138,11 @@ object SimilarityOps {
       val n = math.sqrt(cv.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)
       (id, dot / n)
     }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    assigned.filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryVecId)
+    val probed = assigned
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryVecId)
       .withColumn("sim", round(cosine(col("v"), typedlit(qv)), 6))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("vec_id"), col("label"), col("sim"), col("rk"))
+    Tables.rankedTopK(probed.select(col("vec_id"), col("label"), col("sim")),
+      k, col("sim").desc, col("vec_id").asc)
   }
 
   def lshNearDup(embeddings: DataFrame, nPlanes: Int, tables: Int, dim: Int,

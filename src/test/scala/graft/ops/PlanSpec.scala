@@ -66,6 +66,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.toLowerCase.contains("codegenfallback"))
   }
 
+  test("top-k plans as TakeOrderedAndProject — no single-partition window") {
+    import org.apache.spark.sql.functions._
+    val sums = Tables.t(spark, dir, "orders").groupBy(col("o_custkey"))
+      .agg(Tables.dsum(col("o_totalprice")).as("total_spend"))
+    val p = Tables.topK(sums, 10, col("total_spend").desc, col("o_custkey").asc)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost the heap path:\n$p")
+    assert(!p.contains("Window"), s"top-k regressed to a global window:\n$p")
+  }
+
   test("aggregations use hash aggregation with partial (map-side) phase") {
     val p = plan("q02_agg_pricing_summary")
     assert(p.contains("HashAggregate"), s"group-by lost hash agg:\n$p")

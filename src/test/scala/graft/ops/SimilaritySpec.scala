@@ -46,6 +46,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(full == exact)
   }
 
+  test("IVF centroids are partitioning-invariant (same result under repartition)") {
+    val base = SimilarityOps.ivfTopK(emb, queryVecId = 0, k = 10, nCells = 16, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    val reparted = SimilarityOps.ivfTopK(emb.repartition(7), queryVecId = 0,
+      k = 10, nCells = 16, nProbe = 4).collect().map(_.toSeq).toSeq
+    assert(base == reparted, "centroid selection depends on physical partitioning")
+  }
+
+  test("rankedTopK ≡ global-window rank formulation (the spec it replaced)") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.t(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(Tables.dsum(col("o_totalprice")).as("ts"))
+    val w = Window.orderBy(col("ts").desc, col("o_custkey").asc)
+    val windowed = orders.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 25).collect().map(_.toSeq).toSeq
+    val takeOrdered = Tables.rankedTopK(orders, 25, col("ts").desc, col("o_custkey").asc)
+      .collect().map(_.toSeq).toSeq
+    assert(takeOrdered == windowed)
+  }
+
   test("cosine of a vector with itself is 1") {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bad = e.withColumn("c", SimilarityOps.cosine(col("v"), col("v")))
