@@ -5,39 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.cdc._
 import graft.lake._
 
-/** Per-round benchmark. Emits ONE JSON line:
-  * {"metric","value","unit","queries":{...},"sf",
-  *  "cdc_replay":{...},"scaling":{...}}.
-  *
-  * Phases:
-  *  A. operator suite on SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS]
-  *     (one warm pass for JVM/codegen, then the timed pass);
-  *  B. CDC end-to-end replay throughput at local[SPARK_GRAFT_CPUS]:
-  *     synthetic log → parquet → streaming replay into a fresh lake table
-  *     (events/sec, I/O inclusive);
-  *  C. scaling protocol (BASELINE.md): the identical batch replay job at
-  *     local[N] and local[4N] (N=2 — on this single box, all-core turbo
-  *     clamps per-core clocks ~28% by 32 threads, so the low pair is the
-  *     honest one; a real cluster adds executors at constant per-executor
-  *     resources) on the same input, spark.sql.shuffle.partitions scaled
-  *     proportionally, best-of-REPS per level (GC variance), plus a
-  *     no-I/O compute-path probe (generate→dedup→count). Reports events/sec
-  *     at both levels, efficiency = (thr_4N/thr_N)/4, and a content
-  *     checksum that must be identical across levels (determinism evidence).
-  *
-  * All scratch I/O goes to /dev/shm when present — benchmarking the engine,
-  * not the sandbox's disk writeback.
-  */
-object Bench {
-  private val REPS = 3
-
-  private def session(cores: Int, localDir: String): SparkSession = {
+/** Shared benchmark jobs — used by [[Bench]] (the per-round main) and
+  * [[BenchScale]] (the per-parallelism-level child JVM). */
+object BenchJobs {
+  def session(cores: Int, localDir: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      // shuffle/spill scratch follows the workdir (RAM-backed when
-      // /dev/shm exists) — measured numbers must not depend on the
-      // sandbox's disk-writeback mood
+      // shuffle/spill scratch follows the workdir (RAM-backed when /dev/shm
+      // exists) — measured numbers must not depend on disk writeback mood
       .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cores * 2)
       .config("spark.sql.adaptive.enabled", "true")
@@ -48,8 +24,139 @@ object Bench {
     s
   }
 
-  private def timeSec[A](f: => A): Double = {
+  def timeSec[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def genConfig(events: Long): GenConfig =
+    GenConfig(numEvents = events, numRepos = 400, pathsPerRepo = 50, commitsPerFile = 8)
+
+  /** The scaling-protocol unit of work: batch-replay the log into a fresh
+    * table and checksum the final state (the checksum doubles as the
+    * replay-determinism evidence across parallelism levels). */
+  def replayJob(s: SparkSession, logDir: String, tableDir: String): String = {
+    val t = LakeTable.createOrReplace(s, tableDir,
+      CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 128)
+    CdcPipeline.replayBatch(s,
+      s.read.schema(CdcPipeline.envelopeSchema).parquet(logDir), t,
+      evolution = CdcPipeline.defaultEvolution)
+    t.currentState()
+      .agg(sum(xxhash64(col("repo"), col("path"), col("commit"),
+        coalesce(col("content"), lit(""))).cast("decimal(38,0)")))
+      .head().getDecimal(0).toString
+  }
+
+  /** No-I/O probe: generate → LWW dedup → count. Isolates the compute path
+    * from commit/file-system costs. */
+  def computeJob(s: SparkSession, events: Long): Long =
+    Dedup.lwwDf(CdcPipeline.envelopeDf(
+      ChangeLogGen.generate(s, genConfig(events), Some(256))), ChangeEvent.keyCols).count()
+}
+
+/** One parallelism level of the scaling protocol, in its OWN JVM so each
+  * level gets constant per-core resources (heap scales with cores) — the
+  * single-box analogue of adding executors at fixed executor memory. Running
+  * both levels inside one fixed-heap JVM hands the small level more memory
+  * per thread than the big one, which is not how a cluster scales.
+  *
+  * args: cores reps logDir workDir eventsPerRun
+  * prints one line: `BENCHSCALE {"cores":..,"e2e_secs":[..],"compute_secs":[..],"checksum":".."}`
+  */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val Array(coresS, repsS, logDir, work, eventsS) = args.take(5)
+    val cores = coresS.toInt
+    val s = BenchJobs.session(cores, s"$work/local-$cores")
+    try {
+      var chk = ""
+      val e2e = (1 to repsS.toInt).map { i =>
+        BenchJobs.timeSec { chk = BenchJobs.replayJob(s, logDir, s"$work/scale-$cores-$i") }
+      }
+      val comp = (1 to repsS.toInt).map { _ =>
+        BenchJobs.timeSec(BenchJobs.computeJob(s, eventsS.toLong))
+      }
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      println(s"""BENCHSCALE {"cores":$cores,"e2e_secs":${arr(e2e)},"compute_secs":${arr(comp)},"checksum":"$chk"}""")
+    } finally s.stop()
+  }
+}
+
+/** Per-round benchmark. Emits ONE JSON line on stdout AND writes it to
+  * `BENCH.json` in the working directory (round 1's numbers survived only in
+  * an unparsed log tail — never again).
+  *
+  * Phases:
+  *  A. operator suite on SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS]
+  *     (one warm pass for JVM/codegen, then the timed pass);
+  *  B. CDC end-to-end replay throughput at local[SPARK_GRAFT_CPUS]:
+  *     synthetic log → parquet → streaming replay into a fresh lake table
+  *     (events/sec, I/O inclusive), REPS runs — the full distribution is
+  *     reported, plus best (single-box turbo/GC variance is real; one number
+  *     would be a lie in either direction);
+  *  C. scaling protocol (BASELINE.md): the identical batch replay job at
+  *     local[N] and local[4N] (N=2 — all-core turbo clamps per-core clocks
+  *     ~28% by 32 threads on this host, so the low pair is the honest one),
+  *     each level in its own child JVM with heap ∝ cores (constant
+  *     per-core resources, like adding executors), same input,
+  *     spark.sql.shuffle.partitions ∝ cores, best-of-REPS per level.
+  *     Reports events/sec at both levels, efficiency = (thr_4N/thr_N)/4,
+  *     and a content checksum that must be identical across levels.
+  *
+  * All scratch I/O goes to /dev/shm when present.
+  */
+object Bench {
+  private val REPS = 3
+
+  private def best(xs: Seq[Double]): Double = xs.min
+  private def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+
+  /** Run one scaling level in a child JVM; None if the spawn fails (then the
+    * caller falls back to in-process). */
+  private def childLevel(cores: Int, logDir: String, work: String,
+      events: Long): Option[(Seq[Double], Seq[Double], String)] = {
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+        .defaultModuleOptions().trim.split("\\s+").toSeq
+      val cmd = Seq(javaBin) ++ moduleOpts ++ Seq(
+        s"-Xmx${math.max(2, cores * 2)}g", "-XX:+UseParallelGC",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchScale", cores.toString, REPS.toString, logDir, work, events.toString)
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      val code = proc.waitFor()
+      out.find(_.startsWith("BENCHSCALE ")).map { line =>
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        implicit val fmts: Formats = DefaultFormats
+        val j = JsonMethods.parse(line.stripPrefix("BENCHSCALE "))
+        ((j \ "e2e_secs").extract[Seq[Double]],
+          (j \ "compute_secs").extract[Seq[Double]],
+          (j \ "checksum").extract[String])
+      }.orElse {
+        System.err.println(s"[bench] child level $cores exited $code without result; " +
+          out.takeRight(5).mkString(" | "))
+        None
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] child spawn failed: $e"); None
+    }
+  }
+
+  private def inProcessLevel(cores: Int, logDir: String, work: String,
+      events: Long): (Seq[Double], Seq[Double], String) = {
+    val s = BenchJobs.session(cores, s"$work/local-$cores")
+    try {
+      var chk = ""
+      val e2e = (1 to REPS).map { i =>
+        BenchJobs.timeSec { chk = BenchJobs.replayJob(s, logDir, s"$work/scale-$cores-$i") }
+      }
+      val comp = (1 to REPS).map(_ => BenchJobs.timeSec(BenchJobs.computeJob(s, events)))
+      (e2e, comp, chk)
+    } finally s.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -65,80 +172,64 @@ object Bench {
 
     try {
       // ---------------- phase A: operator suite ----------------
-      val sA = session(cpus, localDir)
+      val sA = BenchJobs.session(cpus, localDir)
       SparkEntry.queries.foreach { case (_, fn) => // warm pass
         try fn(sA, sfDir).count() catch { case _: Throwable => }
       }
       val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> (try timeSec(fn(sA, sfDir).count()) catch { case _: Throwable => -1.0 })
+        name -> (try BenchJobs.timeSec(fn(sA, sfDir).count()) catch { case _: Throwable => -1.0 })
       }
       sA.stop()
 
-      // ---------------- phase B: CDC end-to-end replay ----------------
-      val cfg = GenConfig(numEvents = scaleEvents, numRepos = 400,
-        pathsPerRepo = 50, commitsPerFile = 8)
-      val sB = session(cpus, localDir)
-      val genSec = timeSec {
-        CdcPipeline.envelopeDf(ChangeLogGen.generate(sB, cfg, Some(256)))
+      // ---------------- phase B: CDC end-to-end replay (streaming) --------
+      val sB = BenchJobs.session(cpus, localDir)
+      val genSec = BenchJobs.timeSec {
+        CdcPipeline.envelopeDf(ChangeLogGen.generate(sB, BenchJobs.genConfig(scaleEvents), Some(256)))
           .write.mode("overwrite").parquet(s"$work/log")
       }
-      val tableB = LakeTable.create(sB, s"$work/table", CdcPipeline.baseTableSchema,
-        ChangeEvent.keyCols, numBuckets = 128)
-      val replaySec = timeSec {
-        CdcPipeline.run(sB, s"$work/log", tableB, s"$work/ckpt")
-      }
-      val liveRows = tableB.currentState().count()
-      sB.stop()
-
-      // ---------------- phase C: N vs 4N scaling ----------------
-      val n = 2
-      def replayJob(s: SparkSession, tag: String): String = {
-        val t = LakeTable.createOrReplace(s, s"$work/scale-$tag",
+      val replaySecs = (1 to 2).map { i =>
+        val tableB = LakeTable.createOrReplace(sB, s"$work/table-$i",
           CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 128)
-        CdcPipeline.replayBatch(s,
-          s.read.schema(CdcPipeline.envelopeSchema).parquet(s"$work/log"), t,
-          evolution = CdcPipeline.defaultEvolution)
-        t.currentState()
-          .agg(sum(xxhash64(col("repo"), col("path"), col("commit"),
-            coalesce(col("content"), lit(""))).cast("decimal(38,0)")))
-          .head().getDecimal(0).toString
+        BenchJobs.timeSec {
+          CdcPipeline.run(sB, s"$work/log", tableB, s"$work/ckpt-$i")
+        }
       }
-      def computeJob(s: SparkSession): Long =
-        Dedup.lwwDf(CdcPipeline.envelopeDf(
-          ChangeLogGen.generate(s, cfg, Some(256))), ChangeEvent.keyCols).count()
+      val liveRows = LakeTable.forPath(sB, s"$work/table-1").currentState().count()
+      sB.stop()
+      val replaySec = best(replaySecs)
 
-      def atLevel(cores: Int): (Double, Double, String) = {
-        val s = session(cores, localDir)
-        try {
-          var bestE2e = Double.MaxValue; var bestCompute = Double.MaxValue
-          var chk = ""
-          (1 to REPS).foreach { i =>
-            bestE2e = math.min(bestE2e, timeSec { chk = replayJob(s, s"$cores-$i") })
-            bestCompute = math.min(bestCompute, timeSec(computeJob(s)))
-          }
-          (bestE2e, bestCompute, chk)
-        } finally s.stop()
-      }
-      val (e2eN, compN, chkN) = atLevel(n)
-      val (e2e4N, comp4N, chk4N) = atLevel(4 * n)
-      val effE2e = (e2eN / e2e4N) / 4.0
-      val effComp = (compN / comp4N) / 4.0
+      // ---------------- phase C: N vs 4N scaling (child JVM per level) ----
+      val n = 2
+      def level(cores: Int): (Seq[Double], Seq[Double], String) =
+        childLevel(cores, s"$work/log", work, scaleEvents)
+          .getOrElse(inProcessLevel(cores, s"$work/log", work, scaleEvents))
+      val (e2eNs, compNs, chkN) = level(n)
+      val (e2e4Ns, comp4Ns, chk4N) = level(4 * n)
+      val effE2e = (best(e2eNs) / best(e2e4Ns)) / 4.0
+      val effComp = (best(compNs) / best(comp4Ns)) / 4.0
 
       // ---------------- emit ----------------
       val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = queryTimes.map(_._2).filter(_ >= 0).sum
       val cdc = f"""{"events":$scaleEvents,"gen_sec":$genSec%.2f,"replay_sec":$replaySec%.2f,""" +
+        f""""replay_secs":${arr(replaySecs)},""" +
         f""""events_per_sec":${scaleEvents / replaySec}%.0f,"live_rows":$liveRows}"""
-      val scaling = f"""{"n_cores":$n,"cores_4n":${4 * n},""" +
-        f""""e2e_events_per_sec_n":${scaleEvents / e2eN}%.0f,""" +
-        f""""e2e_events_per_sec_4n":${scaleEvents / e2e4N}%.0f,""" +
+      val scaling = f"""{"n_cores":$n,"cores_4n":${4 * n},"reps":$REPS,""" +
+        f""""e2e_secs_n":${arr(e2eNs)},"e2e_secs_4n":${arr(e2e4Ns)},""" +
+        f""""e2e_events_per_sec_n":${scaleEvents / best(e2eNs)}%.0f,""" +
+        f""""e2e_events_per_sec_4n":${scaleEvents / best(e2e4Ns)}%.0f,""" +
         f""""e2e_efficiency":$effE2e%.3f,""" +
-        f""""compute_events_per_sec_n":${scaleEvents / compN}%.0f,""" +
-        f""""compute_events_per_sec_4n":${scaleEvents / comp4N}%.0f,""" +
+        f""""compute_secs_n":${arr(compNs)},"compute_secs_4n":${arr(comp4Ns)},""" +
+        f""""compute_events_per_sec_n":${scaleEvents / best(compNs)}%.0f,""" +
+        f""""compute_events_per_sec_4n":${scaleEvents / best(comp4Ns)}%.0f,""" +
         f""""compute_efficiency":$effComp%.3f,""" +
         s""""checksum_equal":${chkN == chk4N}}"""
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_replay":$cdc,"scaling":$scaling}""")
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_replay":$cdc,"scaling":$scaling}"""
+      println(line)
+      // machine-readable copy: round 1's driver record had parsed:null
+      // because the JSON line was buried in sbt log noise
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     } finally {
       LakeTable.deleteRecursively(java.nio.file.Paths.get(work))
     }

@@ -113,10 +113,14 @@ object CdcPipeline {
   def batchStats(batch: DataFrame, bucket: Column): BatchStats = {
     val sv = if (batch.columns.contains("schema_version")) col("schema_version")
       else lit(1)
-    // two-level aggregation: per (bucket, key) first — its partial (map-side)
-    // phase collapses hot keys before the shuffle — then per bucket
+    // Two-level aggregation: per (bucket, key) first — its partial (map-side)
+    // phase collapses hot keys before the shuffle — then per bucket. The key
+    // is a 64-bit hash, NOT the string triple: the histogram is advisory
+    // (salt sizing + skew metrics), a ~zero probability of hash collision is
+    // fine, and fixed-width group keys shuffle ~4× fewer bytes and compare
+    // without string equality.
     val perKey = batch
-      .groupBy((bucket.as("__b") +: ChangeEvent.keyCols.map(col)): _*)
+      .groupBy(bucket.as("__b"), xxhash64(ChangeEvent.keyCols.map(col): _*).as("__kh"))
       .agg(count(lit(1)).as("c"), min(col("lsn")).as("mn"),
         max(col("lsn")).as("mx"), max(sv).as("sv"))
     val rows = perKey.groupBy(col("__b"))
@@ -142,7 +146,8 @@ object CdcPipeline {
   def processBatch(batch: DataFrame, epochId: Long, table: LakeTable,
       evolution: Map[Int, Seq[SchemaChange]], versions: TableVersions,
       lineageDir: Option[String], salts: Int = 0,
-      autoSaltThreshold: Long = 500000L): Unit = {
+      autoSaltThreshold: Long = 500000L,
+      views: Option[ViewMaintainer] = None): Unit = {
     val t0 = System.nanoTime()
     // ONE column-pruned probe pass per batch (was three in round 1: emptiness
     // + max schema_version, key histogram, per-bucket applied-stats inside
@@ -165,6 +170,10 @@ object CdcPipeline {
     // the number the source delivered, which is what throughput reports mean
     val lineage = table.merge(toMergeInput(deduped, table), epochId,
       precomputedStats = Some(stats.perBucket))
+    // maintained rollup views refresh after every applied commit (skipped
+    // when the epoch was a replayed no-op); each view is itself exactly-once
+    // per epoch via its own ledger
+    if (lineage.isDefined) views.foreach(_.refreshAll(epochId))
     lineage.foreach { lin =>
       lineageDir.foreach { dir =>
         val spark = batch.sparkSession
@@ -181,27 +190,43 @@ object CdcPipeline {
     }
   }
 
-  /** Stream a change-log parquet directory into the table. Returns after
-    * draining all available input (Trigger.AvailableNow). `checkpoint`
-    * makes the run resumable: offsets live there, applied epochs live in
-    * the table's snapshot log. */
-  def run(spark: SparkSession, logDir: String, table: LakeTable,
+  /** Start streaming a change-log parquet directory into the table
+    * (non-blocking). `checkpoint` makes the run resumable: offsets live
+    * there, applied epochs live in the table's snapshot log.
+    *
+    * `trigger` selects the lifecycle: `Trigger.AvailableNow()` drains the
+    * bounded log and terminates (replay); `Trigger.ProcessingTime(...)` is
+    * the reference's scheduled beat (`celery_config.py:24`: every 600 s) —
+    * the query keeps tailing the growing log until stopped. */
+  def start(spark: SparkSession, logDir: String, table: LakeTable,
       checkpoint: String, lineageDir: Option[String] = None,
       evolution: Map[Int, Seq[SchemaChange]] = defaultEvolution,
-      maxFilesPerTrigger: Option[Int] = None, salts: Int = 0): Unit = {
+      maxFilesPerTrigger: Option[Int] = None, salts: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow(),
+      views: Option[ViewMaintainer] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val versions = new TableVersions
     val reader = spark.readStream.schema(envelopeSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(logDir)
-    val q = stream.writeStream
+    stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        processBatch(batch, epochId, table, evolution, versions, lineageDir, salts)
+        processBatch(batch, epochId, table, evolution, versions, lineageDir,
+          salts, views = views)
       }
       .start()
-    q.awaitTermination()
   }
+
+  /** Blocking replay: run to termination (AvailableNow drains and returns). */
+  def run(spark: SparkSession, logDir: String, table: LakeTable,
+      checkpoint: String, lineageDir: Option[String] = None,
+      evolution: Map[Int, Seq[SchemaChange]] = defaultEvolution,
+      maxFilesPerTrigger: Option[Int] = None, salts: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow(),
+      views: Option[ViewMaintainer] = None): Unit =
+    start(spark, logDir, table, checkpoint, lineageDir, evolution,
+      maxFilesPerTrigger, salts, trigger, views).awaitTermination()
 
   /** Batch replay of a bounded log (same code path as one giant micro-batch). */
   def replayBatch(spark: SparkSession, log: DataFrame, table: LakeTable,

@@ -54,4 +54,19 @@ object Reconciler {
     if (n > 0) table.merge(CdcPipeline.toMergeInput(miss, table))
     n
   }
+
+  /** Id-targeted re-sync (reference `sync/studies.py:47-78`: re-ingest an
+    * explicit pending-id list). Re-derives the expected state for exactly
+    * the given keys and pushes it back through the idempotent merge —
+    * re-syncing an already-correct key is a no-op by LWW. `ids` carries the
+    * table's key columns (pending lists are small → broadcast semi-join,
+    * never a driver-side NOT IN). Returns rows re-synced. */
+  def repairIds(log: DataFrame, table: LakeTable, ids: DataFrame): Long = {
+    val keyCols = table.meta.keyCols
+    val exp = expectedFromLog(log, keyCols)
+      .join(broadcast(ids.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
+    val n = exp.count()
+    if (n > 0) table.merge(CdcPipeline.toMergeInput(exp, table))
+    n
+  }
 }

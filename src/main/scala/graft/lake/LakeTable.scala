@@ -41,7 +41,27 @@ class LakeTable private (val spark: SparkSession, val root: String) {
 
   /** Apply schema changes as a metadata-only commit (no data rewrite; old
     * files stay readable through column-ID mapping). */
-  def evolveSchema(changes: Seq[SchemaChange]): Unit = retryCommit { m =>
+  def evolveSchema(changes: Seq[SchemaChange]): Unit =
+    retryCommit(m => applyChanges(m, changes))
+
+  /** Apply a named migration exactly once: the schema change and the ledger
+    * entry land in one atomic metadata commit (reference: yoyo applies the
+    * DDL and records the id in `_yoyo_migration` in one transaction,
+    * `cron_tasks.py:31-59`). Returns false if `id` was already applied. */
+  def applyMigration(id: String, changes: Seq[SchemaChange]): Boolean = {
+    var applied = false
+    retryCommitIf { m =>
+      if (m.appliedMigrations.contains(id)) None
+      else {
+        applied = true
+        Some(applyChanges(m, changes)
+          .copy(appliedMigrations = m.appliedMigrations :+ id))
+      }
+    }
+    applied
+  }
+
+  private def applyChanges(m: TableMeta, changes: Seq[SchemaChange]): TableMeta = {
     var cols = m.currentSchema.columns
     var keyCols = m.keyCols
     var nextId = m.schemas.flatMap(_.columns.map(_.id)).max + 1
@@ -68,6 +88,20 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     val newSchema = SchemaVersion(m.currentSchemaId + 1, cols)
     m.copy(schemas = m.schemas :+ newSchema, currentSchemaId = newSchema.schemaId,
       keyCols = keyCols)
+  }
+
+  private def retryCommitIf(f: TableMeta => Option[TableMeta]): Unit = {
+    var attempts = 0
+    while (true) {
+      val m = load(root)
+      f(m) match {
+        case None => return // aborted: nothing to commit
+        case Some(next) =>
+          if (tryWriteVersion(metaDir, next.copy(version = m.version + 1))) return
+      }
+      attempts += 1
+      if (attempts > 5) sys.error(s"commit conflict persisted after $attempts attempts at $root")
+    }
   }
 
   // ---------------------------------------------------------------- reads
@@ -170,9 +204,13 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .agg(graft.functions.LwwMaxBy.lwwMaxBy(rowStruct, col(LsnCol), pri).as("__w"))
       .select(col("__w.*"))
 
-    // winners only (≈1 row/key) flow through this shuffle — cheap
+    // No extra shuffle before the write: the agg's own hash partitioning
+    // already distributes keys, and `partitionBy(bucket)` routes rows to the
+    // right bucket directory from WHATEVER task holds them — total file
+    // count stays ~max(shuffle partitions, touched buckets). The round-1
+    // `repartition(buckets)` here was a whole extra (winners-sized) shuffle
+    // + stage for zero correctness benefit.
     val out = winners.withColumn(DeletedCol, col("op") === "D").drop("op")
-      .repartition(math.max(touched.size, 1), col(BucketCol))
 
     // single heavy pass: aggregate + write staging; per-file stats come from
     // re-reading the staged files' (bucket, lsn) columns — a metadata-cheap
@@ -227,6 +265,30 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     } finally withMeta.unpersist()
   }
 
+  /** Replace the whole table content with `rows` in one snapshot commit
+    * (full-refresh semantics for maintained rollup views: groups that
+    * disappeared from the source must disappear here, which an upsert can't
+    * express without tombstoning every absent key). */
+  def replace(rows: DataFrame, epochId: Long = -1L): Unit = {
+    val m0 = meta
+    if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return
+    val dataCols = m0.currentSchema.columns.map(_.name)
+    val snapshotId = m0.currentSnapshotId + 1
+    val withMeta = rows.select((dataCols.map(col) :+
+      (if (rows.columns.contains("lsn")) col("lsn").cast(LongType).as(LsnCol)
+       else lit(0L).as(LsnCol)) :+ bucketExpr(m0).as(BucketCol)): _*)
+      .withColumn(DeletedCol, lit(false))
+    val staging = Paths.get(root, f"data/snap-$snapshotId%012d")
+    withMeta.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+    val newFiles = statsFromFooters(staging, m0.currentSchemaId)
+    retryCommit { m =>
+      require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+      val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
+        m.currentSchemaId, "replace", newFiles, System.currentTimeMillis())
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+    }
+  }
+
   /** Physically drop tombstones with `_lsn <= upToLsn`. Safe once the
     * stream's replay watermark has passed `upToLsn` — no event that old can
     * still arrive, so the tombstone's anti-resurrection job is done. Only
@@ -240,10 +302,11 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return 0L
     val (rewrittenFiles, kept) = snap.files.partition(f => touched.contains(f.bucket))
+    // input files are already bucket-partitioned (one task reads one bucket
+    // file and writes one bucket dir) — no shuffle needed
     val surviving = readFiles(m0, rewrittenFiles, m0.currentSchemaId)
       .filter(!(col(DeletedCol) && col(LsnCol) <= upToLsn))
       .withColumn(BucketCol, bucketExpr(m0))
-      .repartition(math.max(touched.size, 1), col(BucketCol))
       .persist()
     try {
       val snapshotId = m0.currentSnapshotId + 1

@@ -64,7 +64,10 @@ case class TableMeta(
     // Epoch ids whose snapshots were expired: snapshot retention must never
     // erase commit idempotence (Iceberg separates the two the same way) — a
     // replayed epoch whose snapshot aged out would otherwise re-apply.
-    retiredEpochs: Seq[Long] = Seq.empty) {
+    retiredEpochs: Seq[Long] = Seq.empty,
+    // Ledger of applied migration-file ids (reference: yoyo's _yoyo_migration
+    // table) — recorded in the SAME commit as the schema change they carry.
+    appliedMigrations: Seq[String] = Seq.empty) {
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)

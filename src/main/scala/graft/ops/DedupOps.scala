@@ -86,6 +86,8 @@ object DedupOps {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             array_distinct(tokens(col("text"))).as("toks"))
+        assertReferenceScale(docs, "q21_dedup_jaccard_pairs (all-pairs exact)",
+          "q27_dedup_minhash_lsh")
         val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
         val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
         a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
@@ -112,11 +114,16 @@ object DedupOps {
       (s, d) => minhashLshPairs(t(s, d, "documents"), w = 3, k = 32, b = 16, r = 2, threshold = 0.5),
       None),
 
-    // SimHash near-dup: 64-bit fingerprint, candidates via 16-bit chunk
-    // equality (4 chunks — two docs within hamming ≤3 share ≥1 chunk by
-    // pigeonhole), verified by hamming distance.
+    // SimHash near-dup: 64-bit fingerprint, candidates via block-combination
+    // keys (Manku et al., WWW'07), verified by hamming distance. 6 blocks /
+    // 2-block combo keys → 22-bit keyspace: ~4M buckets instead of the
+    // 65k a plain 16-bit chunk split gives, so per-bucket candidate sets
+    // stay sub-quadratic at 10⁹-doc corpora. Still EXACT for hamming ≤ 3
+    // (pigeonhole: ≤3 flipped blocks leave ≥3 intact ⊇ one full pair) —
+    // DedupSpec asserts equivalence with the plain chunk split.
     OpQuery("q28_dedup_simhash",
-      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),
+      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3,
+        blocks = 6, comboSize = 2),
       None))
 
   /** MinHash+LSH pipeline (reused by queries and DedupSpec). */
@@ -141,13 +148,31 @@ object DedupOps {
       .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
   }
 
-  /** SimHash pipeline (reused by queries and DedupSpec). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** SimHash pipeline (reused by queries and DedupSpec).
+    *
+    * Candidate keys are every `comboSize`-subset of `blocks` bit-blocks of
+    * the fingerprint, concatenated. Exactness: ≤ `maxHamming` bit flips
+    * corrupt ≤ maxHamming blocks, leaving ≥ blocks−maxHamming intact, so as
+    * long as `comboSize ≤ blocks − maxHamming` some combination survives
+    * untouched and the pair collides. Wider combos = exponentially larger
+    * keyspace (smaller buckets at corpus scale) for C(blocks, comboSize)
+    * exploded rows per doc. (4, 1) is the minimal classic chunk split;
+    * (6, 2) is the 10⁹-doc setting. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+      blocks: Int = 4, comboSize: Int = 1): DataFrame = {
+    require(blocks - maxHamming >= comboSize,
+      s"blocks($blocks) - maxHamming($maxHamming) must be >= comboSize($comboSize) for exact recall")
+    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(sh: Column, i: Int): Column =
+      shiftrightunsigned(sh, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val comboKeys = (0 until blocks).combinations(comboSize).toSeq.map { c =>
+      c.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, widths(i)).bitwiseOR(blockVal(col("sh"), i)) }
+    }
     val base = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
     val chunked = base.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "ckey")))
+      posexplode(array(comboKeys: _*)).as(Seq("chunk", "ckey")))
     val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))

@@ -18,21 +18,29 @@ object MultimodalOps {
 
   /** STUB image decode: a real implementation would decode the payload with
     * a codec inside `mapPartitions` (one codec instance per partition, Arrow
-    * batch in/out). Here: deterministic pseudo-dimensions from the leading
-    * bytes, same output schema a decoder would produce. */
-  def decodeImageMeta(payload: Column): Column = struct(
-    (abs(xxhash64(payload)) % 1920 + 16).cast("int").as("width"),
-    (abs(xxhash64(payload, lit(1))) % 1080 + 16).cast("int").as("height"),
-    (length(payload) % 3 + 1).cast("int").as("channels"))
+    * batch in/out). Here: deterministic pseudo-dimensions carved out of the
+    * payload's md5 (hex → 60-bit ints) — oracle-expressible in any engine
+    * with md5, unlike the round-1 xxhash64 variant. */
+  def decodeImageMeta(payload: Column): Column = {
+    val md = md5(payload)
+    def hex60(start: Int): Column =
+      conv(substring(md, start, 15), 16, 10).cast("long")
+    struct(
+      (hex60(1) % 1905 + 16).cast("int").as("width"),
+      (hex60(17) % 1065 + 16).cast("int").as("height"),
+      (octet_length(payload) % 3 + 1).cast("int").as("channels"))
+  }
 
-  /** STUB frame sampling: every `stride`-th fixed-size block of the payload
-    * stands in for a decoded video frame. Real impl: ffmpeg keyframe
-    * extraction per partition. Output shape (array of frame digests) is what
-    * a downstream dedup/embedding stage would consume. */
-  def sampleFrames(payload: Column, blockSize: Int, stride: Int): Column =
+  /** STUB frame sampling: every `stride`-th fixed-size character block of
+    * the text stands in for a decoded video frame (a real impl slices BYTE
+    * ranges via ffmpeg keyframe extraction; character blocks keep the stub
+    * oracle-expressible — SQL substring is character-based in both engines).
+    * Output shape (array of frame digests) is what a downstream
+    * dedup/embedding stage would consume. */
+  def sampleFrames(text: Column, blockChars: Int, stride: Int): Column =
     transform(
-      sequence(lit(0), greatest(ceil(length(payload) / lit(blockSize * stride)).cast("int") - 1, lit(0))),
-      i => md5(substring(payload, (i * blockSize * stride + 1).cast("int"), lit(blockSize))))
+      sequence(lit(0), greatest(ceil(length(text) / lit(blockChars * stride)).cast("int") - 1, lit(0))),
+      i => md5(substring(text, (i * blockChars * stride + 1).cast("int"), lit(blockChars)).cast("binary")))
 
   /** Typed decoded-asset record (what a real decoder would emit). */
   case class DecodedAsset(assetId: Long, width: Int, height: Int,
@@ -83,21 +91,28 @@ object MultimodalOps {
 
     // Decode + frame-sample plumbing (stubbed kernels, real schema/flow):
     // binary payload → typed metadata struct → per-asset frame digests →
-    // flat table a dedup stage would join on. No SQL oracle (stub-specific);
-    // MultimodalSpec asserts schema, determinism and batch shape.
+    // flat table a dedup stage would join on. The md5-derived stub makes the
+    // whole pipeline DuckDB-expressible, so this row is oracle-checked;
+    // MultimodalSpec additionally asserts schema, determinism and batch shape.
     OpQuery("q32_multimodal_pipeline",
       (s, d) => {
         val assets = t(s, d, "documents").select(
           col("doc_id").as("asset_id"),
           col("text").cast("binary").as("payload"),
-          col("source"))
+          col("text"), col("source"))
         assets
           .withColumn("meta", decodeImageMeta(col("payload")))
-          .withColumn("frames", sampleFrames(col("payload"), blockSize = 64, stride = 4))
+          .withColumn("frames", sampleFrames(col("text"), blockChars = 64, stride = 4))
           .select(col("asset_id"), col("source"),
             col("meta.width"), col("meta.height"), col("meta.channels"),
             size(col("frames")).as("n_frames"),
             col("frames")(0).as("first_frame_digest"))
       },
-      None))
+      Some("""SELECT doc_id AS asset_id, source,
+             |  CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1905 + 16 AS INT) AS width,
+             |  CAST(CAST(('0x' || substr(md5(text), 17, 15)) AS BIGINT) % 1065 + 16 AS INT) AS height,
+             |  CAST(octet_length(CAST(text AS BLOB)) % 3 + 1 AS INT) AS channels,
+             |  CAST(GREATEST(CEIL(length(text) / 256.0) - 1, 0) + 1 AS INT) AS n_frames,
+             |  md5(substring(text, 1, 64)) AS first_frame_digest
+             |FROM documents""".stripMargin)))
 }

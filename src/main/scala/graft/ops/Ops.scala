@@ -34,6 +34,17 @@ object Tables {
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** All-pairs reference implementations refuse corpus-scale inputs: beyond
+    * oracle scale they plan a cartesian join — the caller wants the bucketed
+    * scale path (LSH/simhash/IVF) instead. The count is one cheap pass at
+    * the scales these are legitimate for. */
+  def assertReferenceScale(df: DataFrame, name: String, scalePath: String,
+      maxRows: Long = 1000000L): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$name is an exact small-scale reference ($n rows > $maxRows); use $scalePath at scale")
+  }
+
   /** topK + a 1-based rank column. The rank is derived from the ≤k collected
     * rows (already in total order after TakeOrderedAndProject), not from a
     * window: collecting k rows is aggregate-result-sized, a window over the

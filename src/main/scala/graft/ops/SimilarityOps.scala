@@ -71,6 +71,8 @@ object SimilarityOps {
     OpQuery("q26_embedding_neardup_pairs",
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("vec_id"), emb(col("embedding")).as("v"))
+        assertReferenceScale(e, "q26_embedding_neardup_pairs (all-pairs exact)",
+          "q30_embedding_neardup_lsh")
         val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
         a.join(b, col("id_a") < col("id_b"))
@@ -88,12 +90,37 @@ object SimilarityOps {
     // nProbe closest centroid cells — the classic inverted-file trade
     // (scan fraction ≈ nProbe/K) vs q22's full scan. Centroids are a
     // deterministic evenly-strided corpus sample (k-means would refine them;
-    // the cell/probe machinery is identical). Recall + partitioning
-    // invariance vs q22 in SimilaritySpec.
+    // the cell/probe machinery is identical), which makes the whole pipeline
+    // SQL-expressible → full DuckDB oracle. Recall + partitioning invariance
+    // vs q22 in SimilaritySpec.
     OpQuery("q35_ann_ivf_topk",
       (s, d) => ivfTopK(t(s, d, "embeddings"), queryVecId = 0, k = 10,
         nCells = 16, nProbe = 4),
-      None),
+      Some("""WITH cents AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings
+             |  WHERE vec_id % GREATEST(1, (SELECT count(*) FROM embeddings) // 16) = 0
+             |  ORDER BY vec_id LIMIT 16),
+             |assigned AS (
+             |  SELECT vec_id, label, v, cell FROM (
+             |    SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+             |                 c.cell DESC) AS rn
+             |    FROM embeddings e CROSS JOIN cents c)
+             |  WHERE rn = 1),
+             |qv AS (SELECT v AS q FROM assigned WHERE vec_id = 0),
+             |probe AS (
+             |  SELECT c.cell FROM cents c, qv
+             |  ORDER BY list_cosine_similarity(qv.q, c.cv) DESC, c.cell ASC LIMIT 4),
+             |scored AS (
+             |  SELECT a.vec_id, a.label, round(list_cosine_similarity(a.v, qv.q), 6) AS sim
+             |  FROM assigned a, qv
+             |  WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0)
+             |SELECT vec_id, label, sim, rk FROM (
+             |  SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rk FROM scored)
+             |WHERE rk <= 10""".stripMargin)),
 
     // LSH-bucketed near-dup (scale path): L independent hash tables of
     // nPlanes sign bits each (OR-amplification: a pair is a candidate if it

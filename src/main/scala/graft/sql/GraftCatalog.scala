@@ -1,0 +1,156 @@
+package graft.sql
+
+import java.util
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NamespaceAlreadyExistsException, TableAlreadyExistsException}
+import scala.jdk.CollectionConverters._
+import graft.lake._
+
+/** DataSourceV2 `TableCatalog` over the lake-table warehouse, so the engine's
+  * tables are reachable from plain SQL (the reference serves all consumers
+  * through SQL views — `queries/schema_organizations.py:16-23`):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/wh")
+  * spark.sql("CREATE NAMESPACE graft.org1")
+  * spark.sql("SELECT * FROM graft.org1.code_files WHERE lang = 'scala'")
+  * spark.sql("SELECT * FROM graft.org1.code_files VERSION AS OF 3")
+  * }}}
+  *
+  * Namespaces are single-level directories under the warehouse (one per
+  * tenant, like the reference's per-organization Postgres schemas). Tables
+  * expose live rows (tombstones filtered) in the table's current schema;
+  * `VERSION AS OF <snapshotId>` time-travels exactly like
+  * `LakeTable.read(Some(id))`. Key columns for `CREATE TABLE` come from the
+  * `keys` table property (default: the first column).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse(sys.error(s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warehouse))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private def cat = new LakeCatalog(spark, warehouse)
+
+  private def ns1(namespace: Array[String]): String = {
+    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
+    namespace(0)
+  }
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listNamespaces().map(n => Array(n)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // single-level: no children
+    else throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && cat.listNamespaces().contains(namespace(0))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> s"$warehouse/${ns1(namespace)}").asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    cat.createNamespace(ns1(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties are immutable")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val tables = cat.listTables(ns1(namespace))
+    if (tables.nonEmpty && !cascade)
+      sys.error(s"namespace ${ns1(namespace)} is not empty: $tables")
+    LakeTable.deleteRecursively(java.nio.file.Paths.get(warehouse, ns1(namespace)))
+    true
+  }
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    cat.listTables(ns1(namespace)).map(t => Identifier.of(namespace, t)).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && cat.tableExists(ident.namespace()(0), ident.name)
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(cat.tablePath(ident.namespace()(0), ident.name),
+      ident.toString, snapshotId = None)
+  }
+
+  /** SQL time travel: `VERSION AS OF <snapshotId>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(cat.tablePath(ident.namespace()(0), ident.name),
+      s"$ident@$version", snapshotId = Some(version.toLong))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    val keys = props.get("keys").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq(schema.fieldNames.head))
+    val buckets = props.get("buckets").map(_.toInt).getOrElse(32)
+    cat.createTable(ident.namespace()(0), ident.name, schema, keys, buckets)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = cat.loadTable(ident.namespace()(0), ident.name)
+    val ops: Seq[SchemaChange] = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested columns unsupported")
+        AddColumn(a.fieldNames()(0), a.dataType, a.isNullable)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested columns unsupported")
+        RenameColumn(r.fieldNames()(0), r.newName)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1, "nested columns unsupported")
+        WidenType(u.fieldNames()(0), u.newDataType)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested columns unsupported")
+        DropColumn(d.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(s"table change $other")
+    }
+    t.evolveSchema(ops)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    cat.dropTable(ident.namespace()(0), ident.name)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(cat.tablePath(oldIdent.namespace()(0), oldIdent.name)),
+      java.nio.file.Paths.get(cat.tablePath(newIdent.namespace()(0), newIdent.name)))
+  }
+}

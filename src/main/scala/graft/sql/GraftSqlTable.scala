@@ -1,0 +1,186 @@
+package graft.sql
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+import graft.lake.{LakeTable, TableMeta}
+
+/** DSv2 read surface of one lake table (live rows, tombstones filtered),
+  * optionally pinned to a snapshot (`VERSION AS OF`).
+  *
+  * The scan plans one InputPartition per data file and materializes rows with
+  * a parquet row-group reader, mapping each file's stored columns to the read
+  * schema BY COLUMN ID (renamed columns resolve to their stored name, added
+  * columns read as null, widened types up-cast) — the same evolution
+  * semantics as `LakeTable.read`. Column pruning is pushed into the parquet
+  * projection. This path is the SQL convenience surface; the engine's hot
+  * paths (merge/replay) use the native vectorized reader via `LakeTable`.
+  */
+class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
+    extends Table with SupportsRead {
+
+  // metadata is pinned at load time: one SQL query = one consistent snapshot
+  private val meta: TableMeta = LakeTable.metaAt(root)
+  private val snap = snapshotId.map(id => meta.snapshotById(id)
+    .getOrElse(sys.error(s"no snapshot $id in $displayName"))).orElse(meta.currentSnapshot)
+  private val readSchemaId: Int =
+    snapshotId.flatMap(_ => snap.map(_.schemaId)).getOrElse(meta.currentSchemaId)
+
+  override def name(): String = displayName
+  override def schema(): StructType = meta.schemaById(readSchemaId).toStruct
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] =
+    Map("location" -> root, "format" -> "graft-lake",
+      "snapshot-id" -> snap.map(_.snapshotId.toString).getOrElse("-")).asJava
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, meta, readSchemaId,
+      snap.map(_.files).getOrElse(Seq.empty), schema())
+}
+
+class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
+    files: Seq[graft.lake.DataFileMeta], full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep declared column order; requiredSchema may reorder
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = new GraftScan(root, meta, schemaId, files, required)
+}
+
+class GraftScan(root: String, meta: TableMeta, schemaId: Int,
+    files: Seq[graft.lake.DataFileMeta], required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan(files=${files.size}, cols=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val target = meta.schemaById(schemaId)
+    files.map { f =>
+      val storedById = meta.schemaById(f.schemaId).byId
+      val cols = required.fields.map { rf =>
+        val cd = target.columns.find(_.name == rf.name)
+          .getOrElse(sys.error(s"column ${rf.name} not in schema $schemaId"))
+        storedById.get(cd.id) match {
+          case Some(st) => ColSpec(rf.name, rf.dataType.json, st.name, st.dataTypeJson)
+          case None => ColSpec(rf.name, rf.dataType.json, null, null) // added later: null
+        }
+      }
+      GraftInputPartition(s"$root/${f.path}", cols): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+}
+
+/** One stored-file column mapping: output name/type + the name/type it was
+  * written under (null if the column didn't exist when the file was written). */
+case class ColSpec(outName: String, outTypeJson: String,
+    storedName: String, storedTypeJson: String) extends Serializable
+
+case class GraftInputPartition(filePath: String, cols: Array[ColSpec])
+    extends InputPartition
+
+class GraftReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
+}
+
+/** Row-materializing parquet reader for one data file. Projects only the
+  * stored columns the query needs plus `_deleted` (tombstone filter). Not
+  * vectorized — acceptable for the SQL convenience surface; wide analytical
+  * scans belong on the engine's native read path. */
+class GraftPartitionReader(p: GraftInputPartition)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.schema.MessageType
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val hPath = new org.apache.hadoop.fs.Path(p.filePath)
+
+  // projection: the file's own schema filtered to needed fields (reading the
+  // footer schema avoids re-deriving parquet types from Spark types)
+  private val reader: ParquetReader[Group] = {
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    val want = (p.cols.flatMap(c => Option(c.storedName)) :+ LakeTable.DeletedCol).toSet
+    val projected = new MessageType(fileSchema.getName,
+      fileSchema.getFields.asScala.filter(f => want.contains(f.getName)).asJava)
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projected.toString)
+    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      if (!isDeleted(g)) { current = toRow(g); return true }
+      g = reader.read()
+    }
+    false
+  }
+
+  private def isDeleted(g: Group): Boolean =
+    g.getType.containsField(LakeTable.DeletedCol) &&
+      g.getFieldRepetitionCount(LakeTable.DeletedCol) > 0 &&
+      g.getBoolean(LakeTable.DeletedCol, 0)
+
+  private def toRow(g: Group): InternalRow = {
+    val vals = new Array[Any](p.cols.length)
+    var i = 0
+    while (i < p.cols.length) {
+      val c = p.cols(i)
+      vals(i) =
+        if (c.storedName == null || !g.getType.containsField(c.storedName) ||
+            g.getFieldRepetitionCount(c.storedName) == 0) null
+        else widen(read(g, c.storedName, DataType.fromJson(c.storedTypeJson)),
+          DataType.fromJson(c.storedTypeJson), DataType.fromJson(c.outTypeJson))
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  private def read(g: Group, name: String, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
+    case IntegerType => g.getInteger(name, 0)
+    case LongType => g.getLong(name, 0)
+    case DoubleType => g.getDouble(name, 0)
+    case FloatType => g.getFloat(name, 0)
+    case BooleanType => g.getBoolean(name, 0)
+    case BinaryType => g.getBinary(name, 0).getBytes
+    case other => sys.error(s"unsupported SQL-read type $other for column $name")
+  }
+
+  private def widen(v: Any, from: DataType, to: DataType): Any =
+    if (from == to) v
+    else (from, to, v) match {
+      case (IntegerType, LongType, i: Int) => i.toLong
+      case (IntegerType, DoubleType, i: Int) => i.toDouble
+      case (FloatType, DoubleType, f: Float) => f.toDouble
+      case _ => sys.error(s"unsupported widen $from -> $to")
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -62,10 +62,20 @@ object CdcCli {
         if (LakeTable.exists(tableDir)) LakeTable.forPath(spark, tableDir)
         else LakeTable.create(spark, tableDir, CdcPipeline.baseTableSchema,
           ChangeEvent.keyCols, numBuckets = rest.headOption.map(_.toInt).getOrElse(64))
+      // optional 3rd arg: beat seconds — scheduled-trigger mode (reference's
+      // 600 s Celery beat): keeps tailing the growing log until killed
+      val beat = rest.drop(2).headOption.map(_.toInt)
+      val trigger = beat match {
+        case Some(sec) => org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(sec.toLong * 1000)
+        case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      }
+      if (beat.isDefined) println(s"[stream] scheduled mode: beat=${beat.get}s (ctrl-c to stop)")
       val t0 = System.nanoTime()
       CdcPipeline.run(spark, logDir, table, ckpt,
         lineageDir = Some(s"$tableDir/_lineage"),
-        maxFilesPerTrigger = rest.drop(1).headOption.map(_.toInt))
+        maxFilesPerTrigger = rest.drop(1).headOption.map(_.toInt),
+        trigger = trigger)
       val sec = (System.nanoTime() - t0) / 1e9
       val m = table.meta
       println(f"[stream] done in $sec%.1f s; snapshots=${m.snapshots.size} " +

@@ -1,0 +1,74 @@
+package graft.lake
+
+import graft.SparkTestBase
+import graft.cdc._
+import org.apache.spark.sql.types._
+
+class MigrationSpec extends SparkTestBase {
+
+  private def writeMigrations(dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    def w(name: String, body: String) =
+      java.nio.file.Files.writeString(d.resolve(name), body)
+    // file names deliberately NOT in application order — only the
+    // `-- depends:` DAG can order these correctly
+    w("a_widen_size.sql",
+      """-- depends: c_add_size
+        |ALTER TABLE WIDEN COLUMN size_bytes BIGINT;""".stripMargin)
+    w("b_rename_branch.sql",
+      """-- depends: d_add_branch a_widen_size
+        |ALTER TABLE RENAME COLUMN branch TO ref;""".stripMargin)
+    w("c_add_size.sql",
+      """-- depends: d_add_branch
+        |ALTER TABLE ADD COLUMN size_bytes INT;""".stripMargin)
+    w("d_add_branch.sql", "ALTER TABLE ADD COLUMN branch STRING;")
+  }
+
+  test("migration files apply in DAG order, exactly once, ledger survives restarts") {
+    val dir = tmpDir("migs")
+    writeMigrations(dir)
+    val t = LakeTable.createOrReplace(spark, tmpDir("migtbl"),
+      CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 4)
+
+    val applied = MigrationRunner.migrate(t, dir)
+    assert(applied == Seq("d_add_branch", "c_add_size", "a_widen_size", "b_rename_branch"))
+    assert(t.schema.fieldNames.toSeq ==
+      Seq("repo", "path", "commit", "lang", "content", "ref", "size_bytes"))
+    assert(t.schema("size_bytes").dataType == LongType)
+
+    // second run (or a second runner): ledger makes it a no-op
+    assert(MigrationRunner.migrate(t, dir).isEmpty)
+    // ledger is durable metadata, not runner state
+    val reopened = LakeTable.forPath(spark, t.root)
+    assert(MigrationRunner.migrate(reopened, dir).isEmpty)
+    assert(reopened.meta.appliedMigrations.size == 4)
+  }
+
+  test("per-tenant loop migrates every namespace's table (reference cron_tasks)") {
+    val dir = tmpDir("migs2")
+    writeMigrations(dir)
+    val cat = new LakeCatalog(spark, tmpDir("migwh"))
+    Seq("org1", "org2").foreach(ns =>
+      cat.createTable(ns, "code_files", CdcPipeline.baseTableSchema,
+        ChangeEvent.keyCols, numBuckets = 4))
+    val res = MigrationRunner.migrateAll(cat, "code_files", dir)
+    assert(res.keySet == Set("org1", "org2"))
+    assert(res.values.forall(_.size == 4))
+    assert(cat.loadTable("org2", "code_files").schema.fieldNames.contains("ref"))
+    // a tenant added later catches up on the next beat
+    cat.createTable("org3", "code_files", CdcPipeline.baseTableSchema,
+      ChangeEvent.keyCols, numBuckets = 4)
+    val res2 = MigrationRunner.migrateAll(cat, "code_files", dir)
+    assert(res2("org1").isEmpty && res2("org3").size == 4)
+  }
+
+  test("unknown dependency and cycles are rejected") {
+    import MigrationRunner._
+    val a = Migration("a", Seq("b"), Seq.empty)
+    val b = Migration("b", Seq("a"), Seq.empty)
+    intercept[Exception](topoSort(Seq(a, b)))
+    intercept[Exception](topoSort(Seq(a)))
+    intercept[Exception](parseStatement("CREATE INDEX foo"))
+  }
+}

@@ -59,6 +59,18 @@ class DedupSpec extends SparkTestBase {
       s"planted reordered dup (0, 990001) not found at hamming 0")
   }
 
+  test("simhash block-combination keys (6,2) ≡ plain chunk split (4,1) — both exact") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val narrow = DedupOps.simhashPairs(corpus, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    val wide = DedupOps.simhashPairs(corpus, maxHamming = 3, blocks = 6, comboSize = 2)
+      .collect().map(_.toSeq).toSet
+    assert(wide == narrow, "wide-key blocking changed the (exact) result set")
+    // parameter guard: comboSize too large for the hamming budget is rejected
+    intercept[IllegalArgumentException](
+      DedupOps.simhashPairs(corpus, maxHamming = 3, blocks = 4, comboSize = 2))
+  }
+
   test("exact dedup finds exactly the injected duplicates") {
     val q = SparkEntry_queriesHelper("q20_dedup_exact")
     val n = q(spark, dir).count()
