@@ -149,10 +149,16 @@ object CdcPipeline {
       autoSaltThreshold: Long = 500000L,
       views: Option[ViewMaintainer] = None): Unit = {
     val t0 = System.nanoTime()
+    val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
+    def phase[A](name: String)(f: => A): A = {
+      val p0 = System.nanoTime(); val r = f
+      if (phaseLog) println(f"[phase] $name%-10s ${(System.nanoTime() - p0) / 1e9}%6.2f s")
+      r
+    }
     // ONE column-pruned probe pass per batch (was three in round 1: emptiness
     // + max schema_version, key histogram, per-bucket applied-stats inside
     // merge). Everything driver-side decisions need comes out of it.
-    val stats = batchStats(batch, table.bucketExpr(table.meta))
+    val stats = phase("stats")(batchStats(batch, table.bucketExpr(table.meta)))
     if (stats.isEmpty) return
     val planExhausted = evolution.isEmpty ||
       versions.get(table.root) >= evolution.keys.max
@@ -168,8 +174,8 @@ object CdcPipeline {
 
     // lineage row counts are change events routed to the bucket (pre-dedup):
     // the number the source delivered, which is what throughput reports mean
-    val lineage = table.merge(toMergeInput(deduped, table), epochId,
-      precomputedStats = Some(stats.perBucket))
+    val lineage = phase("merge")(table.merge(toMergeInput(deduped, table), epochId,
+      precomputedStats = Some(stats.perBucket)))
     // maintained rollup views refresh after every applied commit (skipped
     // when the epoch was a replayed no-op); each view is itself exactly-once
     // per epoch via its own ledger

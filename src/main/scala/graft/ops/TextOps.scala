@@ -25,16 +25,20 @@ object TextOps {
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is",
     "it", "on", "for", "with", "as", "at", "by", "from")
 
-  /** Tiny per-language marker dictionaries for the n-gram/stopword language
-    * heuristic. Deterministic, vocabulary-driven; real systems would load
-    * fastText-style models — the *shape* (score-per-lang → argmax) is what
-    * the pipeline needs. */
+  /** Per-language stopword marker dictionaries for the language-ID
+    * heuristic (top function words; zh uses pinyin romanization since the
+    * tokenizer is ASCII). Deterministic, vocabulary-driven; real systems
+    * would load fastText-style models — the score-per-lang → argmax shape
+    * and the generated SQL oracle scale unchanged with dictionary size.
+    * (Note: the synthetic test corpus draws every lang label from the same
+    * English-ish vocabulary, so measured accuracy there is meaningless by
+    * construction — the dictionaries are sized for real text.) */
   val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "is", "of"),
-    "es" -> Seq("el", "la", "los", "de"),
-    "de" -> Seq("der", "die", "das", "und"),
-    "fr" -> Seq("le", "la", "les", "et"),
-    "zh" -> Seq("de", "shi", "le", "he"))
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "was", "for", "on", "with"),
+    "es" -> Seq("el", "la", "los", "las", "que", "y", "en", "un", "una", "es", "por", "como"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est", "que", "pour", "dans", "ce"),
+    "zh" -> Seq("de", "shi", "le", "he", "zai", "wo", "ni", "ta", "men", "zhe", "na", "yi"))
 
   private def tokenArr(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")

@@ -24,6 +24,10 @@ object CdcCli {
       // 2× reduce tasks per core: smooths the last wave without paying
       // per-task overhead; AQE coalesces when volume is small
       .config("spark.sql.shuffle.partitions", cores.toInt * 2)
+      // let the split planner size scan partitions to totalBytes/cores (its
+      // own formula) instead of fixed 128m slivers: bigger scan partitions =
+      // better map-side combine in the LWW partial agg = less shuffle
+      .config("spark.sql.files.maxPartitionBytes", "1g")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
