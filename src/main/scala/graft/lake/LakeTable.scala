@@ -48,18 +48,12 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * entry land in one atomic metadata commit (reference: yoyo applies the
     * DDL and records the id in `_yoyo_migration` in one transaction,
     * `cron_tasks.py:31-59`). Returns false if `id` was already applied. */
-  def applyMigration(id: String, changes: Seq[SchemaChange]): Boolean = {
-    var applied = false
+  def applyMigration(id: String, changes: Seq[SchemaChange]): Boolean =
     retryCommitIf { m =>
       if (m.appliedMigrations.contains(id)) None
-      else {
-        applied = true
-        Some(applyChanges(m, changes)
-          .copy(appliedMigrations = m.appliedMigrations :+ id))
-      }
+      else Some(applyChanges(m, changes)
+        .copy(appliedMigrations = m.appliedMigrations :+ id))
     }
-    applied
-  }
 
   private def applyChanges(m: TableMeta, changes: Seq[SchemaChange]): TableMeta = {
     var cols = m.currentSchema.columns
@@ -90,18 +84,23 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       keyCols = keyCols)
   }
 
-  private def retryCommitIf(f: TableMeta => Option[TableMeta]): Unit = {
+  /** Optimistic commit that `f` may abort (None). Returns true iff OUR
+    * commit landed — a racer that loses and then aborts on reload gets
+    * false (the distinction is what makes applyMigration's return value an
+    * exactly-once signal, not just the state). */
+  private def retryCommitIf(f: TableMeta => Option[TableMeta]): Boolean = {
     var attempts = 0
     while (true) {
       val m = load(root)
       f(m) match {
-        case None => return // aborted: nothing to commit
+        case None => return false // aborted: someone else already did it
         case Some(next) =>
-          if (tryWriteVersion(metaDir, next.copy(version = m.version + 1))) return
+          if (tryWriteVersion(metaDir, next.copy(version = m.version + 1))) return true
       }
       attempts += 1
       if (attempts > 5) sys.error(s"commit conflict persisted after $attempts attempts at $root")
     }
+    false
   }
 
   // ---------------------------------------------------------------- reads

@@ -49,8 +49,10 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
 
 class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
     files: Seq[graft.lake.DataFileMeta], full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var prunedFiles: Seq[graft.lake.DataFileMeta] = files
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep declared column order; requiredSchema may reorder
@@ -58,7 +60,34 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
     required = StructType(full.fields.filter(f => names.contains(f.name)))
   }
 
-  override def build(): Scan = new GraftScan(root, meta, schemaId, files, required)
+  /** Key-equality point lookups prune to ONE hash bucket's files (127/128
+    * of a table skipped) — the SQL surface gets the same manifest-level
+    * pruning the merge path uses. Filters are never fully absorbed
+    * (`pushedFilters` stays empty), so Spark re-applies them post-scan and
+    * correctness never depends on the pruning. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.EqualTo
+    val eqs = filters.collect { case EqualTo(a, v) if meta.keyCols.contains(a) => a -> v }.toMap
+    if (meta.keyCols.forall(eqs.contains)) {
+      val b = GraftScanBuilder.bucketOf(meta.keyCols.map(eqs), meta.numBuckets)
+      prunedFiles = files.filter(_.bucket == b)
+    }
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def build(): Scan = new GraftScan(root, meta, schemaId, prunedFiles, required)
+}
+
+object GraftScanBuilder {
+  /** Same function as `LakeTable.bucketExpr` — `pmod(hash(keys), n)` with
+    * Spark's Murmur3 (seed 42) — evaluated driver-side on literal values. */
+  def bucketOf(keyValues: Seq[Any], numBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = Murmur3Hash(keyValues.map(v => Literal.create(v)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % numBuckets) + numBuckets) % numBuckets
+  }
 }
 
 class GraftScan(root: String, meta: TableMeta, schemaId: Int,

@@ -63,6 +63,26 @@ class MigrationSpec extends SparkTestBase {
     assert(res2("org1").isEmpty && res2("org3").size == 4)
   }
 
+  test("two concurrent runners apply each migration exactly once (optimistic lock)") {
+    val dir = tmpDir("migs3")
+    writeMigrations(dir)
+    val t = LakeTable.createOrReplace(spark, tmpDir("migtbl3"),
+      CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runners = Seq(
+      Future(MigrationRunner.migrate(LakeTable.forPath(spark, t.root), dir)),
+      Future(MigrationRunner.migrate(LakeTable.forPath(spark, t.root), dir)))
+    val applied = Await.result(Future.sequence(runners), 60.seconds)
+    // every migration applied by EXACTLY one of the two racing runners
+    assert(applied.flatten.sorted ==
+      Seq("a_widen_size", "b_rename_branch", "c_add_size", "d_add_branch"))
+    assert(t.meta.appliedMigrations.size == 4)
+    assert(t.schema.fieldNames.contains("ref") &&
+      t.schema("size_bytes").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("unknown dependency and cycles are rejected") {
     import MigrationRunner._
     val a = Migration("a", Seq("b"), Seq.empty)

@@ -90,6 +90,27 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT content FROM g3.ns.t").head().getString(0) == "two")
   }
 
+  test("key-equality SQL point lookup prunes to one bucket's files") {
+    val cat = setupCatalog("g5")
+    val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 16)
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (i.toLong, "I", s"r$i", s"p$i", s"c$i", "scala", s"v$i"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    t.merge(rows, 0)
+    val totalFiles = t.meta.currentSnapshot.get.files.size
+    assert(totalFiles > 4) // multiple buckets written
+    val q = spark.sql(
+      "SELECT content FROM g5.ns.t WHERE repo='r7' AND path='p7' AND commit='c7'")
+    val plan = q.queryExecution.executedPlan.toString
+    val filesScanned = "files=(\\d+)".r.findFirstMatchIn(plan).get.group(1).toInt
+    assert(filesScanned < totalFiles, s"no bucket pruning: $filesScanned of $totalFiles\n$plan")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("v7")) // still correct
+    // a non-key filter must not prune (and must still be applied post-scan)
+    assert(spark.sql("SELECT count(*) FROM g5.ns.t WHERE lang='scala'")
+      .head().getLong(0) == 200)
+  }
+
   test("column pruning is pushed into the parquet projection") {
     val cat = setupCatalog("g4")
     val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
