@@ -126,23 +126,30 @@ object DedupOps {
         blocks = 6, comboSize = 2),
       None))
 
-  /** MinHash+LSH pipeline (reused by queries and DedupSpec). */
+  /** MinHash+LSH pipeline (reused by queries and DedupSpec).
+    *
+    * Candidates are (lang, id, id) triples only — the band join and the
+    * cross-band dedup never shuffle shingle arrays; shingle sets re-join by
+    * doc_id for the exact-Jaccard verify. Recomputing shingles on the
+    * verify side is a codegen'd scan; shipping every document's shingle
+    * array through the band-key shuffle twice is corpus × bands bytes. */
   def minhashLshPairs(docs: DataFrame, w: Int, k: Int, b: Int, r: Int,
       threshold: Double): DataFrame = {
     require(b * r == k, "bands × rows must equal signature length")
     val base = docs.select(col("doc_id"), col("lang"),
       array_distinct(shingles(col("text"), w)).as("sh"))
-      .withColumn("sig", minhashSig(col("sh"), k))
-    val banded = base.select(col("doc_id"), col("lang"), col("sh"),
-      posexplode(bandKeys(col("sig"), b, r)).as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"), col("lang"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val bb = banded.select(col("band"), col("bkey"), col("lang"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(bb, Seq("band", "bkey", "lang"))
+    val banded = base
+      .select(col("doc_id"), col("lang"),
+        posexplode(bandKeys(minhashSig(col("sh"), k), b, r)).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col("lang"), col("doc_id").as("id_a"))
+    val bb = banded.select(col("band"), col("bkey"), col("lang"), col("doc_id").as("id_b"))
+    val cand = a.join(bb, Seq("band", "bkey", "lang"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("lang"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("lang"), col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jac") >= threshold)
       .select(col("lang"), col("id_a"), col("id_b"), col("jac"))

@@ -182,13 +182,19 @@ object SimilarityOps {
         .reduce(_ + _)
     }: _*)
     val e = embeddings.select(col("vec_id"), emb(col("embedding")).as("v"))
-      .select(col("vec_id"), col("v"),
-        posexplode(bucketsPerTable).as(Seq("tb", "bucket")))
-    val a = e.select(col("tb"), col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("tb"), col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("tb", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .dropDuplicates("id_a", "id_b")
+    // candidates are ID PAIRS only: the bucket join and the cross-table
+    // dedup shuffle 16 bytes/pair instead of two dim-sized vectors; the
+    // vectors re-join by id for the verify (candidate set ≪ corpus × T)
+    val banded = e.select(col("vec_id"),
+      posexplode(bucketsPerTable).as(Seq("tb", "bucket")))
+    val a = banded.select(col("tb"), col("bucket"), col("vec_id").as("id_a"))
+    val b = banded.select(col("tb"), col("bucket"), col("vec_id").as("id_b"))
+    val cand = a.join(b, Seq("tb", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b") // same pair may collide in several tables
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= floor)
       .select(col("id_a"), col("id_b"), col("sim"))
