@@ -1,23 +1,29 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
-/** Scratch: time individual registered queries (args = query names). */
+/** Diagnostic: time individual registered queries (args = query names),
+  * under the SAME session config as graft.Bench phase A so numbers are
+  * directly comparable (honors SPARK_GRAFT_CPUS / SPARK_GRAFT_SF_DIR). */
 object QTime {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 64)
-      .config("spark.sql.files.maxPartitionBytes", "1g")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    args.foreach { q =>
-      val fn = graft.SparkEntry.queries(q)
-      fn(spark, dir).count() // warm
-      val t0 = System.nanoTime(); val n = fn(spark, dir).count()
-      println(f"[qtime] $q%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(if (java.nio.file.Files.isWritable(
+        java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else
+        System.getProperty("java.io.tmpdir")), "graft-qtime").toString
+    val spark = graft.BenchJobs.session(cpus, s"$work/local")
+    try {
+      args.foreach { q =>
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, dir).count() // warm
+        val t0 = System.nanoTime(); val n = fn(spark, dir).count()
+        println(f"[qtime] $q%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      }
+    } finally {
+      spark.stop()
+      graft.lake.LakeTable.deleteRecursively(java.nio.file.Paths.get(work))
     }
-    spark.stop()
   }
 }
