@@ -58,7 +58,7 @@ class ViewsAndRepairSpec extends SparkTestBase {
       def expectedOf(df: org.apache.spark.sql.DataFrame) =
         Reconciler.expectedFromLog(df, ChangeEvent.keyCols).count()
       def await(n: Long): Unit = {
-        val deadline = System.nanoTime() + 60L * 1000000000L
+        val deadline = System.nanoTime() + 120L * 1000000000L // generous: shared host
         while (t.currentState().count() != n) {
           assert(System.nanoTime() < deadline, s"timed out waiting for $n rows")
           Thread.sleep(200)
