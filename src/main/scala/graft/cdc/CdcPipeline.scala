@@ -158,11 +158,21 @@ object CdcPipeline {
     // ONE column-pruned probe pass per batch (was three in round 1: emptiness
     // + max schema_version, key histogram, per-bucket applied-stats inside
     // merge). Everything driver-side decisions need comes out of it.
+    val keyColsBefore = table.meta.keyCols
     val stats = phase("stats")(batchStats(batch, table.bucketExpr(table.meta)))
     if (stats.isEmpty) return
-    val planExhausted = evolution.isEmpty ||
-      versions.get(table.root) >= evolution.keys.max
+    val versionBefore = versions.get(table.root)
+    val planExhausted = evolution.isEmpty || versionBefore >= evolution.keys.max
     if (!planExhausted) evolveTo(stats.maxSchemaVersion, table, evolution, versions)
+    // stats were computed with the PRE-evolution bucketing; if an evolution
+    // step applied this batch renamed a key column, merge's post-evolution
+    // buckets can diverge from the precomputed touched set — recompute in
+    // that (rare) case rather than miss existing rows in touched buckets
+    val keyRenamed = !planExhausted &&
+      (versionBefore + 1 to stats.maxSchemaVersion).flatMap(evolution.get).flatten.exists {
+        case RenameColumn(from, _) => keyColsBefore.contains(from)
+        case _ => false
+      }
 
     val hist = stats.hist
     val effectiveSalts =
@@ -175,11 +185,13 @@ object CdcPipeline {
     // lineage row counts are change events routed to the bucket (pre-dedup):
     // the number the source delivered, which is what throughput reports mean
     val lineage = phase("merge")(table.merge(toMergeInput(deduped, table), epochId,
-      precomputedStats = Some(stats.perBucket)))
-    // maintained rollup views refresh after every applied commit (skipped
-    // when the epoch was a replayed no-op); each view is itself exactly-once
-    // per epoch via its own ledger
-    if (lineage.isDefined) views.foreach(_.refreshAll(epochId))
+      precomputedStats = if (keyRenamed) None else Some(stats.perBucket)))
+    // view refresh runs UNCONDITIONALLY for non-empty batches: if the process
+    // crashed after the base commit but before the refresh, the replayed
+    // epoch's merge is a no-op (None) — skipping refresh then would leave the
+    // views stale forever in a drained replay. refreshAll is idempotent per
+    // epoch via each view's own ledger, so re-running it costs a no-op.
+    views.foreach(_.refreshAll(epochId))
     lineage.foreach { lin =>
       lineageDir.foreach { dir =>
         val spark = batch.sparkSession

@@ -30,8 +30,12 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   def listNamespaces(): Seq[String] = {
     val w = Paths.get(warehouse)
     if (!Files.isDirectory(w)) return Seq.empty
-    Files.list(w).iterator().asScala.filter(Files.isDirectory(_))
+    // close the Files.list stream — every SQL catalog op calls this, and an
+    // unclosed stream leaks a directory fd per call in long-running drivers
+    val s = Files.list(w)
+    try s.iterator().asScala.filter(Files.isDirectory(_))
       .map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
   }
 
   /** Table names are restricted to [A-Za-z0-9_] — a name containing '/' or
@@ -62,9 +66,11 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   def listTables(ns: String): Seq[String] = {
     val d = Paths.get(warehouse, namespaceName(ns))
     if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).iterator().asScala
+    val s = Files.list(d)
+    try s.iterator().asScala
       .filter(p => LakeTable.exists(p.toString))
       .map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
   }
 
   def dropTable(ns: String, table: String): Unit =

@@ -157,14 +157,17 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       s"merge input needs columns ${dataCols ++ ChangeCols}, got ${changes.columns.toSeq}")
 
     val snapshotId = m0.currentSnapshotId + 1
-    val b = bucketExpr(m0)
     // cast every data column to its declared type — guards the storage
     // format against NullType/narrower inputs from ad-hoc callers
-    val typedDataCols = m0.currentSchema.columns
-      .map(c => col(c.name).cast(c.dataType).as(c.name))
+    val typedDataCols = typedDataColsOf(m0)
+    // bucket is computed AFTER the cast (over the schema-typed key columns):
+    // hash(Int 5) != hash(Long 5), so an ad-hoc caller passing a narrower
+    // key type must still land in the same bucket that schema-typed merges
+    // and the SQL point-lookup pruning (GraftScanBuilder.bucketOf) compute
     val incoming = changes
       .select((typedDataCols ++ Seq(col("lsn").cast(LongType).as(LsnCol),
-        col("op"), b.as(BucketCol))): _*)
+        col("op"))): _*)
+      .withColumn(BucketCol, bucketExpr(m0))
 
     // Per-bucket applied-row counts and lsn bounds: touched-bucket discovery
     // for manifest-level partition pruning, and the lineage record. The CDC
@@ -214,12 +217,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // single heavy pass: aggregate + write staging; per-file stats come from
     // re-reading the staged files' (bucket, lsn) columns — a metadata-cheap
     // columnar scan, instead of persisting the whole merged output
-    val stagingRel = f"data/snap-$snapshotId%012d"
-    val staging = Paths.get(root, stagingRel)
-    // overwrite: a crashed attempt (or a lost optimistic-commit race) leaves a
-    // partial staging dir at this deterministic path; the epoch replay must be
-    // able to recompute it, or exactly-once recovery (ST5) can never self-heal
-    out.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+    val staging = stageWrite(out, snapshotId)
 
     val newFiles = statsFromFooters(staging, m0.currentSchemaId)
 
@@ -227,12 +225,14 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       graft.cdc.PartitionLineage(epochId, bucket, mn, mx, cnt, snapshotId)
     }
 
-    retryCommit { m =>
-      require(m.currentSnapshotId == m0.currentSnapshotId,
-        s"concurrent commit detected (base ${m0.currentSnapshotId}, now ${m.currentSnapshotId})")
-      val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
-        m.currentSchemaId, "merge", kept ++ newFiles, System.currentTimeMillis())
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+    commitOrClean(staging) {
+      retryCommit { m =>
+        require(m.currentSnapshotId == m0.currentSnapshotId,
+          s"concurrent commit detected (base ${m0.currentSnapshotId}, now ${m.currentSnapshotId})")
+        val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
+          m.currentSchemaId, "merge", kept ++ newFiles, System.currentTimeMillis())
+        m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+      }
     }
     Some(applied)
   }
@@ -242,24 +242,24 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   def append(rows: DataFrame, epochId: Long = -1L): Unit = {
     val m0 = meta
     if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return
-    val dataCols = m0.currentSchema.columns.map(_.name)
     val snapshotId = m0.currentSnapshotId + 1
-    val withMeta0 = rows.select((dataCols.map(col) :+
+    val withMeta0 = rows.select((typedDataColsOf(m0) :+
       (if (rows.columns.contains("lsn")) col("lsn").cast(LongType).as(LsnCol)
-       else lit(0L).as(LsnCol)) :+ bucketExpr(m0).as(BucketCol)): _*)
+       else lit(0L).as(LsnCol))): _*)
+      .withColumn(BucketCol, bucketExpr(m0)) // bucket from cast keys (see merge)
     val withMeta = withMeta0.withColumn(DeletedCol, lit(false)).persist()
     try {
-      val stagingRel = f"data/snap-$snapshotId%012d"
-      val staging = Paths.get(root, stagingRel)
-      withMeta.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+      val staging = stageWrite(withMeta, snapshotId)
       val newFiles = statsFromFooters(staging, m0.currentSchemaId)
-      retryCommit { m =>
-        require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
-        val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
-          m.currentSchemaId, "append",
-          m.currentSnapshot.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-          System.currentTimeMillis())
-        m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+      commitOrClean(staging) {
+        retryCommit { m =>
+          require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+          val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
+            m.currentSchemaId, "append",
+            m.currentSnapshot.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+            System.currentTimeMillis())
+          m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+        }
       }
     } finally withMeta.unpersist()
   }
@@ -271,20 +271,21 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   def replace(rows: DataFrame, epochId: Long = -1L): Unit = {
     val m0 = meta
     if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return
-    val dataCols = m0.currentSchema.columns.map(_.name)
     val snapshotId = m0.currentSnapshotId + 1
-    val withMeta = rows.select((dataCols.map(col) :+
+    val withMeta = rows.select((typedDataColsOf(m0) :+
       (if (rows.columns.contains("lsn")) col("lsn").cast(LongType).as(LsnCol)
-       else lit(0L).as(LsnCol)) :+ bucketExpr(m0).as(BucketCol)): _*)
+       else lit(0L).as(LsnCol))): _*)
+      .withColumn(BucketCol, bucketExpr(m0)) // bucket from cast keys (see merge)
       .withColumn(DeletedCol, lit(false))
-    val staging = Paths.get(root, f"data/snap-$snapshotId%012d")
-    withMeta.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+    val staging = stageWrite(withMeta, snapshotId)
     val newFiles = statsFromFooters(staging, m0.currentSchemaId)
-    retryCommit { m =>
-      require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
-      val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
-        m.currentSchemaId, "replace", newFiles, System.currentTimeMillis())
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+    commitOrClean(staging) {
+      retryCommit { m =>
+        require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+        val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
+          m.currentSchemaId, "replace", newFiles, System.currentTimeMillis())
+        m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+      }
     }
   }
 
@@ -309,15 +310,16 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .persist()
     try {
       val snapshotId = m0.currentSnapshotId + 1
-      val staging = Paths.get(root, f"data/snap-$snapshotId%012d")
-      surviving.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+      val staging = stageWrite(surviving, snapshotId)
       val newFiles = statsFromFooters(staging, m0.currentSchemaId)
       val removed = rewrittenFiles.map(_.rowCount).sum - newFiles.map(_.rowCount).sum
-      retryCommit { m =>
-        require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
-        val s = Snapshot(snapshotId, m0.currentSnapshotId, -1,
-          m.currentSchemaId, "vacuum", kept ++ newFiles, System.currentTimeMillis())
-        m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId)
+      commitOrClean(staging) {
+        retryCommit { m =>
+          require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+          val s = Snapshot(snapshotId, m0.currentSnapshotId, -1,
+            m.currentSchemaId, "vacuum", kept ++ newFiles, System.currentTimeMillis())
+          m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId)
+        }
       }
       removed
     } finally surviving.unpersist()
@@ -394,6 +396,52 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   }
 
   // ------------------------------------------------------------- internals
+
+  /** Data columns cast to their declared types (storage-format guard for
+    * ad-hoc callers passing narrower/NullType inputs). */
+  private def typedDataColsOf(m: TableMeta): Seq[Column] =
+    m.currentSchema.columns.map(c => col(c.name).cast(c.dataType).as(c.name))
+
+  /** Write `df` to a fresh per-attempt staging directory. The unique token
+    * means two concurrent writers starting from the same snapshot (e.g.
+    * vacuum racing a merge) can never target the same dir — a deterministic
+    * overwrite path would let the losing racer delete files the winner's
+    * committed snapshot references. Crashed attempts leave unreferenced
+    * (harmless) dirs, reaped by [[cleanOrphanedStaging]]. */
+  private def stageWrite(df: DataFrame, snapshotId: Long): Path = {
+    // token is path-only randomness — never on the data path (F12)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Paths.get(root, f"data/snap-$snapshotId%012d-$token")
+    df.write.partitionBy(BucketCol).parquet(staging.toString)
+    staging
+  }
+
+  /** Run the metadata commit, deleting the staging dir if it throws
+    * (lost optimistic race / persistent conflict): staged files must be
+    * referenced by a successful commit or removed. */
+  private def commitOrClean[A](staging: Path)(commit: => A): A =
+    try commit catch {
+      case e: Throwable => deleteRecursively(staging); throw e
+    }
+
+  /** Reap staging dirs no snapshot references and older than `olderThanMs`
+    * (crashed attempts, lost commit races whose cleanup itself crashed).
+    * The age guard protects concurrent in-flight writers, whose staging is
+    * legitimately unreferenced until their commit lands. */
+  def cleanOrphanedStaging(olderThanMs: Long = 3600000L): Int = {
+    val referenced = meta.snapshots
+      .flatMap(_.files.map(f => Paths.get(root).resolve(f.path).getParent.getParent))
+      .toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val candidates = {
+      val s = Files.list(dataRoot)
+      try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq finally s.close()
+    }
+    val orphans = candidates.filterNot(referenced.contains)
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+    orphans.foreach(deleteRecursively)
+    orphans.size
+  }
 
   /** Read a set of data files, projecting every file group (by the schema
     * it was written under) into `targetSchemaId` via column-ID mapping. */
@@ -485,8 +533,11 @@ object LakeTable {
   }
 
   def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
 
   private[lake] def load(root: String): TableMeta = {
     val d = Paths.get(root, "metadata")
@@ -496,11 +547,17 @@ object LakeTable {
 
   private[lake] def latestVersion(metaDir: Path): Option[Long] = {
     if (!Files.isDirectory(metaDir)) return None
-    val vs = Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-      .toSeq
+    // Files.list streams hold a directory fd until closed — a long-running
+    // streaming driver loads metadata every micro-batch and would leak one
+    // fd per load without the explicit close
+    val s = Files.list(metaDir)
+    val vs = try {
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+        .toSeq
+    } finally s.close()
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -522,10 +579,13 @@ object LakeTable {
     }
   }
 
-  private[lake] def listParquet(dir: Path): Seq[Path] =
-    Files.walk(dir).iterator().asScala
+  private[lake] def listParquet(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
+    finally s.close()
+  }
 
   private[lake] def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
     case (IntegerType, LongType) => true

@@ -72,11 +72,16 @@ object MigrationRunner {
   def load(dir: String): Seq[Migration] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".sql")).toSeq.sortBy(_.toString)
-      .map { p: Path =>
-        parse(p.getFileName.toString.stripSuffix(".sql"), Files.readString(p))
-      }
+    // close the Files.list stream: scheduled migrateAll beats otherwise leak
+    // one directory fd per beat in a long-running driver
+    val s = Files.list(d)
+    val sqlFiles = try {
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".sql")).toSeq.sortBy(_.toString)
+    } finally s.close()
+    sqlFiles.map { p: Path =>
+      parse(p.getFileName.toString.stripSuffix(".sql"), Files.readString(p))
+    }
   }
 
   /** Kahn topological order, deterministic (ready set processed in id order).

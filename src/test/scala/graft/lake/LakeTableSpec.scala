@@ -210,27 +210,31 @@ class LakeTableSpec extends SparkTestBase {
     intercept[Exception](t.read(Some(1L)).count())
   }
 
-  test("a crashed attempt's partial staging dir does not wedge epoch replay") {
+  test("crashed staging dirs are orphaned, ignored by replay, and reaped with an age guard") {
+    import java.nio.file.{Files, Paths}
     val t = freshTable()
     import spark.implicits._
     val in = Seq((1L, "I", "r", "p", "c", "scala", "v1"))
       .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
     // simulate a crash after staging was partially written but before commit:
-    // the NEXT snapshot id's deterministic staging path already exists
-    val staging = java.nio.file.Paths.get(t.root,
-      f"data/snap-${t.meta.currentSnapshotId + 1}%012d")
-    java.nio.file.Files.createDirectories(staging)
-    java.nio.file.Files.writeString(staging.resolve("part-garbage.parquet"), "junk")
-    // recovery (foreachBatch replays the epoch) must overwrite and succeed
+    // staging dirs are per-attempt unique, so the dead attempt's dir can never
+    // collide with (or be clobbered by) the recovery attempt — the pre-r3
+    // deterministic-path overwrite let a losing racer delete a winner's files
+    val dead = Paths.get(t.root,
+      f"data/snap-${t.meta.currentSnapshotId + 1}%012d-deadbeef")
+    Files.createDirectories(dead)
+    Files.writeString(dead.resolve("part-garbage.parquet"), "junk")
     assert(t.merge(in, epochId = 0).isDefined)
     assert(t.currentState().count() == 1)
-    // same for append and vacuum staging paths
-    val staging2 = java.nio.file.Paths.get(t.root,
-      f"data/snap-${t.meta.currentSnapshotId + 1}%012d")
-    java.nio.file.Files.createDirectories(staging2)
-    t.append(Seq(("r2", "p2", "c2", "scala", "v2", 2L))
-      .toDF("repo", "path", "commit", "lang", "content", "lsn"))
-    assert(t.currentState().count() == 2)
+    // the orphan is untouched by the commit (unreferenced, harmless) ...
+    assert(Files.exists(dead))
+    // ... kept by the reaper while younger than the age guard (it could be a
+    // concurrent in-flight writer's staging) ...
+    assert(t.cleanOrphanedStaging(olderThanMs = 3600000L) == 0)
+    // ... and reaped once old enough; committed data dirs are never touched
+    assert(t.cleanOrphanedStaging(olderThanMs = -1L) == 1)
+    assert(!Files.exists(dead))
+    assert(t.currentState().count() == 1)
   }
 
   test("snapshot expiry preserves the epoch ledger (exactly-once survives retention)") {
