@@ -443,6 +443,11 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     orphans.size
   }
 
+  /** Read an explicit data-file subset (incremental view maintenance diffs
+    * per-snapshot file sets; scan cost is the caller's responsibility). */
+  private[graft] def readFileSubset(files: Seq[DataFileMeta], targetSchemaId: Int): DataFrame =
+    readFiles(meta, files, targetSchemaId)
+
   /** Read a set of data files, projecting every file group (by the schema
     * it was written under) into `targetSchemaId` via column-ID mapping. */
   private def readFiles(m: TableMeta, files: Seq[DataFileMeta], targetSchemaId: Int): DataFrame = {

@@ -1,44 +1,162 @@
 package graft.lake
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Maintained aggregate views (reference: query-side rollup views kept
   * next to the fact tables and refreshed by the sync cron —
   * `migrations/20230207_01_53Bud.sql:4-24`, `20230606_01_cY4nG.sql:4-17`).
   *
-  * Each view is a named transform of the base table's live state, persisted
-  * as a lake table of its own (state = table, ST7) and refreshed per commit
-  * epoch with full-refresh `replace` semantics — rollups are winners-only
-  * aggregates, orders of magnitude smaller than the change log, so a
-  * recompute per refresh is the scale-correct trade (incremental view
-  * maintenance would save little and complicate invalidation). Refresh is
-  * exactly-once per epoch via the view table's own epoch ledger: a replayed
-  * micro-batch cannot double-refresh. */
-case class ViewDef(name: String, transform: DataFrame => DataFrame)
+  * Two flavors:
+  *
+  *  - [[ViewDef]] — an arbitrary `DataFrame => DataFrame` transform,
+  *    recomputed from the base table's full live state each refresh and
+  *    committed with full-refresh `replace` semantics (groups that
+  *    disappeared from the source must disappear here). Exactly-once per
+  *    epoch via the view table's own ledger. Use only for small bases or
+  *    transforms that aren't incrementally maintainable.
+  *
+  *  - [[RollupView]] — a count/sum rollup maintained INCREMENTALLY from the
+  *    base table's snapshot file diffs: each refresh reads only the data
+  *    files the base commit added or removed (∝ batch key-coverage, because
+  *    merge rewrites only touched buckets), never the full base table. At
+  *    100 TB with a 600 s commit beat, a full base scan per epoch per view
+  *    is a scale-killer; the rollup delta is
+  *    `Σ weight·value` over (added files, +1) ∪ (removed files, −1),
+  *    combined with the stored view by a full-outer join and re-written
+  *    (the view itself is aggregate-small). Counts/sums are exact under
+  *    retraction; groups whose row count reaches zero are dropped —
+  *    byte-equal to a full recompute.
+  *
+  * RollupView's ledger records the BASE SNAPSHOT ID (as the view table's
+  * commit epoch), so refresh is self-catching-up: a crash between base
+  * commit and view refresh just leaves base snapshots pending, applied in
+  * order on the next refresh — no dependence on stream epoch replay. If
+  * retention expired the parent snapshot a diff would need, refresh falls
+  * back to one full recompute and resumes incremental from there.
+  */
+sealed trait ViewSpec { def name: String }
 
-class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewDef]) {
+case class ViewDef(name: String, transform: DataFrame => DataFrame) extends ViewSpec
+
+/** Incrementally-maintained rollup: `groupBy(groupCols).agg(count(*) as
+  * countAlias, sum(src) as alias...)`. Sum columns should be integral for
+  * bit-exact equivalence with a full recompute (float addition order
+  * differs); group columns follow SQL GROUP BY null semantics (null-safe
+  * grouped via a null-safe join on the delta path). */
+case class RollupView(name: String, groupCols: Seq[String],
+    sumCols: Seq[(String, String)] = Seq.empty, // (source column, output alias)
+    countAlias: String = "n") extends ViewSpec
+
+class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) {
   private val spark = base.spark
 
   /** View tables are created lazily on first refresh (schema = transform
-    * output; keyed on all columns — replace never reconciles keys). */
-  private def viewTable(d: ViewDef, schema: StructType): LakeTable = {
-    val path = s"$viewsRoot/${d.name}"
+    * output; keyed on the group/leading columns — replace never reconciles
+    * keys, the key only drives bucketing). */
+  private def viewTableFor(name: String, schema: StructType, keyCols: Seq[String]): LakeTable = {
+    val path = s"$viewsRoot/$name"
     if (LakeTable.exists(path)) LakeTable.forPath(spark, path)
-    else LakeTable.create(spark, path, schema, Seq(schema.fieldNames.head),
+    else LakeTable.create(spark, path, schema, keyCols,
       numBuckets = 1) // rollups are small; one bucket, one file per refresh
   }
 
   def table(name: String): LakeTable =
     LakeTable.forPath(spark, s"$viewsRoot/$name")
 
-  /** Recompute every view from the base table's current state. Idempotent
-    * per epochId. */
-  def refreshAll(epochId: Long = -1L): Unit = {
-    val state = base.currentState()
-    defs.foreach { d =>
-      val out = d.transform(state)
-      viewTable(d, out.schema).replace(out, epochId)
+  /** Refresh every view. Idempotent: ViewDef per `epochId`, RollupView per
+    * base snapshot id. Returns data files READ from the base table per view
+    * (the incremental-maintenance cost metric — ∝ batch for RollupView). */
+  def refreshAll(epochId: Long = -1L): Map[String, Long] =
+    defs.map {
+      case d: ViewDef => d.name -> refreshFull(d, epochId)
+      case r: RollupView => r.name -> refreshRollup(r)
+    }.toMap
+
+  // ------------------------------------------------------------ full refresh
+
+  private def refreshFull(d: ViewDef, epochId: Long): Long = {
+    val out = d.transform(base.currentState())
+    viewTableFor(d.name, out.schema, Seq(out.schema.fieldNames.head))
+      .replace(out, epochId)
+    base.meta.currentSnapshot.map(_.files.size.toLong).getOrElse(0L)
+  }
+
+  // ----------------------------------------------------------------- rollups
+
+  private def rollupAgg(state: DataFrame, r: RollupView): DataFrame =
+    state.groupBy(r.groupCols.map(col): _*)
+      .agg(count(lit(1)).as(r.countAlias),
+        r.sumCols.map { case (src, alias) => sum(col(src)).as(alias) }: _*)
+
+  /** Apply every base snapshot the view hasn't seen, in order: incremental
+    * file-diff delta when the parent snapshot is still in metadata, full
+    * recompute otherwise (first refresh, or retention expired the parent). */
+  private def refreshRollup(r: RollupView): Long = {
+    val m = base.meta
+    val cur = m.currentSnapshot.getOrElse(return 0L)
+    val path = s"$viewsRoot/${r.name}"
+    var applied: Long =
+      if (!LakeTable.exists(path)) -1L
+      else LakeTable.metaAt(path).committedEpochs.foldLeft(-1L)(math.max)
+    if (applied >= cur.snapshotId) return 0L // up to date
+    var scanned = 0L
+    m.snapshots.filter(_.snapshotId > applied).sortBy(_.snapshotId).foreach { s =>
+      val parent = m.snapshotById(s.parentId)
+      scanned +=
+        (if (s.parentId == applied && parent.isDefined) incrementalStep(r, parent.get, s)
+         else fullStep(r, s))
+      applied = s.snapshotId
     }
+    scanned
+  }
+
+  private def fullStep(r: RollupView, s: Snapshot): Long = {
+    val out = rollupAgg(base.currentState(Some(s.snapshotId)), r)
+    viewTableFor(r.name, out.schema, r.groupCols).replace(out, s.snapshotId)
+    s.files.size.toLong
+  }
+
+  /** One snapshot's delta: read ONLY files added/removed by the commit
+    * (merge rewrites whole touched buckets, so the symmetric difference is
+    * exactly the touched-bucket files), weight +1/−1, aggregate, combine
+    * with the stored view, drop groups whose live-row count hits zero. */
+  private def incrementalStep(r: RollupView, parent: Snapshot, s: Snapshot): Long = {
+    val parentPaths = parent.files.map(_.path).toSet
+    val curPaths = s.files.map(_.path).toSet
+    val added = s.files.filterNot(f => parentPaths.contains(f.path))
+    val removed = parent.files.filterNot(f => curPaths.contains(f.path))
+    val vt = table(r.name)
+    if (added.isEmpty && removed.isEmpty) {
+      // nothing changed (e.g. metadata-only commit): just advance the ledger
+      vt.replace(vt.currentState(), s.snapshotId)
+      return 0L
+    }
+    def weighted(files: Seq[DataFileMeta], w: Long): DataFrame =
+      base.readFileSubset(files, s.schemaId)
+        .filter(!col(LakeTable.DeletedCol))
+        .select((r.groupCols.map(col) ++
+          r.sumCols.map { case (src, _) => col(src) } :+
+          lit(w).as("__w")): _*)
+    val delta = weighted(added, 1L).unionByName(weighted(removed, -1L))
+      .groupBy(r.groupCols.map(col): _*)
+      .agg(sum(col("__w")).as("__dn"),
+        r.sumCols.map { case (src, alias) =>
+          sum(col(src) * col("__w")).as(s"__d_$alias") }: _*)
+    val stored = vt.currentState()
+    // null-safe join: a null group key must merge with its stored row, not
+    // fork a duplicate group (SQL GROUP BY treats nulls as one group)
+    val cond = r.groupCols.map(c => stored(c) <=> delta(c)).reduce(_ && _)
+    val merged = stored.join(delta, cond, "full_outer")
+      .select((r.groupCols.map(c => coalesce(stored(c), delta(c)).as(c)) :+
+        (coalesce(stored(r.countAlias), lit(0L)) +
+          coalesce(delta("__dn"), lit(0L))).as(r.countAlias)) ++
+        r.sumCols.map { case (_, alias) =>
+          (coalesce(stored(alias), lit(0L)) +
+            coalesce(delta(s"__d_$alias"), lit(0L))).as(alias) }: _*)
+      .filter(col(r.countAlias) > 0)
+    vt.replace(merged, s.snapshotId)
+    (added.size + removed.size).toLong
   }
 }

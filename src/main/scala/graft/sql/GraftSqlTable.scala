@@ -3,17 +3,20 @@ package graft.sql
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import scala.jdk.CollectionConverters._
 import graft.lake.{LakeTable, TableMeta}
 
-/** DSv2 read surface of one lake table (live rows, tombstones filtered),
-  * optionally pinned to a snapshot (`VERSION AS OF`).
+/** DSv2 surface of one lake table: reads over live rows (tombstones
+  * filtered), optionally pinned to a snapshot (`VERSION AS OF`), plus SQL
+  * writes — see [[GraftWriteBuilder]].
   *
   * The scan plans one InputPartition per data file and materializes rows with
   * a parquet row-group reader, mapping each file's stored columns to the read
@@ -24,7 +27,7 @@ import graft.lake.{LakeTable, TableMeta}
   * paths (merge/replay) use the native vectorized reader via `LakeTable`.
   */
 class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   // metadata is pinned at load time: one SQL query = one consistent snapshot
   private val meta: TableMeta = LakeTable.metaAt(root)
@@ -40,11 +43,50 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
     Map("location" -> root, "format" -> "graft-lake",
       "snapshot-id" -> snap.map(_.snapshotId.toString).getOrElse("-")).asJava
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, meta, readSchemaId,
       snap.map(_.files).getOrElse(Seq.empty), schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(snapshotId.isEmpty, s"cannot write to time-travel view $displayName")
+    new GraftWriteBuilder(root)
+  }
+}
+
+/** SQL write path (the reference's entire write surface is SQL — ON
+  * CONFLICT upserts in `queries/fact_studies.py:63-83`):
+  *
+  *  - `INSERT INTO graftsql.ns.t ...` — keyed MERGE upsert: each statement
+  *    is one lake commit at lsn = the table's applied high-water + 1, so
+  *    rows whose keys already exist are updated (ON CONFLICT DO UPDATE
+  *    semantics), new keys are inserted, and a later INSERT outranks this
+  *    one by LWW.
+  *  - `INSERT OVERWRITE graftsql.ns.t ...` — full-replace snapshot commit.
+  *
+  * V1Write hands the insert a driver-side DataFrame, which lands directly
+  * on the engine's native merge/replace — the distributed heavy lifting
+  * (bucket pruning, LWW aggregation, staging write) is exactly the plan the
+  * streaming path runs; no second write implementation to keep correct. */
+class GraftWriteBuilder(root: String) extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean): Unit = {
+        val t = LakeTable.forPath(data.sparkSession, root)
+        if (overwrite || overwriteFlag) t.replace(data)
+        else {
+          val nextLsn = t.meta.currentSnapshot
+            .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
+          import org.apache.spark.sql.functions.lit
+          t.merge(data.withColumn("lsn", lit(nextLsn)).withColumn("op", lit("I")))
+        }
+      }
+    }
+  }
 }
 
 class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,

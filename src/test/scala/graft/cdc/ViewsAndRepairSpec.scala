@@ -42,6 +42,93 @@ class ViewsAndRepairSpec extends SparkTestBase {
     assert(viewRows() == Map("scala" -> 2L))
   }
 
+  test("incremental rollup view: byte-equal to full recompute, reads ∝ batch, catch-up after skipped refresh") {
+    import spark.implicits._
+    val t = LakeTable.createOrReplace(spark, tmpDir("ivtbl"), baseTableSchema,
+      ChangeEvent.keyCols, numBuckets = 32)
+    val vmCount = new ViewMaintainer(t, tmpDir("iviews2"), Seq(
+      RollupView("langs", Seq("lang"))))
+    def mkBatch(rows: Seq[(Long, String, String, String, String, String, String)]) =
+      rows.toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    val versions = new TableVersions
+
+    // epoch 0: broad insert batch touching many buckets
+    val b0 = mkBatch((1 to 60).map(i =>
+      (i.toLong, "I", s"r${i % 7}", s"p$i", "c", if (i % 3 == 0) "py" else "scala", s"v$i")))
+    CdcPipeline.processBatch(b0, 0L, t, Map.empty, versions, None, views = Some(vmCount))
+
+    def viewRows() = vmCount.table("langs").currentState()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def fullRecompute() = t.currentState().groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viewRows() == fullRecompute())
+    assert(viewRows() == Map("scala" -> 40L, "py" -> 20L))
+
+    // epoch 1: small batch touching ONE key (one bucket of 32): the refresh
+    // must read only that bucket's old+new files, not the whole table
+    val totalFiles = t.meta.currentSnapshot.get.files.size
+    val b1 = mkBatch(Seq((100L, "U", "r1", "p1", "c", "scala", "v1b")))
+    val stats1 = CdcPipeline.batchStats(b1, t.bucketExpr(t.meta))
+    t.merge(CdcPipeline.toMergeInput(b1, t), 1L, Some(stats1.perBucket))
+    val scanned = vmCount.refreshAll(1L)("langs")
+    assert(scanned <= 2, s"incremental refresh read $scanned files") // old+new file of 1 bucket
+    assert(scanned < totalFiles, s"refresh must not scan all $totalFiles files")
+    assert(viewRows() == fullRecompute())
+
+    // epoch 2: delete every py row — the py group must VANISH (count-zero drop)
+    val b2 = mkBatch((1 to 60).filter(_ % 3 == 0).map(i =>
+      (200L + i, "D", s"r${i % 7}", s"p$i", "c", "py", null: String)))
+    CdcPipeline.processBatch(b2, 2L, t, Map.empty, versions, None, views = Some(vmCount))
+    assert(viewRows() == fullRecompute())
+    assert(!viewRows().contains("py"))
+
+    // crash window: base commits an epoch but the refresh never runs...
+    val b3 = mkBatch(Seq((400L, "I", "r9", "p900", "c", "go", "g1")))
+    val stats3 = CdcPipeline.batchStats(b3, t.bucketExpr(t.meta))
+    t.merge(CdcPipeline.toMergeInput(b3, t), 3L, Some(stats3.perBucket))
+    // ...and another epoch lands after it. refreshAll must catch BOTH up, in
+    // order, from the view's own base-snapshot ledger.
+    val b4 = mkBatch(Seq((401L, "I", "r9", "p901", "c", "go", "g2")))
+    CdcPipeline.processBatch(b4, 4L, t, Map.empty, versions, None, views = Some(vmCount))
+    assert(viewRows() == fullRecompute())
+    assert(viewRows()("go") == 2L)
+
+    // replayed refresh: no new base snapshot → zero reads, state unchanged
+    val snapBefore = vmCount.table("langs").meta.currentSnapshotId
+    assert(vmCount.refreshAll(4L)("langs") == 0L)
+    assert(vmCount.table("langs").meta.currentSnapshotId == snapBefore)
+  }
+
+  test("incremental rollup with sum columns matches full recompute under updates and deletes") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.StringType, true),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.LongType, true)))
+    val t = LakeTable.createOrReplace(spark, tmpDir("svtbl"), schema, Seq("k"), numBuckets = 8)
+    val vm = new ViewMaintainer(t, tmpDir("sviews"), Seq(
+      RollupView("by_grp", Seq("grp"), sumCols = Seq(("amount", "total")), countAlias = "n")))
+    def m(rows: Seq[(Long, String, String, String, java.lang.Long)]): Unit = {
+      val epoch = t.meta.currentSnapshotId // any fresh id
+      t.merge(rows.toDF("lsn", "op", "k", "grp", "amount"), 1000 + epoch)
+      vm.refreshAll()
+    }
+    def viewRows() = vm.table("by_grp").currentState()
+      .collect().map(r => (r.getString(0), (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    def full() = t.currentState().groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    m(Seq((1L, "I", "a", "g1", 10L), (2L, "I", "b", "g1", 5L), (3L, "I", "c", "g2", 7L)))
+    assert(viewRows() == full() && viewRows()("g1") == ((2L, 15L)))
+    // update moves a row BETWEEN groups: retraction from g1, addition to g2
+    m(Seq((4L, "U", "b", "g2", 6L)))
+    assert(viewRows() == full() && viewRows() == Map("g1" -> ((1L, 10L)), "g2" -> ((2L, 13L))))
+    // delete the last g2 rows: group disappears
+    m(Seq((5L, "D", "b", "g2", null), (6L, "D", "c", "g2", null)))
+    assert(viewRows() == full() && viewRows() == Map("g1" -> ((1L, 10L))))
+  }
+
   test("ProcessingTime trigger keeps tailing a growing log (reference's scheduled beat)") {
     val cfg = GenConfig(numEvents = 1000, numRepos = 5, pathsPerRepo = 3,
       commitsPerFile = 2, schemaBumps = Seq.empty)

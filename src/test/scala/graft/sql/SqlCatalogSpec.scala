@@ -111,6 +111,38 @@ class SqlCatalogSpec extends SparkTestBase {
       .head().getLong(0) == 200)
   }
 
+  test("INSERT INTO is a keyed upsert; INSERT OVERWRITE replaces; reads see each commit") {
+    val cat = setupCatalog("g6")
+    spark.sql("CREATE NAMESPACE g6.ns")
+    spark.sql("""CREATE TABLE g6.ns.docs (id BIGINT, lang STRING, n BIGINT)
+      TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    spark.sql("INSERT INTO g6.ns.docs VALUES (1, 'en', 10), (2, 'de', 20), (3, 'fr', 30)")
+    def rows() = spark.sql("SELECT id, lang, n FROM g6.ns.docs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows() == Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "fr", 30L)))
+
+    // overlapping keys: ON CONFLICT DO UPDATE semantics, one row per key
+    spark.sql("INSERT INTO g6.ns.docs VALUES (2, 'de', 99), (4, 'es', 40)")
+    assert(rows() == Seq((1L, "en", 10L), (2L, "de", 99L), (3L, "fr", 30L), (4L, "es", 40L)))
+
+    // INSERT ... SELECT through the same surface
+    spark.sql("INSERT INTO g6.ns.docs SELECT id + 10, lang, n * 2 FROM g6.ns.docs WHERE id <= 2")
+    assert(rows().map(_._1) == Seq(1L, 2L, 3L, 4L, 11L, 12L))
+
+    // each statement is one lake commit (native snapshots underneath)
+    val t = cat.loadTable("ns", "docs")
+    assert(t.meta.snapshots.count(_.operation == "merge") == 3)
+
+    // INSERT OVERWRITE: full replace, old keys gone
+    spark.sql("INSERT OVERWRITE g6.ns.docs VALUES (7, 'it', 70)")
+    assert(rows() == Seq((7L, "it", 70L)))
+
+    // time-travel views are read-only
+    val s1 = t.meta.currentSnapshotId
+    intercept[Exception](
+      spark.sql(s"INSERT INTO g6.ns.docs VERSION AS OF $s1 VALUES (8, 'pt', 80)"))
+  }
+
   test("column pruning is pushed into the parquet projection") {
     val cat = setupCatalog("g4")
     val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
