@@ -362,6 +362,9 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.collection.parallel.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
+    // column-id + spark-type lookup for data-column min/max collection
+    val colDefs = load(root).schemaById(schemaId).columns
+      .map(c => c.name -> (c.id, c.dataType)).toMap
     // footer reads are independent I/O — do them in parallel; a serial loop
     // over O(buckets) files is a fixed driver-side cost per commit that eats
     // into scaling efficiency (the commit doesn't get faster with cores)
@@ -373,24 +376,83 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       try {
         val blocks = reader.getFooter.getBlocks
         var cnt = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        var tombstones = false
+        var deletedColSeen = false
+        // per-column running min/max as comparable values (BigDecimal for
+        // numerics, String for strings); a column with ANY unusable block
+        // stat is dropped (absence = "cannot prune", always safe)
+        val accMin = scala.collection.mutable.Map.empty[Int, Any]
+        val accMax = scala.collection.mutable.Map.empty[Int, Any]
+        val invalid = scala.collection.mutable.Set.empty[Int]
+        def lt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: BigDecimal, y: BigDecimal) => x < y
+          case (x: String, y: String) => x < y
+          case _ => false
+        }
         blocks.forEach { b =>
           cnt += b.getRowCount
           b.getColumns.forEach { c =>
-            if (c.getPath.toDotString == LsnCol && c.getStatistics != null &&
-                !c.getStatistics.isEmpty) {
-              c.getStatistics.genericGetMin match {
-                case l: java.lang.Long =>
-                  if (l < mn) mn = l
-                  val hi = c.getStatistics.genericGetMax.asInstanceOf[java.lang.Long]
-                  if (hi > mx) mx = hi
-                case _ =>
-              }
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            val ok = st != null && !st.isEmpty && st.hasNonNullValue
+            name match {
+              case LsnCol if ok =>
+                st.genericGetMin match {
+                  case l: java.lang.Long =>
+                    if (l < mn) mn = l
+                    val hi = st.genericGetMax.asInstanceOf[java.lang.Long]
+                    if (hi > mx) mx = hi
+                  case _ =>
+                }
+              case DeletedCol =>
+                deletedColSeen = true
+                // no usable stats ⇒ conservatively assume tombstones present
+                if (!ok) tombstones = true
+                else st.genericGetMax match {
+                  case bl: java.lang.Boolean => if (bl) tombstones = true
+                  case _ => tombstones = true
+                }
+              case n if colDefs.contains(n) =>
+                val (id, dt) = colDefs(n)
+                if (!invalid.contains(id)) {
+                  val parsed: Option[(Any, Any)] =
+                    if (!ok) None
+                    else scala.util.Try {
+                      (st.genericGetMin, st.genericGetMax) match {
+                        case (a: org.apache.parquet.io.api.Binary,
+                              b2: org.apache.parquet.io.api.Binary) if dt == StringType =>
+                          Some((a.toStringUsingUTF8: Any, b2.toStringUsingUTF8: Any))
+                        case (a: java.lang.Number, b2: java.lang.Number)
+                            if dt.isInstanceOf[NumericType] =>
+                          Some((BigDecimal(a.toString): Any, BigDecimal(b2.toString): Any))
+                        case _ => None
+                      }
+                    }.toOption.flatten
+                  parsed match {
+                    case Some((lo, hi)) =>
+                      if (!accMin.contains(id) || lt(lo, accMin(id))) accMin(id) = lo
+                      if (!accMax.contains(id) || lt(accMax(id), hi)) accMax(id) = hi
+                    case None =>
+                      invalid += id; accMin -= id; accMax -= id
+                  }
+                }
+              case _ =>
             }
           }
         }
         if (cnt == 0) { mn = 0L; mx = 0L }
+        // cap rendered length: min/max of a KB-sized content column would
+        // bloat every metadata load (the merge path reads metadata per commit)
+        def render(m: collection.Map[Int, Any]): Map[String, String] =
+          m.iterator.map { case (id, v) => id.toString -> v.toString }
+            .filter(_._2.length <= 64).toMap
+        val (mins, maxs) = (render(accMin), render(accMax))
+        val shared = mins.keySet.intersect(maxs.keySet) // both bounds or neither
         DataFileMeta(rel, bucket, schemaId, cnt, if (mn == Long.MaxValue) 0L else mn,
-          if (mx == Long.MinValue) 0L else mx)
+          if (mx == Long.MinValue) 0L else mx,
+          colMins = mins.filter(kv => shared(kv._1)),
+          colMaxs = maxs.filter(kv => shared(kv._1)),
+          hasTombstones = tombstones || (!deletedColSeen && cnt > 0))
       } finally reader.close()
     }.seq.toSeq
   }

@@ -38,7 +38,19 @@ case class DataFileMeta(
     schemaId: Int,
     rowCount: Long,
     lsnMin: Long,
-    lsnMax: Long)
+    lsnMax: Long,
+    // Per-file data-column min/max from the parquet footer, keyed by COLUMN
+    // ID (string-keyed for JSON; values rendered from the stored type) —
+    // drives manifest-level file skipping for SQL range/equality predicates
+    // (Iceberg keeps the same stats in its manifests; the reference gets
+    // this from Postgres indexes). Columns with unusable footer stats are
+    // simply absent; readers must treat absence as "cannot prune".
+    colMins: Map[String, String] = Map.empty,
+    colMaxs: Map[String, String] = Map.empty,
+    // false ⇒ the file provably contains no `_deleted=true` rows (footer
+    // boolean max), making it eligible for the vectorized columnar SQL read
+    // path (no per-row tombstone filter needed). Missing/legacy ⇒ true.
+    hasTombstones: Boolean = true)
 
 case class Snapshot(
     snapshotId: Long,

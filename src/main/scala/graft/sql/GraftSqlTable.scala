@@ -102,17 +102,54 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
     required = StructType(full.fields.filter(f => names.contains(f.name)))
   }
 
-  /** Key-equality point lookups prune to ONE hash bucket's files (127/128
-    * of a table skipped) — the SQL surface gets the same manifest-level
-    * pruning the merge path uses. Filters are never fully absorbed
-    * (`pushedFilters` stays empty), so Spark re-applies them post-scan and
-    * correctness never depends on the pruning. */
+  /** Manifest-level file skipping, two mechanisms (filters are never fully
+    * absorbed — `pushedFilters` stays empty — so Spark re-applies them
+    * post-scan and correctness never depends on the pruning):
+    *
+    *  1. Key-equality point lookups prune to ONE hash bucket's files
+    *     (127/128 of a table skipped) — the same pruning the merge path uses.
+    *  2. Per-file column min/max (parquet footer stats recorded in the
+    *     manifest by column ID) skip files whose value range is disjoint
+    *     from =, <, <=, >, >= and BETWEEN predicates — so an lsn/time/id
+    *     range query reads only the files that can match (the reference
+    *     gets the equivalent from Postgres indexes; Iceberg from manifest
+    *     stats). Columns or files without usable stats are never pruned. */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.sources._
     val eqs = filters.collect { case EqualTo(a, v) if meta.keyCols.contains(a) => a -> v }.toMap
     if (meta.keyCols.forall(eqs.contains)) {
       val b = GraftScanBuilder.bucketOf(meta.keyCols.map(eqs), meta.numBuckets)
-      prunedFiles = files.filter(_.bucket == b)
+      prunedFiles = prunedFiles.filter(_.bucket == b)
+    }
+    val colId: Map[String, String] = meta.schemaById(schemaId).columns
+      .map(c => c.name -> c.id.toString).toMap
+    // rendered-stat vs literal comparison; None = incomparable ⇒ keep file
+    def cmp(rendered: String, v: Any): Option[Int] = v match {
+      case s: String => Some(rendered.compareTo(s))
+      case _: Int | _: Long | _: Short | _: Byte | _: Float | _: Double |
+           _: java.math.BigDecimal =>
+        scala.util.Try(BigDecimal(rendered).compare(BigDecimal(v.toString))).toOption
+      case _ => None
+    }
+    def keep(f: graft.lake.DataFileMeta, attr: String,
+        test: (Option[String], Option[String]) => Option[Boolean]): Boolean =
+      colId.get(attr) match {
+        case None => true
+        case Some(id) => test(f.colMins.get(id), f.colMaxs.get(id)).getOrElse(true)
+      }
+    filters.foreach {
+      case EqualTo(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (mn, mx) =>
+        for { lo <- mn; hi <- mx; c1 <- cmp(lo, v); c2 <- cmp(hi, v) }
+          yield c1 <= 0 && c2 >= 0))
+      case GreaterThan(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (_, mx) =>
+        for { hi <- mx; c <- cmp(hi, v) } yield c > 0))
+      case GreaterThanOrEqual(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (_, mx) =>
+        for { hi <- mx; c <- cmp(hi, v) } yield c >= 0))
+      case LessThan(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (mn, _) =>
+        for { lo <- mn; c <- cmp(lo, v) } yield c < 0))
+      case LessThanOrEqual(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (mn, _) =>
+        for { lo <- mn; c <- cmp(lo, v) } yield c <= 0))
+      case _ =>
     }
     filters
   }
@@ -141,7 +178,7 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
   override def description(): String =
     s"GraftScan(files=${files.size}, cols=${required.fieldNames.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def plannedPartitions: Array[GraftInputPartition] = {
     val target = meta.schemaById(schemaId)
     files.map { f =>
       val storedById = meta.schemaById(f.schemaId).byId
@@ -153,11 +190,36 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
           case None => ColSpec(rf.name, rf.dataType.json, null, null) // added later: null
         }
       }
-      GraftInputPartition(s"$root/${f.path}", cols): InputPartition
+      // columnar eligibility: no tombstones to filter (footer-proven), every
+      // required column identity-mapped (no rename/widen remapping), and a
+      // non-empty simple-typed projection
+      val columnar = !f.hasTombstones && cols.nonEmpty && cols.forall { c =>
+        c.storedName == c.outName && c.storedTypeJson == c.outTypeJson &&
+          GraftScan.vectorizable(c.outTypeJson)
+      }
+      GraftInputPartition(s"$root/${f.path}", cols, columnar)
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedPartitions.map(p => p: InputPartition)
+
+  /** Whole-scan columnar decision: Spark requires every partition of one
+    * scan to agree (mixed row/columnar scans are rejected), so the scan is
+    * vectorized iff ALL selected files qualify — true for append-mostly
+    * tables (no tombstones), falling back to the row reader once a file in
+    * the selection carries deletes or needs column-ID remapping. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val parts = plannedPartitions
+    new GraftReaderFactory(parts.nonEmpty && parts.forall(_.columnar))
+  }
+}
+
+object GraftScan {
+  private val simple: Set[String] = Set(StringType, IntegerType, LongType,
+    DoubleType, FloatType, BooleanType, BinaryType, ShortType, ByteType)
+    .map(_.json)
+  def vectorizable(typeJson: String): Boolean = simple.contains(typeJson)
 }
 
 /** One stored-file column mapping: output name/type + the name/type it was
@@ -165,12 +227,35 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
 case class ColSpec(outName: String, outTypeJson: String,
     storedName: String, storedTypeJson: String) extends Serializable
 
-case class GraftInputPartition(filePath: String, cols: Array[ColSpec])
-    extends InputPartition
+case class GraftInputPartition(filePath: String, cols: Array[ColSpec],
+    columnar: Boolean = false) extends InputPartition
 
-class GraftReaderFactory extends PartitionReaderFactory {
+class GraftReaderFactory(allColumnar: Boolean) extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = allColumnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition])
+}
+
+/** Vectorized read of one tombstone-free, identity-mapped data file via
+  * Spark's own VectorizedParquetRecordReader — ColumnarBatches flow straight
+  * into the query (no per-row object materialization), putting the SQL scan
+  * on the same engine the native parquet source uses. */
+class GraftColumnarReader(p: GraftInputPartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+
+  private val reader = new VectorizedParquetRecordReader(
+    /* useOffHeap = */ false, /* capacity = */ 4096)
+  reader.initialize(p.filePath,
+    java.util.Arrays.asList(p.cols.map(_.storedName): _*))
+  reader.resultBatch() // allocate the batch vectors
+  reader.enableReturningBatches()
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = reader.resultBatch()
+  override def close(): Unit = reader.close()
 }
 
 /** Row-materializing parquet reader for one data file. Projects only the

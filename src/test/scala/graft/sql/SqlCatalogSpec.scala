@@ -143,6 +143,70 @@ class SqlCatalogSpec extends SparkTestBase {
       spark.sql(s"INSERT INTO g6.ns.docs VERSION AS OF $s1 VALUES (8, 'pt', 80)"))
   }
 
+  test("min/max manifest stats skip files for range predicates; results unchanged") {
+    val cat = setupCatalog("g7")
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType, true)))
+    val t = cat.createTable("ns", "evts", schema, Seq("id"), numBuckets = 1)
+    // 5 append commits = 5 files with DISJOINT day ranges (the natural
+    // lsn/time layout of an append-mostly CDC log): range queries must read
+    // only the overlapping file(s)
+    (0 until 5).foreach { w =>
+      t.append((0 until 20).map(i =>
+        ((w * 20 + i).toLong, (w * 100 + i).toLong, s"t$w"))
+        .toDF("id", "day", "tag").coalesce(1)) // one file per append window
+    }
+    val totalFiles = t.meta.currentSnapshot.get.files.size
+    assert(totalFiles == 5)
+    def filesScanned(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      "files=(\\d+)".r.findFirstMatchIn(plan).get.group(1).toInt
+    }
+    // single-file range hit
+    assert(filesScanned("SELECT id FROM g7.ns.evts WHERE day BETWEEN 210 AND 215") == 1)
+    assert(spark.sql("SELECT count(*) FROM g7.ns.evts WHERE day BETWEEN 210 AND 215")
+      .head().getLong(0) == 6)
+    // open-ended ranges
+    assert(filesScanned("SELECT id FROM g7.ns.evts WHERE day > 399") == 1)
+    assert(filesScanned("SELECT id FROM g7.ns.evts WHERE day < 100") == 1)
+    // equality on a stats column (string)
+    assert(filesScanned("SELECT id FROM g7.ns.evts WHERE tag = 't3'") == 1)
+    assert(spark.sql("SELECT count(*) FROM g7.ns.evts WHERE tag = 't3'")
+      .head().getLong(0) == 20)
+    // disjoint range: zero files, zero rows, no error
+    assert(filesScanned("SELECT id FROM g7.ns.evts WHERE day > 100000") == 0)
+    assert(spark.sql("SELECT count(*) FROM g7.ns.evts WHERE day > 100000")
+      .head().getLong(0) == 0)
+    // unpruned correctness: full scan still sees everything
+    assert(spark.sql("SELECT count(*) FROM g7.ns.evts").head().getLong(0) == 100)
+  }
+
+  test("insert-only tables read through the vectorized columnar path; deletes fall back") {
+    val cat = setupCatalog("g8")
+    val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 4)
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i.toLong, "I", s"r$i", s"p$i", s"c$i", "scala", s"v$i"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    t.merge(rows, 0)
+    def plan(sql: String) = spark.sql(sql).queryExecution.executedPlan.toString
+    val q = "SELECT repo, content FROM g8.ns.t WHERE lang = 'scala'"
+    // insert-only: every file is footer-proven tombstone-free → ColumnarToRow
+    // above the scan means ColumnarBatches flowed out of the reader
+    assert(plan(q).contains("ColumnarToRow"), s"columnar path not used:\n${plan(q)}")
+    assert(spark.sql(q).count() == 100)
+    // a delete writes tombstones into one bucket → whole-scan fallback to the
+    // row reader (Spark rejects mixed row/columnar scans), results correct
+    t.merge(Seq((101L, "D", "r7", "p7", "c7", "scala", null: String))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content"), 1)
+    assert(!plan(q).contains("ColumnarToRow"), s"columnar path must fall back:\n${plan(q)}")
+    assert(spark.sql(q).count() == 99)
+    assert(spark.sql("SELECT repo FROM g8.ns.t WHERE repo='r7'").count() == 0)
+  }
+
   test("column pruning is pushed into the parquet projection") {
     val cat = setupCatalog("g4")
     val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
