@@ -114,16 +114,15 @@ object DedupOps {
       (s, d) => minhashLshPairs(t(s, d, "documents"), w = 3, k = 32, b = 16, r = 2, threshold = 0.5),
       None),
 
-    // SimHash near-dup: 64-bit fingerprint, candidates via block-combination
-    // keys (Manku et al., WWW'07), verified by hamming distance. 6 blocks /
-    // 2-block combo keys → 22-bit keyspace: ~4M buckets instead of the
-    // 65k a plain 16-bit chunk split gives, so per-bucket candidate sets
-    // stay sub-quadratic at 10⁹-doc corpora. Still EXACT for hamming ≤ 3
-    // (pigeonhole: ≤3 flipped blocks leave ≥3 intact ⊇ one full pair) —
-    // DedupSpec asserts equivalence with the plain chunk split.
+    // SimHash near-dup: 64-bit fingerprint, candidates via block keys
+    // (Manku et al., WWW'07), verified by hamming distance. Default (4,1)
+    // chunk split = 4 exploded rows/doc — the right cost at bench/test
+    // corpus sizes; the (6,2) block-combination setting (22-bit keyspace,
+    // sub-quadratic buckets at 10⁹ docs, C(6,2)=15 rows/doc) is the opt-in
+    // scale configuration, equivalence-tested in DedupSpec. Both are EXACT
+    // for hamming ≤ 3 (pigeonhole: ≤3 flipped blocks leave ≥1 key intact).
     OpQuery("q28_dedup_simhash",
-      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3,
-        blocks = 6, comboSize = 2),
+      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),
       None))
 
   /** MinHash+LSH pipeline (reused by queries and DedupSpec).

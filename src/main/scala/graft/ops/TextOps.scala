@@ -25,21 +25,6 @@ object TextOps {
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is",
     "it", "on", "for", "with", "as", "at", "by", "from")
 
-  /** Per-language stopword marker dictionaries for the language-ID
-    * heuristic (top function words; zh uses pinyin romanization since the
-    * tokenizer is ASCII). Deterministic, vocabulary-driven; real systems
-    * would load fastText-style models — the score-per-lang → argmax shape
-    * and the generated SQL oracle scale unchanged with dictionary size.
-    * (Note: the synthetic test corpus draws every lang label from the same
-    * English-ish vocabulary, so measured accuracy there is meaningless by
-    * construction — the dictionaries are sized for real text.) */
-  val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "was", "for", "on", "with"),
-    "es" -> Seq("el", "la", "los", "las", "que", "y", "en", "un", "una", "es", "por", "como"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est", "que", "pour", "dans", "ce"),
-    "zh" -> Seq("de", "shi", "le", "he", "zai", "wo", "ni", "ta", "men", "zhe", "na", "yi"))
-
   private def tokenArr(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
 
@@ -134,32 +119,19 @@ object TextOps {
              |  count(*) AS n
              |FROM documents GROUP BY 1""".stripMargin)),
 
-    // Language-ID heuristic: marker-dictionary hit counts → argmax with
-    // deterministic tiebreak. Oracle-expressible via the same CASE ladder.
+    // Language-ID: character-trigram profile classifier (LangId — profiles
+    // trained at init from an embedded corpus), argmax with deterministic
+    // tiebreak. Pure Column kernel (occurrence counts via length-delta, no
+    // shuffle); the oracle runs the IDENTICAL classifier generated into
+    // DuckDB SQL from the same profiles. Accuracy is asserted on a labeled
+    // multilingual fixture in LangIdSpec (the synthetic `documents` corpus
+    // draws every lang label from one English-ish vocabulary, so accuracy
+    // there is meaningless by construction).
     OpQuery("q29_lang_id",
-      (s, d) => {
-        val toks = tokenArr(col("text"))
-        val scores = langMarkers.toSeq.sortBy(_._1).map { case (lg, ms) =>
-          size(filter(toks, w => w.isin(ms: _*))).as(s"score_$lg")
-        }
-        val df = t(s, d, "documents").select((col("doc_id") +: col("lang") +: scores): _*)
-        // argmax with lexicographic tiebreak: pick first lang (sorted) whose
-        // score equals the row max
-        val maxScore = greatest(langMarkers.keys.toSeq.sorted.map(lg => col(s"score_$lg")): _*)
-        val pred = langMarkers.keys.toSeq.sorted.reverse
-          .foldLeft(lit("unknown")) { (acc, lg) =>
-            when(col(s"score_$lg") === maxScore, lit(lg)).otherwise(acc) }
-        df.select(col("doc_id"), col("lang").as("labeled_lang"),
-          when(maxScore === 0, lit("unknown")).otherwise(pred).as("predicted_lang"))
-      },
-      {
-        val langs = langMarkers.keys.toSeq.sorted
-        def score(lg: String) =
-          s"len(list_filter(list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> ''), w -> w IN (${langMarkers(lg).map(m => s"'$m'").mkString(",")})))"
-        val maxExpr = s"greatest(${langs.map(score).mkString(", ")})"
-        val ladder = langs.map(lg => s"WHEN ${score(lg)} = $maxExpr THEN '$lg'").mkString(" ")
-        Some(s"""SELECT doc_id, lang AS labeled_lang,
-                |  CASE WHEN $maxExpr = 0 THEN 'unknown' $ladder ELSE 'unknown' END AS predicted_lang
-                |FROM documents""".stripMargin)
-      }))
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        col("lang").as("labeled_lang"),
+        LangId.predict(col("text")).as("predicted_lang")),
+      Some(s"""SELECT doc_id, lang AS labeled_lang,
+              |  ${LangId.predictSql("text")} AS predicted_lang
+              |FROM documents""".stripMargin)))
 }
