@@ -147,7 +147,8 @@ object CdcPipeline {
       evolution: Map[Int, Seq[SchemaChange]], versions: TableVersions,
       lineageDir: Option[String], salts: Int = 0,
       autoSaltThreshold: Long = 500000L,
-      views: Option[ViewMaintainer] = None): Unit = {
+      views: Option[ViewMaintainer] = None,
+      compactEvery: Int = 0): Unit = {
     val t0 = System.nanoTime()
     val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
     def phase[A](name: String)(f: => A): A = {
@@ -192,6 +193,13 @@ object CdcPipeline {
     // views stale forever in a drained replay. refreshAll is idempotent per
     // epoch via each view's own ledger, so re-running it costs a no-op.
     views.foreach(_.refreshAll(epochId))
+    // scheduled layout maintenance (reference analogue: Postgres autovacuum
+    // keeps the destination compact without operator action): every Nth
+    // epoch, bin-pack the small files continuous ingest leaves behind.
+    // Layout-only + idempotent (a replayed epoch's second compact finds
+    // nothing small and no-ops), so it composes with exactly-once replay.
+    if (compactEvery > 0 && epochId >= 0 && (epochId + 1) % compactEvery == 0)
+      phase("compact")(table.compact())
     lineage.foreach { lin =>
       lineageDir.foreach { dir =>
         val spark = batch.sparkSession
@@ -221,7 +229,8 @@ object CdcPipeline {
       evolution: Map[Int, Seq[SchemaChange]] = defaultEvolution,
       maxFilesPerTrigger: Option[Int] = None, salts: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
-      views: Option[ViewMaintainer] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      views: Option[ViewMaintainer] = None,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val versions = new TableVersions
     val reader = spark.readStream.schema(envelopeSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -231,7 +240,7 @@ object CdcPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         processBatch(batch, epochId, table, evolution, versions, lineageDir,
-          salts, views = views)
+          salts, views = views, compactEvery = compactEvery)
       }
       .start()
   }
@@ -242,9 +251,10 @@ object CdcPipeline {
       evolution: Map[Int, Seq[SchemaChange]] = defaultEvolution,
       maxFilesPerTrigger: Option[Int] = None, salts: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
-      views: Option[ViewMaintainer] = None): Unit =
+      views: Option[ViewMaintainer] = None,
+      compactEvery: Int = 0): Unit =
     start(spark, logDir, table, checkpoint, lineageDir, evolution,
-      maxFilesPerTrigger, salts, trigger, views).awaitTermination()
+      maxFilesPerTrigger, salts, trigger, views, compactEvery).awaitTermination()
 
   /** Batch replay of a bounded log (same code path as one giant micro-batch). */
   def replayBatch(spark: SparkSession, log: DataFrame, table: LakeTable,

@@ -325,6 +325,121 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     } finally surviving.unpersist()
   }
 
+  /** Bin-pack small data files (reference analogue: Postgres auto-vacuum /
+    * CLUSTER keep the heap compact for free; a file-based lake must do it
+    * explicitly). Continuous ingest leaves many sub-target files per bucket:
+    * every `append` adds files, and a merge writes one file per task that
+    * held rows of a touched bucket — at a 600 s commit beat that is
+    * thousands of small files per bucket per week, and scan cost becomes
+    * file-open-bound instead of byte-bound.
+    *
+    * Layout-only rewrite: buckets with at least `minFiles` files under
+    * `targetFileBytes` get those small files re-read and re-written as ONE
+    * file per bucket; right-sized files are kept as-is. The rows are
+    * hash-repartitioned on the stored bucket — a shuffle, but only of the
+    * small files being packed (bounded by ingest since the last compact,
+    * never table size), and it is what guarantees each bucket's stragglers
+    * land in a single writer task = a single output file (split-planner
+    * packing cannot promise that: it caps splits at totalBytes/parallelism
+    * and freely mixes buckets). Content is byte-identical; time travel to
+    * pre-compact snapshots still sees the old layout. Returns the net
+    * reduction in live file count. */
+  def compact(targetFileBytes: Long = 128L << 20, minFiles: Int = 2): Int = {
+    val m0 = meta
+    val snap = m0.currentSnapshot.getOrElse(return 0)
+    def sizeOf(f: DataFileMeta): Long = Files.size(Paths.get(root, f.path))
+    val (rewritten, kept) = snap.files.partition { f =>
+      lazy val smallSiblings = snap.files.count(g =>
+        g.bucket == f.bucket && sizeOf(g) < targetFileBytes)
+      sizeOf(f) < targetFileBytes && smallSiblings >= minFiles
+    }
+    if (rewritten.isEmpty) return 0
+    val snapshotId = m0.currentSnapshotId + 1
+    val buckets = rewritten.map(_.bucket).distinct.size
+    val packed = readFiles(m0, rewritten, m0.currentSchemaId)
+      .withColumn(BucketCol, bucketExpr(m0)) // identical to stored bucket (cast keys)
+      .repartition(buckets, col(BucketCol))
+    val staging = stageWrite(packed, snapshotId)
+    val newFiles = statsFromFooters(staging, m0.currentSchemaId)
+    commitOrClean(staging) {
+      retryCommit { m =>
+        require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+        val s = Snapshot(snapshotId, m0.currentSnapshotId, -1,
+          m.currentSchemaId, "compact", kept ++ newFiles, System.currentTimeMillis())
+        m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId)
+      }
+    }
+    rewritten.size - newFiles.size
+  }
+
+  /** Row-level change feed between two committed snapshots (net-changes
+    * semantics, like Iceberg's changelog scan / Delta CDF): every key whose
+    * LIVE value differs between `fromSnapshotId` and `toSnapshotId` (default
+    * current) comes back once with `_change_type` ∈ {insert, update, delete}
+    * — post-image for insert/update, pre-image for delete — plus the
+    * winning `_lsn`. The generic downstream-consumer surface (the built-in
+    * [[graft.cdc.JdbcWarehouseSync]] uses the cheaper lsn-watermark path;
+    * `changes` serves consumers that need explicit deletes/updates keyed to
+    * table versions rather than lsn ranges).
+    *
+    * Cost ∝ touched buckets, not table size: copy-on-write merge rewrites
+    * whole bucket files, so the file-set symmetric difference between the
+    * snapshots is exactly the buckets any intervening commit touched — only
+    * those files are read, and the old/new full-outer join co-partitions on
+    * the same keys. Layout-only rewrites (compact, vacuumed tombstones)
+    * reproduce rows with their stored `_lsn`, so they compare equal and
+    * yield an empty feed. Rows are compared by `_lsn`: the engine's LWW
+    * invariant (same key + same lsn ⇒ identical payload, see merge) makes
+    * that sufficient. Both sides are projected to the `to` snapshot's
+    * schema by column id, so evolution between the versions is transparent.
+    * `fromSnapshotId` must still be in metadata (retention must keep any
+    * snapshot a consumer still needs to diff from). Requires merge-maintained
+    * key uniqueness (one live row per key); append-mode duplicate keys would
+    * cross-multiply in the diff join. */
+  def changes(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    val m = meta
+    val from = m.snapshotById(fromSnapshotId)
+      .getOrElse(sys.error(s"no snapshot $fromSnapshotId (expired?)"))
+    val to = toSnapshotId
+      .map(id => m.snapshotById(id).getOrElse(sys.error(s"no snapshot $id")))
+      .orElse(m.currentSnapshot).getOrElse(sys.error("empty table"))
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    val removed = from.files.filterNot(f => toPaths.contains(f.path))
+    val added = to.files.filterNot(f => fromPaths.contains(f.path))
+    val dataCols = m.schemaById(to.schemaId).columns.map(_.name)
+    // both sides keep tombstones: a key is "live" only when present AND not
+    // deleted, but a new-side tombstone still carries the DELETING commit's
+    // lsn (the feed's delete rows should order by when the delete happened,
+    // not by the pre-image's last write)
+    def side(files: Seq[DataFileMeta], tag: String): DataFrame =
+      readFiles(m, files, to.schemaId)
+        .select((dataCols :+ LsnCol :+ DeletedCol).map(col): _*)
+        .withColumn(s"__${tag}_present", lit(true)).alias(tag)
+    val o = side(removed, "o")
+    val n = side(added, "n")
+    val cond = m.keyCols.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val oLive = col("__o_present").isNotNull && !col(s"o.$DeletedCol")
+    val nLive = col("__n_present").isNotNull && !col(s"n.$DeletedCol")
+    val changeType = when(!nLive, lit("delete"))
+      .when(!oLive, lit("insert")).otherwise(lit("update"))
+    o.join(n, cond, "full_outer")
+      // live→dead = delete, dead→live = insert, live→live with a different
+      // winner lsn = update; equal-lsn live rows are bucket-rewrite copies
+      // (compact/vacuum/merge carry-over), dead→dead is tombstone churn —
+      // neither is a logical change (LWW invariant: same key + same lsn ⇒
+      // identical payload, so lsn equality is a sufficient row comparison)
+      .filter((oLive && !nLive) || (!oLive && nLive) ||
+        (oLive && nLive && col(s"o.$LsnCol") =!= col(s"n.$LsnCol")))
+      // image side by LIVENESS, not value coalesce: an update whose
+      // post-image column is legitimately NULL must not leak the old value
+      .select(dataCols.map(c =>
+        when(nLive, col(s"n.$c")).otherwise(col(s"o.$c")).as(c)) ++ Seq(
+        changeType.as("_change_type"),
+        when(col("__n_present").isNotNull, col(s"n.$LsnCol"))
+          .otherwise(col(s"o.$LsnCol")).as(LsnCol)): _*)
+  }
+
   /** Expire old snapshots: keep the latest `keepLast`, drop older snapshot
     * entries from metadata and delete data files no surviving snapshot
     * references. Bounds table-directory growth under continuous ingest

@@ -14,6 +14,8 @@ import graft.lake._
   *   show <tableDir>                               — table state summary
   *   reconcile <logDir> <tableDir>                 — anti-join verification (must be 0/0)
   *   vacuum <tableDir> [upToLsn]                   — drop old tombstones
+  *   compact <tableDir> [targetMB] [minFiles]      — bin-pack small data files
+  *   changes <tableDir> <fromSnap> [toSnap]        — row-level change feed between snapshots
   */
 object CdcCli {
   def main(args: Array[String]): Unit = {
@@ -67,8 +69,9 @@ object CdcCli {
         else LakeTable.create(spark, tableDir, CdcPipeline.baseTableSchema,
           ChangeEvent.keyCols, numBuckets = rest.headOption.map(_.toInt).getOrElse(64))
       // optional 3rd arg: beat seconds — scheduled-trigger mode (reference's
-      // 600 s Celery beat): keeps tailing the growing log until killed
-      val beat = rest.drop(2).headOption.map(_.toInt)
+      // 600 s Celery beat): keeps tailing the growing log until killed.
+      // 0 = AvailableNow (lets the later positionals be used in replay mode)
+      val beat = rest.drop(2).headOption.map(_.toInt).filter(_ > 0)
       val trigger = beat match {
         case Some(sec) => org.apache.spark.sql.streaming.Trigger
           .ProcessingTime(sec.toLong * 1000)
@@ -79,7 +82,8 @@ object CdcCli {
       CdcPipeline.run(spark, logDir, table, ckpt,
         lineageDir = Some(s"$tableDir/_lineage"),
         maxFilesPerTrigger = rest.drop(1).headOption.map(_.toInt),
-        trigger = trigger)
+        trigger = trigger,
+        compactEvery = rest.drop(3).headOption.map(_.toInt).getOrElse(0))
       val sec = (System.nanoTime() - t0) / 1e9
       val m = table.meta
       println(f"[stream] done in $sec%.1f s; snapshots=${m.snapshots.size} " +
@@ -108,6 +112,21 @@ object CdcCli {
       val table = LakeTable.forPath(spark, tableDir)
       val removed = table.vacuum(rest.headOption.map(_.toLong).getOrElse(Long.MaxValue))
       println(s"[vacuum] removed=$removed tombstones")
+
+    case "compact" :: tableDir :: rest =>
+      val table = LakeTable.forPath(spark, tableDir)
+      val before = table.meta.currentSnapshot.map(_.files.size).getOrElse(0)
+      val target = rest.headOption.map(_.toLong * (1L << 20)).getOrElse(128L << 20)
+      val saved = table.compact(target, rest.drop(1).headOption.map(_.toInt).getOrElse(2))
+      println(s"[compact] files $before -> ${before - saved} (target=${target >> 20}MB)")
+
+    case "changes" :: tableDir :: fromSnap :: rest =>
+      val table = LakeTable.forPath(spark, tableDir)
+      val feed = table.changes(fromSnap.toLong, rest.headOption.map(_.toLong))
+      val counts = feed.groupBy(col("_change_type")).count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[changes] ${if (counts.isEmpty) "none" else counts}")
+      feed.orderBy(col(LakeTable.LsnCol)).show(20, truncate = 40)
 
     case "expire" :: tableDir :: rest =>
       val table = LakeTable.forPath(spark, tableDir)
@@ -142,7 +161,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | expire <tableDir> [keepLast] | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }

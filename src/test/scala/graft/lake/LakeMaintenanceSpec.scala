@@ -1,0 +1,158 @@
+package graft.lake
+
+import graft.SparkTestBase
+import graft.cdc._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Layout maintenance (compact) and the snapshot change feed (changes) —
+  * both must be logically invisible: compact preserves state bit-for-bit
+  * across every surface (current read, time travel, exactly-once ledger)
+  * while shrinking the file count; changes must classify exactly the
+  * live-row differences between two versions and see layout-only rewrites
+  * as empty. */
+class LakeMaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(buckets: Int = 4): LakeTable =
+    LakeTable.createOrReplace(spark, tmpDir("maint"), CdcPipeline.baseTableSchema,
+      ChangeEvent.keyCols, numBuckets = buckets)
+
+  private def batch(rows: (Long, String, String, String, String, String, String)*) =
+    rows.toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+
+  private def stateSet(t: LakeTable) =
+    t.currentState().collect().map(_.toSeq).toSet
+
+  test("compact bin-packs small files; state, time travel, changes and ledger unchanged") {
+    val t = freshTable(buckets = 4)
+    // one merge + several appends: appends accumulate small files per bucket
+    t.merge(batch((1 to 40).map(i =>
+      (i.toLong, "I", s"r$i", s"p$i", s"c$i", "scala", s"v$i")): _*), 0)
+    (1 to 4).foreach { a =>
+      t.append(Seq((s"ar$a", s"ap$a", s"ac$a", "scala", s"av$a", 100L + a))
+        .toDF("repo", "path", "commit", "lang", "content", "lsn"))
+    }
+    val before = t.meta.currentSnapshot.get.files
+    val preSnap = t.meta.currentSnapshotId
+    val preState = stateSet(t)
+    assert(before.size > t.meta.numBuckets, "need multiple files per bucket to compact")
+
+    val saved = t.compact(targetFileBytes = 32L << 20, minFiles = 2)
+    assert(saved > 0)
+    val after = t.meta.currentSnapshot.get.files
+    assert(after.size == before.size - saved)
+    // tiny files all pack into one scan split -> one writer task -> exactly
+    // one file per bucket
+    after.groupBy(_.bucket).foreach { case (b, fs) =>
+      assert(fs.size == 1, s"bucket $b not packed: ${fs.size} files")
+    }
+    assert(t.meta.currentSnapshot.get.operation == "compact")
+
+    // logical state is untouched on every surface
+    assert(stateSet(t) == preState)
+    assert(t.currentState(Some(preSnap)).collect().map(_.toSeq).toSet == preState)
+    assert(t.changes(preSnap).isEmpty, "layout-only rewrite must yield an empty feed")
+    // exactly-once ledger: the pre-compact epoch still refuses replay
+    assert(t.merge(batch((1L, "I", "r1", "p1", "c1", "scala", "v1")), epochId = 0).isEmpty)
+    // row counts in the manifest survive the rewrite
+    assert(after.map(_.rowCount).sum == before.map(_.rowCount).sum)
+  }
+
+  test("compact with nothing to gain is a no-op commit-free pass") {
+    val t = freshTable(buckets = 2)
+    t.merge(batch((1L, "I", "r", "p", "c", "scala", "v")), 0)
+    val snap = t.meta.currentSnapshotId
+    // every bucket holds a single file: below minFiles, nothing rewritten
+    assert(t.compact(targetFileBytes = 32L << 20, minFiles = 2) == 0)
+    assert(t.meta.currentSnapshotId == snap, "no-op compact must not commit")
+  }
+
+  test("changes classifies insert/update/delete between snapshots") {
+    val t = freshTable()
+    t.merge(batch(
+      (1L, "I", "k1", "p", "c", "scala", "a"),
+      (2L, "I", "k2", "p", "c", "scala", "b")), 0)
+    val s1 = t.meta.currentSnapshotId
+    t.merge(batch(
+      (3L, "U", "k2", "p", "c", "scala", "b2"),
+      (4L, "I", "k3", "p", "c", "scala", "c"),
+      (5L, "D", "k1", "p", "c", "scala", null)), 1)
+
+    val feed = t.changes(s1).collect()
+      .map(r => r.getAs[String]("repo") ->
+        ((r.getAs[String]("_change_type"), r.getAs[Long](LakeTable.LsnCol),
+          r.getAs[String]("content")))).toMap
+    assert(feed.keySet == Set("k1", "k2", "k3"))
+    // delete carries the DELETING commit's lsn (tombstone), pre-image values
+    assert(feed("k1") == (("delete", 5L, "a")))
+    assert(feed("k2") == (("update", 3L, "b2")))
+    assert(feed("k3") == (("insert", 4L, "c")))
+
+    // same-version diff is empty; so is a diff across a vacuum (tombstone
+    // removal is not a live change)
+    assert(t.changes(s1, Some(s1)).isEmpty)
+    val s2 = t.meta.currentSnapshotId
+    assert(t.vacuum() == 1L)
+    assert(t.changes(s2).isEmpty)
+  }
+
+  test("changes spans schema evolution (old side projected by column id)") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "k1", "p", "c", "scala", "a")), 0)
+    val s1 = t.meta.currentSnapshotId
+    t.evolveSchema(Seq(AddColumn("branch", StringType)))
+    val upd = Seq((2L, "U", "k1", "p", "c", "scala", "a2", "main"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "branch")
+    t.merge(CdcPipeline.toMergeInput(upd, t), 1)
+
+    val rows = t.changes(s1).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("_change_type") == "update")
+    assert(rows(0).getAs[String]("branch") == "main")
+  }
+
+  test("streaming auto-compact beat packs append leftovers in buckets merges don't touch") {
+    // merge already rewrites (and thus packs) every bucket it touches, so
+    // the files compaction exists for are append stragglers and long-tail
+    // buckets no later merge revisits — seed exactly that layout
+    val dir = tmpDir("autocompact")
+    val cfg = GenConfig(numEvents = 60, numRepos = 1, pathsPerRepo = 1,
+      commitsPerFile = 3, schemaBumps = Seq.empty) // 3 keys -> few touched buckets
+    CdcPipeline.envelopeDf(ChangeLogGen.generate(spark, cfg))
+      .repartitionByRange(1, col("lsn")).write.mode("overwrite").parquet(s"$dir/log")
+
+    def seeded(root: String): LakeTable = {
+      val t = LakeTable.createOrReplace(spark, root,
+        CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 8)
+      (1 to 3).foreach { a =>
+        t.append((1 to 16).map(i => (s"r$i", s"p$i", s"c$a", "scala", s"v$a$i", a.toLong))
+          .toDF("repo", "path", "commit", "lang", "content", "lsn"))
+      }
+      t
+    }
+    val maintained = seeded(s"$dir/t1")
+    val preFiles = maintained.meta.currentSnapshot.get.files.size
+    CdcPipeline.run(spark, s"$dir/log", maintained, s"$dir/ckpt1",
+      evolution = Map.empty, compactEvery = 1)
+    val plain = seeded(s"$dir/t2")
+    CdcPipeline.run(spark, s"$dir/log", plain, s"$dir/ckpt2", evolution = Map.empty)
+
+    assert(maintained.meta.snapshots.exists(_.operation == "compact"))
+    assert(stateSet(maintained) == stateSet(plain))
+    // the beat packed the append stragglers the merge never touched
+    assert(maintained.meta.currentSnapshot.get.files.size < preFiles)
+    val perBucket = maintained.meta.currentSnapshot.get.files.groupBy(_.bucket)
+    assert(perBucket.values.forall(_.size == 1),
+      s"unpacked buckets remain: ${perBucket.view.mapValues(_.size).toMap}")
+  }
+
+  test("changes refuses an expired from-snapshot instead of silently full-diffing") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "k1", "p", "c", "scala", "a")), 0)
+    val s1 = t.meta.currentSnapshotId
+    t.merge(batch((2L, "U", "k1", "p", "c", "scala", "a2")), 1)
+    t.expireSnapshots(keepLast = 1)
+    intercept[Exception](t.changes(s1))
+  }
+}
