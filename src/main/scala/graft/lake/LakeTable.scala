@@ -217,15 +217,15 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // single heavy pass: aggregate + write staging; per-file stats come from
     // re-reading the staged files' (bucket, lsn) columns — a metadata-cheap
     // columnar scan, instead of persisting the whole merged output
-    val staging = stageWrite(out, snapshotId)
+    val staging = timed("stage_write")(stageWrite(out, snapshotId))
 
-    val newFiles = statsFromFooters(staging, m0.currentSchemaId)
+    val newFiles = timed("footer_stats")(statsFromFooters(staging, m0.currentSchemaId))
 
     val applied = appliedStats.toSeq.map { case (bucket, (cnt, mn, mx)) =>
       graft.cdc.PartitionLineage(epochId, bucket, mn, mx, cnt, snapshotId)
     }
 
-    commitOrClean(staging) {
+    timed("commit")(commitOrClean(staging) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId,
           s"concurrent commit detected (base ${m0.currentSnapshotId}, now ${m.currentSnapshotId})")
@@ -233,7 +233,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
           m.currentSchemaId, "merge", kept ++ newFiles, System.currentTimeMillis())
         m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
       }
-    }
+    })
     Some(applied)
   }
 
@@ -573,6 +573,15 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   }
 
   // ------------------------------------------------------------- internals
+
+  /** Sub-phase wall-clock diagnostic (GRAFT_PHASE_LOG=1), for pinning down
+    * driver-side fixed costs that erode scaling efficiency. */
+  private def timed[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    if (sys.env.contains("GRAFT_PHASE_LOG"))
+      println(f"[lake]  $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    r
+  }
 
   /** Data columns cast to their declared types (storage-format guard for
     * ad-hoc callers passing narrower/NullType inputs). */

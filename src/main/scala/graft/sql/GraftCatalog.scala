@@ -93,12 +93,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     cat.listTables(ns1(namespace)).map(t => Identifier.of(namespace, t)).toArray
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.length == 1 && cat.tableExists(ident.namespace()(0), ident.name)
+    ident.namespace.length == 1 &&
+      cat.tableExists(ident.namespace()(0), baseName(ident))
+
+  /** `t$changes` resolves to t's change-feed metadata table (Iceberg-style
+    * suffix addressing; backquote it in SQL: FROM graftsql.ns.`t$changes`). */
+  private def baseName(ident: Identifier): String =
+    ident.name.stripSuffix(GraftChangesTable.Suffix)
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(cat.tablePath(ident.namespace()(0), ident.name),
-      ident.toString, snapshotId = None)
+    val path = cat.tablePath(ident.namespace()(0), baseName(ident))
+    if (ident.name.endsWith(GraftChangesTable.Suffix))
+      new GraftChangesTable(path, ident.toString)
+    else new GraftSqlTable(path, ident.toString, snapshotId = None)
   }
 
   /** SQL time travel: `VERSION AS OF <snapshotId>`. */

@@ -317,7 +317,22 @@ class GraftPartitionReader(p: GraftInputPartition)
     new GenericInternalRow(vals)
   }
 
-  private def read(g: Group, name: String, dt: DataType): Any = dt match {
+  private def read(g: Group, name: String, dt: DataType): Any =
+    GroupReads.read(g, name, dt)
+
+  private def widen(v: Any, from: DataType, to: DataType): Any =
+    GroupReads.widen(v, from, to)
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Shared parquet-Group value extraction for the row-materializing SQL
+  * readers (live-row scan and change feed). */
+private[sql] object GroupReads {
+  import org.apache.parquet.example.data.Group
+
+  def read(g: Group, name: String, dt: DataType): Any = dt match {
     case StringType => UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
     case IntegerType => g.getInteger(name, 0)
     case LongType => g.getLong(name, 0)
@@ -328,7 +343,7 @@ class GraftPartitionReader(p: GraftInputPartition)
     case other => sys.error(s"unsupported SQL-read type $other for column $name")
   }
 
-  private def widen(v: Any, from: DataType, to: DataType): Any =
+  def widen(v: Any, from: DataType, to: DataType): Any =
     if (from == to) v
     else (from, to, v) match {
       case (IntegerType, LongType, i: Int) => i.toLong
@@ -336,7 +351,4 @@ class GraftPartitionReader(p: GraftInputPartition)
       case (FloatType, DoubleType, f: Float) => f.toDouble
       case _ => sys.error(s"unsupported widen $from -> $to")
     }
-
-  override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
 }
