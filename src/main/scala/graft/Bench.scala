@@ -41,6 +41,7 @@ object BenchJobs {
     * and its mostly-fixed job cost would otherwise dilute the measured
     * scaling of the actual replay. */
   def replayJob(s: SparkSession, logDir: String, tableDir: String): (Double, String) = {
+    tuneSplits(s, logDir)
     val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
     def phase[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -60,6 +61,28 @@ object BenchJobs {
         coalesce(col("content"), lit(""))).cast("decimal(38,0)")))
       .head().getDecimal(0).toString)
     (sec, chk)
+  }
+
+  /** Size scan splits to input/cores so every parallelism level reads its
+    * input in ONE clean wave. A fixed maxPartitionBytes cap quantizes the
+    * split count identically at every level — 14 splits are 7 perfect waves
+    * on 2 cores but a ragged 8+6 on 8 cores, idling a quarter of the big
+    * level's scan — which biases the MEASURED N→4N ratio by up to ~25%
+    * without any engine inefficiency (a real cluster's planner already
+    * divides by total cores; the cap is the single-box artifact). Bigger
+    * splits also maximize map-side combine in the LWW partial agg. */
+  private def tuneSplits(s: SparkSession, logDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(logDir)
+    val bytes = {
+      val st = java.nio.file.Files.list(dir)
+      try st.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally st.close()
+    }
+    val cores = s.sparkContext.defaultParallelism
+    val per = math.max(128L << 20, bytes / math.max(1, cores) + (1L << 20))
+    s.conf.set("spark.sql.files.maxPartitionBytes", per.toString)
   }
 
   /** No-I/O probe: generate → LWW dedup → count. Isolates the compute path
@@ -217,8 +240,15 @@ object Bench {
       System.getProperty("java.home"), "bin", "java").toString
     val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
       .defaultModuleOptions().trim.split("\\s+").toSeq
+    val heap = math.max(2, cores * 2)
+    // heap PINNED (-Xms=-Xmx) and pre-faulted: without it, ParallelGC's
+    // adaptive sizing returns pages to the OS while a paired level idles,
+    // and every rep re-pays multi-second page-fault heap growth — measured
+    // as a 4N level swinging 45→131 s with an improving trend while the
+    // N level (smaller heap, longer reps) sat rock-stable
     Seq(javaBin) ++ moduleOpts ++ Seq(
-      s"-Xmx${math.max(2, cores * 2)}g", "-XX:+UseParallelGC",
+      s"-Xms${heap}g", s"-Xmx${heap}g", "-XX:+AlwaysPreTouch",
+      "-XX:+UseParallelGC",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchScale", cores.toString) ++ extra

@@ -372,6 +372,49 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     rewritten.size - newFiles.size
   }
 
+  /** Re-hash the table into `newBuckets` hash buckets (bucket-count
+    * evolution — the format fixes the bucket count at create time and sizes
+    * it for the expected scale; a table that outgrew it re-buckets once
+    * rather than living with oversized buckets forever). One full COW
+    * rewrite: every row is re-routed by `pmod(hash(keys), newBuckets)` with
+    * one writer task per NEW bucket (task size ≈ the new bucket size, which
+    * is exactly what `newBuckets` is being chosen to bound), committed
+    * together with the `numBuckets` flip in a single snapshot — readers and
+    * mergers always see file layout and bucket function agree. Logical
+    * state is unchanged: the change feed sees a rebucket as pure rewrite
+    * (every new file's rows keep their lsn, so the lsn-floor manifest skip
+    * reads nothing), and time travel to pre-rebucket snapshots still uses
+    * the old layout. */
+  def rebucket(newBuckets: Int): Unit = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val m0 = meta
+    if (m0.numBuckets == newBuckets) return
+    val snap = m0.currentSnapshot.getOrElse {
+      // empty table: just flip the metadata
+      retryCommit { m =>
+        require(m.currentSnapshot.isEmpty, "concurrent first commit")
+        m.copy(numBuckets = newBuckets)
+      }
+      return
+    }
+    val snapshotId = m0.currentSnapshotId + 1
+    val keyCols = m0.keyCols.map(c => col(c))
+    val rerouted = readFiles(m0, snap.files, m0.currentSchemaId)
+      .withColumn(BucketCol, pmod(hash(keyCols: _*), lit(newBuckets)))
+      .repartition(newBuckets, col(BucketCol))
+    val staging = stageWrite(rerouted, snapshotId)
+    val newFiles = statsFromFooters(staging, m0.currentSchemaId)
+    commitOrClean(staging) {
+      retryCommit { m =>
+        require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+        val s = Snapshot(snapshotId, m0.currentSnapshotId, -1,
+          m.currentSchemaId, "rebucket", newFiles, System.currentTimeMillis())
+        m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
+          numBuckets = newBuckets)
+      }
+    }
+  }
+
   /** Row-level change feed between two committed snapshots (net-changes
     * semantics, like Iceberg's changelog scan / Delta CDF): every key whose
     * LIVE value differs between `fromSnapshotId` and `toSnapshotId` (default

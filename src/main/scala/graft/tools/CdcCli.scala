@@ -15,6 +15,7 @@ import graft.lake._
   *   reconcile <logDir> <tableDir>                 — anti-join verification (must be 0/0)
   *   vacuum <tableDir> [upToLsn]                   — drop old tombstones
   *   compact <tableDir> [targetMB] [minFiles]      — bin-pack small data files
+  *   rebucket <tableDir> <n>                       — re-hash into n buckets
   *   changes <tableDir> <fromSnap> [toSnap]        — row-level change feed between snapshots
   */
 object CdcCli {
@@ -120,6 +121,12 @@ object CdcCli {
       val saved = table.compact(target, rest.drop(1).headOption.map(_.toInt).getOrElse(2))
       println(s"[compact] files $before -> ${before - saved} (target=${target >> 20}MB)")
 
+    case "rebucket" :: tableDir :: n :: Nil =>
+      val table = LakeTable.forPath(spark, tableDir)
+      val before = table.meta.numBuckets
+      table.rebucket(n.toInt)
+      println(s"[rebucket] buckets $before -> ${table.meta.numBuckets}")
+
     case "changes" :: tableDir :: fromSnap :: rest =>
       val table = LakeTable.forPath(spark, tableDir)
       val feed = table.changes(fromSnap.toLong, rest.headOption.map(_.toLong))
@@ -161,7 +168,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }

@@ -147,6 +147,39 @@ class LakeMaintenanceSpec extends SparkTestBase {
       s"unpacked buckets remain: ${perBucket.view.mapValues(_.size).toMap}")
   }
 
+  test("rebucket re-hashes the table; state, merge, pruning and feeds stay consistent") {
+    val t = freshTable(buckets = 2)
+    t.merge(batch((1 to 50).map(i =>
+      (i.toLong, "I", s"r$i", s"p$i", s"c$i", "scala", s"v$i")): _*), 0)
+    val preState = stateSet(t)
+    val preSnap = t.meta.currentSnapshotId
+
+    t.rebucket(8)
+    val m = t.meta
+    assert(m.numBuckets == 8)
+    assert(m.currentSnapshot.get.operation == "rebucket")
+    // layout agrees with the flipped bucket function
+    assert(m.currentSnapshot.get.files.forall(f => f.bucket >= 0 && f.bucket < 8))
+    assert(m.currentSnapshot.get.files.map(_.bucket).distinct.size > 2)
+    // logical state unchanged; pre-rebucket time travel intact; the exact
+    // diff sees a rebucket as a pure rewrite
+    assert(stateSet(t) == preState)
+    assert(t.currentState(Some(preSnap)).collect().map(_.toSeq).toSet == preState)
+    assert(t.changes(preSnap).isEmpty)
+
+    // merges after the flip route by the new function and reconcile existing
+    // keys (a bucket/layout mismatch would duplicate r1 instead)
+    t.merge(batch((100L, "U", "r1", "p1", "c1", "scala", "v1b")), 1)
+    val r1 = t.currentState().filter(col("repo") === "r1").collect()
+    assert(r1.length == 1 && r1(0).getAs[String]("content") == "v1b")
+    assert(t.currentState().count() == 50)
+
+    // shrink works too
+    t.rebucket(4)
+    assert(t.meta.numBuckets == 4)
+    assert(stateSet(t).map(_.take(3)).size == 50)
+  }
+
   test("changes refuses an expired from-snapshot instead of silently full-diffing") {
     val t = freshTable()
     t.merge(batch((1L, "I", "k1", "p", "c", "scala", "a")), 0)
