@@ -63,14 +63,21 @@ object BenchJobs {
     (sec, chk)
   }
 
-  /** Size scan splits to input/cores so every parallelism level reads its
-    * input in ONE clean wave. A fixed maxPartitionBytes cap quantizes the
-    * split count identically at every level — 14 splits are 7 perfect waves
-    * on 2 cores but a ragged 8+6 on 8 cores, idling a quarter of the big
-    * level's scan — which biases the MEASURED N→4N ratio by up to ~25%
-    * without any engine inefficiency (a real cluster's planner already
-    * divides by total cores; the cap is the single-box artifact). Bigger
-    * splits also maximize map-side combine in the LWW partial agg. */
+  /** Pin scan-split SIZE equal at every parallelism level, with the split
+    * COUNT a clean multiple of both levels' core counts (default 16 =
+    * 2 × the big level: 8 waves of 2 on 2 cores, 2 waves of 8 on 8 cores).
+    * Two measured artifacts motivate this:
+    *  - a fixed byte cap (1g) gave 14 splits — 7 clean waves on 2 cores but
+    *    a ragged 8+6 on 8 cores, idling a quarter of the big level's scan;
+    *  - sizing splits to input/cores (the first fix attempt) handed the
+    *    SMALL level whole-input-per-core splits whose near-perfect map-side
+    *    combine made its merge 40% faster per unit — a per-core
+    *    configuration advantage the big level cannot have, skewing the
+    *    ratio the other way (merge phase "efficiency" 0.92 → 0.58).
+    * Equal split size = identical per-task work shape at both levels —
+    * the same constant-per-core-resources principle as heap ∝ cores, and
+    * exactly how a real cluster plans splits (fixed split size, count
+    * scaling with the cluster). */
   private def tuneSplits(s: SparkSession, logDir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Paths.get(logDir)
@@ -80,8 +87,8 @@ object BenchJobs {
         .map(java.nio.file.Files.size).sum
       finally st.close()
     }
-    val cores = s.sparkContext.defaultParallelism
-    val per = math.max(128L << 20, bytes / math.max(1, cores) + (1L << 20))
+    val splits = sys.props.getOrElse("graft.bench.splits", "16").toLong
+    val per = math.max(64L << 20, bytes / splits + (1L << 20))
     s.conf.set("spark.sql.files.maxPartitionBytes", per.toString)
   }
 
