@@ -34,6 +34,26 @@ object BenchJobs {
   def genConfig(events: Long): GenConfig =
     GenConfig(numEvents = events, numRepos = 400, pathsPerRepo = 50, commitsPerFile = 8)
 
+  /** Per-stage task-metric dump (GRAFT_PHASE_LOG=1 only): wall vs summed
+    * run/cpu/GC time and shuffle/input volume per stage — separates "the
+    * tasks ran slower" (cpu < run ⇒ stalls) from "the stage had a ragged
+    * wave" (wall × cores >> run) when decomposing scaling efficiency. */
+  private class StageLog extends org.apache.spark.scheduler.SparkListener {
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      val m = si.taskMetrics
+      val wall = (for { a <- si.submissionTime; b <- si.completionTime } yield (b - a) / 1e3)
+        .getOrElse(-1.0)
+      println(f"[stage] ${si.stageId}%3d ${si.name.takeWhile(_ != '\n').take(44)}%-44s " +
+        f"t=${si.numTasks}%4d wall=$wall%7.2f run=${m.executorRunTime / 1e3}%8.2f " +
+        f"cpu=${m.executorCpuTime / 1e9}%8.2f gc=${m.jvmGCTime / 1e3}%6.2f " +
+        f"in=${m.inputMetrics.bytesRead >> 20}%6dM " +
+        f"shR=${(m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead) >> 20}%5dM " +
+        f"shW=${m.shuffleWriteMetrics.bytesWritten >> 20}%5dM")
+    }
+  }
+
   /** The scaling-protocol unit of work: batch-replay the log into a fresh
     * table, then checksum the final state. Returns (timedSeconds, checksum).
     * Only create+replay are timed — the checksum is determinism EVIDENCE
@@ -43,6 +63,10 @@ object BenchJobs {
   def replayJob(s: SparkSession, logDir: String, tableDir: String): (Double, String) = {
     tuneSplits(s, logDir)
     val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
+    if (phaseLog && s.sparkContext.getLocalProperty("graft.stagelog.on") != "1") {
+      s.sparkContext.addSparkListener(new StageLog)
+      s.sparkContext.setLocalProperty("graft.stagelog.on", "1")
+    }
     def phase[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       if (phaseLog) println(f"[phase] $name%-10s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
@@ -66,14 +90,22 @@ object BenchJobs {
   /** Pin scan-split SIZE equal at every parallelism level, with the split
     * COUNT a clean multiple of both levels' core counts (default 16 =
     * 2 × the big level: 8 waves of 2 on 2 cores, 2 waves of 8 on 8 cores).
-    * Two measured artifacts motivate this:
+    * Three measured artifacts motivate this:
     *  - a fixed byte cap (1g) gave 14 splits — 7 clean waves on 2 cores but
     *    a ragged 8+6 on 8 cores, idling a quarter of the big level's scan;
     *  - sizing splits to input/cores (the first fix attempt) handed the
     *    SMALL level whole-input-per-core splits whose near-perfect map-side
     *    combine made its merge 40% faster per unit — a per-core
     *    configuration advantage the big level cannot have, skewing the
-    *    ratio the other way (merge phase "efficiency" 0.92 → 0.58).
+    *    ratio the other way (merge phase "efficiency" 0.92 → 0.58);
+    *  - bin-packing 256 small files under a bytes/16 cap emitted 18 splits
+    *    (openCost padding + file-size variance), and 18 tasks on 8 cores is
+    *    an 8+8+2 wave — the stage log showed the trailing wave idling 6 of
+    *    8 cores for a third of the merge stage wall (round-4 profile), while
+    *    2 cores ran 9 clean waves. The scaling log is therefore WRITTEN as
+    *    exactly `splits` files (see scaleLogFiles) and the cap is sized so
+    *    one file always fits and two never do: one file = one split, split
+    *    count exact by construction.
     * Equal split size = identical per-task work shape at both levels —
     * the same constant-per-core-resources principle as heap ∝ cores, and
     * exactly how a real cluster plans splits (fixed split size, count
@@ -81,16 +113,28 @@ object BenchJobs {
   private def tuneSplits(s: SparkSession, logDir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Paths.get(logDir)
-    val bytes = {
+    val sizes = {
       val st = java.nio.file.Files.list(dir)
       try st.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
-        .map(java.nio.file.Files.size).sum
+        .map(java.nio.file.Files.size).toSeq
       finally st.close()
     }
+    val bytes = sizes.sum
     val splits = sys.props.getOrElse("graft.bench.splits", "16").toLong
-    val per = math.max(64L << 20, bytes / splits + (1L << 20))
+    // one-file-per-split cap when the log is laid out as `splits` equal
+    // files: above every single file, below any pair. Falls back to plain
+    // bytes/splits bin-packing for legacy many-file logs.
+    val per =
+      if (sizes.length <= splits && sizes.nonEmpty)
+        math.max(sizes.max + (1L << 20), bytes / splits)
+      else math.max(64L << 20, bytes / splits + (1L << 20))
     s.conf.set("spark.sql.files.maxPartitionBytes", per.toString)
+    s.conf.set("spark.sql.files.openCostInBytes", "0")
   }
+
+  /** Number of files (= scan splits, via tuneSplits) the scaling log is
+    * written as. */
+  def scaleLogFiles: Int = sys.props.getOrElse("graft.bench.splits", "16").toInt
 
   /** No-I/O probe: generate → LWW dedup → count. Isolates the compute path
     * from commit/file-system costs. */
@@ -197,6 +241,7 @@ object BenchGen {
     val s = BenchJobs.session(Runtime.getRuntime.availableProcessors(), s"$out-local")
     try CdcPipeline.envelopeDf(ChangeLogGen.generate(s,
         BenchJobs.genConfig(eventsS.toLong), Some(256)))
+      .coalesce(BenchJobs.scaleLogFiles) // one file per scan split, as the bench lays it out
       .write.mode("overwrite").parquet(out)
     finally s.stop()
     println("MODULE_OPTS " +
@@ -389,10 +434,14 @@ object Bench {
 
       // ---------------- phase C: N vs 4N scaling (child JVM per level) ----
       val n = 2
-      val scaleLog = if (scalingEvents == scaleEvents) s"$work/log" else {
+      val scaleLog = {
         val sG = BenchJobs.session(cpus, localDir)
+        // coalesce to exactly `splits` files: one file = one scan split at
+        // both levels (see tuneSplits) — content is unchanged (coalesce
+        // merges the 256 deterministic generator partitions in order)
         CdcPipeline.envelopeDf(ChangeLogGen.generate(sG,
             BenchJobs.genConfig(scalingEvents), Some(256)))
+          .coalesce(BenchJobs.scaleLogFiles)
           .write.mode("overwrite").parquet(s"$work/scalelog")
         sG.stop()
         s"$work/scalelog"
@@ -479,7 +528,13 @@ object Bench {
       val full = line(qsJson(_.toString), cdcCompact, scalingFull)
       println(compact)
       println(compact)
+      // stderr copy: under `sbt -batch "runMain graft.Bench"` every stdout
+      // line arrives prefixed with `[info] `, which a strict JSON-line parser
+      // rejects — sbt passes stderr through unprefixed, so this copy is the
+      // one a log-tail parser can always read
+      System.err.println(compact)
       System.out.flush()
+      System.err.flush()
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), full + "\n")
     } finally {
       LakeTable.deleteRecursively(java.nio.file.Paths.get(work))

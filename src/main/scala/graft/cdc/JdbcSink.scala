@@ -26,7 +26,9 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
 
   private def q(c: String) = "\"" + c + "\""
 
-  private def connect() = {
+  /** Overridable for tests (e.g. wrapping the connection in a proxy that
+    * simulates driver batch-count quirks like SUCCESS_NO_INFO). */
+  protected def connect(): java.sql.Connection = {
     val c = java.sql.DriverManager.getConnection(url, properties)
     c.setAutoCommit(false)
     c
@@ -113,13 +115,20 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
             val misses =
               if (upd == null) page
               else {
-                page.foreach { r =>
+                def bind(r: Row): Unit = {
                   var i = 1
                   nonKey.foreach { cn => set(upd, i, r, idx(cn), sqlTypes(idx(cn))); i += 1 }
                   keyCols.foreach { kn => set(upd, i, r, idx(kn), sqlTypes(idx(kn))); i += 1 }
-                  upd.addBatch()
                 }
-                val counts = upd.executeBatch()
+                page.foreach { r => bind(r); upd.addBatch() }
+                var counts = upd.executeBatch()
+                // drivers may report SUCCESS_NO_INFO (-2) for batched rows
+                // (MySQL rewriteBatchedStatements, some Postgres modes):
+                // "executed, count unknown". Treating that as "updated" would
+                // silently skip phase 2 and drop every new key — re-run the
+                // page row-by-row (idempotent UPDATE) to learn real counts.
+                if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO))
+                  counts = page.map { r => bind(r); upd.executeUpdate() }.toArray
                 // ... phase 2: batched INSERT for the keys UPDATE missed
                 page.zip(counts).collect { case (r, 0) => r }
               }
@@ -164,7 +173,11 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
                 set(del, i + 1, r, idx(kn), sqlTypes(idx(kn))) }
               del.addBatch()
             }
-            deleted.add(del.executeBatch().count(_ > 0))
+            // SUCCESS_NO_INFO (-2) = executed, count unknown — a PK delete
+            // hit at most one row; counting it keeps the return value an
+            // upper bound instead of silently reporting 0 on such drivers
+            deleted.add(del.executeBatch()
+              .count(c => c > 0 || c == java.sql.Statement.SUCCESS_NO_INFO))
             c.commit()
           }
           del.close()
@@ -188,6 +201,11 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
       field: Int, sqlType: Int): Unit =
     if (r.isNullAt(field)) ps.setNull(pos, sqlType)
     else ps.setObject(pos, r.get(field))
+
+  /** Key tuples currently in the target table — drives the full-resync
+    * anti-diff (delete target keys the lake no longer has live). */
+  def targetKeys(spark: SparkSession): DataFrame =
+    spark.read.jdbc(url, table, properties).select(keyCols.map(col): _*)
 
   // ------------------------------------------------------- watermark state
 
@@ -247,6 +265,12 @@ object JdbcWarehouseSync {
     val m = lake.meta
     val snap = m.currentSnapshot.getOrElse(return 0L)
     val newWm = snap.files.map(_.lsnMax).foldLeft(-1L)(math.max)
+    // vacuum gap: tombstones with lsn <= vacuumLsn may be physically gone,
+    // so a sink that has not consumed past them can never learn those
+    // deletes incrementally — the lsn-watermark path would silently strand
+    // the deleted rows in the warehouse forever. Full resync instead:
+    // upsert every live row and anti-diff the target's keys for deletes.
+    if (wm >= 0 && wm < m.vacuumLsn) return fullResync(lake, sink, newWm)
     if (newWm <= wm) return 0L
     // manifest pruning: only bucket files that can contain post-watermark
     // rows are read (a rewritten bucket file keeps its full lsn span, so
@@ -265,5 +289,22 @@ object JdbcWarehouseSync {
       sink.setWatermark(newWm) // last: a crash before this replays the beat
       n
     } finally changed.unpersist()
+  }
+
+  /** Recovery path for a sink whose watermark fell behind a vacuum: push the
+    * complete live state and delete every target key the lake no longer has
+    * live. Idempotent like the incremental beat; the watermark update landing
+    * last makes a crashed resync re-run safely. */
+  private def fullResync(lake: LakeTable, sink: JdbcUpsertSink, newWm: Long): Long = {
+    val m = lake.meta
+    val live = lake.currentState().persist()
+    try {
+      val keyCols = m.keyCols
+      val stale = sink.targetKeys(lake.spark)
+        .join(live.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val n = sink.upsert(live) + sink.deleteKeys(stale)
+      sink.setWatermark(newWm)
+      n
+    } finally live.unpersist()
   }
 }

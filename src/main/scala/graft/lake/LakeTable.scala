@@ -289,22 +289,38 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Physically drop tombstones with `_lsn <= upToLsn`. Safe once the
-    * stream's replay watermark has passed `upToLsn` — no event that old can
-    * still arrive, so the tombstone's anti-resurrection job is done. Only
-    * buckets that actually contain eligible tombstones are rewritten. */
+  /** Physically drop tombstones with `_lsn <= upToLsn`. Safe once BOTH
+    *  - the stream's replay watermark has passed `upToLsn` (no event that old
+    *    can still arrive, so the tombstone's anti-resurrection job is done),
+    *  - every downstream tombstone consumer (JDBC warehouse sync, `$changes`
+    *    lsn-floor stream) has consumed past `upToLsn` — a vacuumed tombstone
+    *    can no longer be observed as a delete. The commit records the
+    *    high-water in [[TableMeta.vacuumLsn]] so lagging consumers can detect
+    *    the gap and full-resync instead of silently stranding deleted rows.
+    *
+    * Candidate discovery is manifest-only: a file can contain an eligible
+    * tombstone only if its footer flagged tombstones at all AND its lsn range
+    * dips below the cutoff — vacuum on a tombstone-free table reads zero
+    * files, and only candidate files (not whole buckets) are rewritten. */
   def vacuum(upToLsn: Long = Long.MaxValue): Long = {
     val m0 = meta
     val snap = m0.currentSnapshot.getOrElse(return 0L)
-    val all = read()
-    val eligible = all.filter(col(DeletedCol) && col(LsnCol) <= upToLsn)
-    val touched = eligible.select(bucketExpr(m0).as(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return 0L
-    val (rewrittenFiles, kept) = snap.files.partition(f => touched.contains(f.bucket))
+    val (candidates, kept) = snap.files.partition(f =>
+      f.hasTombstones && f.lsnMin <= upToLsn)
+    if (candidates.isEmpty) return 0L
+    // probe pass over candidates only (column-pruned: _deleted + _lsn):
+    // the EXACT high-water of what this vacuum drops. File-level bounds
+    // (candidates' lsnMax) would over-state the gap and force downstream
+    // consumers into spurious full resyncs; and zero eligible tombstones
+    // (conservatively-flagged files) means nothing to rewrite at all.
+    val probe = readFiles(m0, candidates, m0.currentSchemaId)
+      .filter(col(DeletedCol) && col(LsnCol) <= upToLsn)
+      .agg(count(lit(1)).as("c"), max(col(LsnCol)).as("mx")).head()
+    if (probe.getLong(0) == 0) return 0L
+    val droppedHighWater = probe.getLong(1)
     // input files are already bucket-partitioned (one task reads one bucket
     // file and writes one bucket dir) — no shuffle needed
-    val surviving = readFiles(m0, rewrittenFiles, m0.currentSchemaId)
+    val surviving = readFiles(m0, candidates, m0.currentSchemaId)
       .filter(!(col(DeletedCol) && col(LsnCol) <= upToLsn))
       .withColumn(BucketCol, bucketExpr(m0))
       .persist()
@@ -312,13 +328,14 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       val snapshotId = m0.currentSnapshotId + 1
       val staging = stageWrite(surviving, snapshotId)
       val newFiles = statsFromFooters(staging, m0.currentSchemaId)
-      val removed = rewrittenFiles.map(_.rowCount).sum - newFiles.map(_.rowCount).sum
+      val removed = candidates.map(_.rowCount).sum - newFiles.map(_.rowCount).sum
       commitOrClean(staging) {
         retryCommit { m =>
           require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
           val s = Snapshot(snapshotId, m0.currentSnapshotId, -1,
             m.currentSchemaId, "vacuum", kept ++ newFiles, System.currentTimeMillis())
-          m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId)
+          m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
+            vacuumLsn = math.max(m.vacuumLsn, droppedHighWater))
         }
       }
       removed
@@ -347,11 +364,18 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   def compact(targetFileBytes: Long = 128L << 20, minFiles: Int = 2): Int = {
     val m0 = meta
     val snap = m0.currentSnapshot.getOrElse(return 0)
-    def sizeOf(f: DataFileMeta): Long = Files.size(Paths.get(root, f.path))
+    // one stat per live file and one groupBy for the per-bucket small-file
+    // count — planning is a single pass over the manifest. (The first version
+    // re-stat'ed every file inside the partition predicate, O(files²)
+    // syscalls at exactly the file counts compaction exists for.)
+    val sizeByPath: Map[String, Long] =
+      snap.files.map(f => f.path -> Files.size(Paths.get(root, f.path))).toMap
+    val smallPerBucket: Map[Int, Int] = snap.files
+      .filter(f => sizeByPath(f.path) < targetFileBytes)
+      .groupBy(_.bucket).map { case (b, fs) => b -> fs.size }
     val (rewritten, kept) = snap.files.partition { f =>
-      lazy val smallSiblings = snap.files.count(g =>
-        g.bucket == f.bucket && sizeOf(g) < targetFileBytes)
-      sizeOf(f) < targetFileBytes && smallSiblings >= minFiles
+      sizeByPath(f.path) < targetFileBytes &&
+        smallPerBucket.getOrElse(f.bucket, 0) >= minFiles
     }
     if (rewritten.isEmpty) return 0
     val snapshotId = m0.currentSnapshotId + 1
@@ -544,7 +568,12 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         val invalid = scala.collection.mutable.Set.empty[Int]
         def lt(a: Any, b: Any): Boolean = (a, b) match {
           case (x: BigDecimal, y: BigDecimal) => x < y
-          case (x: String, y: String) => x < y
+          // UTF-8 binary order, matching parquet footer stats and the SQL
+          // pruner's comparison — java.lang.String order (UTF-16 code units)
+          // diverges for supplementary characters
+          case (x: String, y: String) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(x)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
           case _ => false
         }
         blocks.forEach { b =>

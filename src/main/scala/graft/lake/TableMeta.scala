@@ -79,7 +79,15 @@ case class TableMeta(
     retiredEpochs: Seq[Long] = Seq.empty,
     // Ledger of applied migration-file ids (reference: yoyo's _yoyo_migration
     // table) — recorded in the SAME commit as the schema change they carry.
-    appliedMigrations: Seq[String] = Seq.empty) {
+    appliedMigrations: Seq[String] = Seq.empty,
+    // High-water of physically dropped tombstones: every tombstone with
+    // `_lsn <= vacuumLsn` MAY have been vacuumed away. Downstream consumers
+    // that derive deletes from tombstones (JdbcWarehouseSync's lsn watermark,
+    // the `$changes` lsn-floor stream) must have consumed past this point —
+    // a lagging consumer can no longer observe those deletes and must full
+    // resync instead (enforced in JdbcWarehouseSync.syncOnce). -1 = never
+    // vacuumed.
+    vacuumLsn: Long = -1L) {
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)

@@ -50,6 +50,14 @@ object CatalogOps {
     s.sql("INSERT INTO graftsql.main.docs_up SELECT doc_id, lang, n_chars FROM graft_docs_src")
     s.sql("""INSERT INTO graftsql.main.docs_up
              SELECT doc_id, 'redacted', 0 FROM graft_docs_src WHERE doc_id % 10 = 0""")
+
+    // q38 table: populated through SQL, then rows retired through SQL
+    // row-level DELETE (tombstone merge underneath)
+    s.sql("DROP TABLE IF EXISTS graftsql.main.docs_del")
+    s.sql("""CREATE TABLE graftsql.main.docs_del (doc_id BIGINT, lang STRING, n_chars BIGINT)
+             TBLPROPERTIES ('keys'='doc_id', 'buckets'='8')""")
+    s.sql("INSERT INTO graftsql.main.docs_del SELECT doc_id, lang, n_chars FROM graft_docs_src")
+    s.sql("DELETE FROM graftsql.main.docs_del WHERE doc_id >= 100 AND doc_id < 200")
   }
 
   val all: Seq[OpQuery] = Seq(
@@ -85,5 +93,21 @@ object CatalogOps {
              |        CASE WHEN doc_id % 10 = 0 THEN 'redacted' ELSE lang END AS lang,
              |        CASE WHEN doc_id % 10 = 0 THEN 0 ELSE n_chars END AS n_chars
              |      FROM documents)
+             |GROUP BY lang""".stripMargin)),
+
+    // SQL row-level DELETE — the table lost doc_ids [100, 200) through
+    // `DELETE FROM ... WHERE` (setup above), which the engine executes as a
+    // tombstone merge. The oracle recomputes the post-delete state from the
+    // source parquet; agreement proves the deletes removed exactly the
+    // matching keys and nothing else.
+    OpQuery("q38_sql_delete",
+      (s, d) => {
+        ensureCatalog(s, d)
+        s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+                 FROM graftsql.main.docs_del GROUP BY lang""")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM documents WHERE NOT (doc_id >= 100 AND doc_id < 200)
              |GROUP BY lang""".stripMargin)))
 }

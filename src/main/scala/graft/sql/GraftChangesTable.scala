@@ -56,9 +56,30 @@ class GraftChangesTable(root: String, displayName: String) extends Table with Su
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftChangesScan(root, options)
-    }
+    new GraftChangesScanBuilder(root, options)
+}
+
+/** Column pruning for the feed (a consumer tailing a wide table usually
+  * wants keys + `_change_type`, not full-width rows): the pruned projection
+  * reaches the parquet readers, and `_change_type`/`_lsn` themselves prune
+  * away when unreferenced. (Batch reads only — Spark builds a streaming scan
+  * before any pushdown runs, so the micro-batch path keeps the full schema.) */
+class GraftChangesScanBuilder(root: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private val schemaAtPlan: SchemaVersion = {
+    val m = LakeTable.metaAt(root)
+    m.schemaById(m.currentSchemaId)
+  }
+  private val full: StructType = GraftChangesTable.changeSchema(schemaAtPlan.toStruct)
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep declared column order; requiredSchema may reorder
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = new GraftChangesScan(root, options, schemaAtPlan, required)
 }
 
 object GraftChangesTable {
@@ -69,38 +90,42 @@ object GraftChangesTable {
     StructField(LakeTable.LsnCol, LongType, nullable = false))
 }
 
-class GraftChangesScan(root: String, options: CaseInsensitiveStringMap) extends Scan {
-  // the read schema is pinned at scan creation (streams must keep a stable
-  // schema for their whole life); later file schemas map to it by column id
-  private val schemaAtPlan: SchemaVersion = {
-    val m = LakeTable.metaAt(root)
-    m.schemaById(m.currentSchemaId)
-  }
+class GraftChangesScan(root: String, options: CaseInsensitiveStringMap,
+    // the read schema is pinned at scan creation (streams must keep a stable
+    // schema for their whole life); later file schemas map to it by column id
+    schemaAtPlan: SchemaVersion, required: StructType) extends Scan {
 
-  override def readSchema(): StructType =
-    GraftChangesTable.changeSchema(schemaAtPlan.toStruct)
-  override def description(): String = s"GraftChangesScan($root)"
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftChangesScan($root, cols=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch = new Batch {
     private val m = LakeTable.metaAt(root)
     private val from = Option(options.get("fromSnapshot")).map(_.toLong).getOrElse(-1L)
     private val to = Option(options.get("toSnapshot")).map(_.toLong)
       .getOrElse(m.currentSnapshotId)
+    private lazy val parts =
+      GraftChangesScan.partitions(root, m, schemaAtPlan, required, from, to)
     override def planInputPartitions(): Array[InputPartition] =
-      GraftChangesScan.partitions(root, m, schemaAtPlan, from, to)
+      parts.map(p => p: InputPartition)
+    // whole-scan columnar decision, like GraftScan: Spark rejects mixed
+    // row/columnar scans, so vectorize iff every selected file qualifies
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftChangesReaderFactory
+      new GraftChangesReaderFactory(parts.nonEmpty && parts.forall(_.columnar))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftChangesStream(root, schemaAtPlan, options)
+    new GraftChangesStream(root, schemaAtPlan, required, options)
 }
 
 object GraftChangesScan {
-  /** One InputPartition per data file the range (from, to] added, minus the
-    * files manifest-provably free of post-floor rows. */
+  /** One partition per data file the range (from, to] added, minus the
+    * files manifest-provably free of post-floor rows. A file is vectorizable
+    * when no per-row work remains: footer-proven tombstone-free (every row is
+    * an "upsert"), lsnMin above the floor (no carry-over rows to filter), and
+    * the projection identity-maps to stored columns. */
   private[sql] def partitions(root: String, m: TableMeta, target: SchemaVersion,
-      fromSnapshotId: Long, toSnapshotId: Long): Array[InputPartition] = {
+      required: StructType, fromSnapshotId: Long, toSnapshotId: Long): Array[GraftChangesPartition] = {
     val fromSnap =
       if (fromSnapshotId <= 0) None
       else Some(m.snapshotById(fromSnapshotId).getOrElse(sys.error(
@@ -113,18 +138,37 @@ object GraftChangesScan {
     val fromPaths = fromSnap.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val lsnFloor = fromSnap.map(_.files.map(_.lsnMax).foldLeft(-1L)(math.max))
       .getOrElse(-1L)
+    // vacuum gap: tombstones at or under vacuumLsn may be physically gone —
+    // a consumer whose floor is below that can no longer observe those
+    // deletes from added files. Fail loudly (re-bootstrap restores a correct
+    // full image) instead of silently dropping deletes; bootstrap reads
+    // (no fromSnapshot) emit the complete current state and are unaffected.
+    if (fromSnap.isDefined && m.vacuumLsn > lsnFloor)
+      sys.error(s"tombstones up to lsn ${m.vacuumLsn} were vacuumed past this " +
+        s"feed's floor ($lsnFloor): deletes in that range are unobservable — " +
+        "re-bootstrap the consumer (fromSnapshot/startingSnapshot = 0)")
     val added = toSnap.map(_.files).getOrElse(Seq.empty)
       .filterNot(f => fromPaths.contains(f.path))
       .filter(_.lsnMax > lsnFloor) // manifest skip: pure rewrites carry no news
+    val targetByName = target.columns.map(c => c.name -> c).toMap
+    val dataFields = required.fields.filter(f =>
+      f.name != GraftChangesTable.ChangeTypeCol && f.name != LakeTable.LsnCol)
+    val wantCt = required.fieldNames.contains(GraftChangesTable.ChangeTypeCol)
+    val wantLsn = required.fieldNames.contains(LakeTable.LsnCol)
     added.map { f =>
       val storedById = m.schemaById(f.schemaId).byId
-      val cols = target.columns.map { cd =>
+      val cols = dataFields.map { rf =>
+        val cd = targetByName(rf.name)
         storedById.get(cd.id) match {
           case Some(st) => ColSpec(cd.name, cd.dataTypeJson, st.name, st.dataTypeJson)
           case None => ColSpec(cd.name, cd.dataTypeJson, null, null)
         }
-      }.toArray
-      GraftChangesPartition(s"$root/${f.path}", cols, lsnFloor): InputPartition
+      }
+      val identity = cols.forall(c => c.storedName == c.outName &&
+        c.storedTypeJson == c.outTypeJson && GraftScan.vectorizable(c.outTypeJson))
+      val columnar = !f.hasTombstones && f.lsnMin > lsnFloor && identity &&
+        (cols.nonEmpty || wantLsn) // ≥1 stored column must drive the reader
+      GraftChangesPartition(s"$root/${f.path}", cols, lsnFloor, wantCt, wantLsn, columnar)
     }.toArray
   }
 }
@@ -135,7 +179,7 @@ case class GraftChangesOffset(snapshotId: Long) extends Offset {
 }
 
 class GraftChangesStream(root: String, target: SchemaVersion,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    required: StructType, options: CaseInsensitiveStringMap) extends MicroBatchStream {
   private def meta: TableMeta = LakeTable.metaAt(root)
 
   override def initialOffset(): Offset = GraftChangesOffset(
@@ -148,19 +192,68 @@ class GraftChangesStream(root: String, target: SchemaVersion,
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    GraftChangesScan.partitions(root, meta, target,
+    GraftChangesScan.partitions(root, meta, target, required,
       start.asInstanceOf[GraftChangesOffset].snapshotId,
       end.asInstanceOf[GraftChangesOffset].snapshotId)
+      .map(p => p: InputPartition)
+  // row readers only: the factory is created once for the stream's life but
+  // columnar eligibility varies per micro-batch's file set
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftChangesReaderFactory
+    new GraftChangesReaderFactory(allColumnar = false)
 }
 
 case class GraftChangesPartition(filePath: String, cols: Array[ColSpec],
-    lsnFloor: Long) extends InputPartition
+    lsnFloor: Long, wantChangeType: Boolean, wantLsn: Boolean,
+    columnar: Boolean) extends InputPartition
 
-class GraftChangesReaderFactory extends PartitionReaderFactory {
+class GraftChangesReaderFactory(allColumnar: Boolean) extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = allColumnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftChangesPartitionReader(partition.asInstanceOf[GraftChangesPartition])
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftChangesColumnarReader(partition.asInstanceOf[GraftChangesPartition])
+}
+
+/** Vectorized read of one tombstone-free, above-floor, identity-mapped added
+  * file: the data columns (+ `_lsn`) stream through Spark's own
+  * VectorizedParquetRecordReader untouched, and `_change_type` — constant
+  * "upsert" for such a file — is a ConstantColumnVector spliced into each
+  * batch. No per-row materialization anywhere. */
+class GraftChangesColumnarReader(p: GraftChangesPartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val storedNames: Array[String] =
+    p.cols.map(_.storedName) ++ (if (p.wantLsn) Array(LakeTable.LsnCol) else Array.empty[String])
+  private val reader = new VectorizedParquetRecordReader(
+    /* useOffHeap = */ false, /* capacity = */ 4096)
+  reader.initialize(p.filePath, java.util.Arrays.asList(storedNames: _*))
+  private val fileBatch = reader.resultBatch()
+  reader.enableReturningBatches()
+
+  private val out: ColumnarBatch = {
+    val n = p.cols.length + (if (p.wantChangeType) 1 else 0) + (if (p.wantLsn) 1 else 0)
+    val vecs = new Array[ColumnVector](n)
+    var i = 0
+    while (i < p.cols.length) { vecs(i) = fileBatch.column(i); i += 1 }
+    if (p.wantChangeType) {
+      val ct = new ConstantColumnVector(4096, StringType)
+      ct.setUtf8String(UTF8String.fromString("upsert"))
+      vecs(i) = ct; i += 1
+    }
+    if (p.wantLsn) vecs(i) = fileBatch.column(p.cols.length)
+    new ColumnarBatch(vecs)
+  }
+
+  override def next(): Boolean = {
+    val has = reader.nextBatch()
+    if (has) out.setNumRows(fileBatch.numRows())
+    has
+  }
+  override def get(): ColumnarBatch = out
+  override def close(): Unit = reader.close()
 }
 
 /** Row reader over one added data file: rows at or under the lsn floor are
@@ -207,7 +300,8 @@ class GraftChangesPartitionReader(p: GraftChangesPartition)
     val deleted = g.getType.containsField(LakeTable.DeletedCol) &&
       g.getFieldRepetitionCount(LakeTable.DeletedCol) > 0 &&
       g.getBoolean(LakeTable.DeletedCol, 0)
-    val vals = new Array[Any](p.cols.length + 2)
+    val vals = new Array[Any](p.cols.length +
+      (if (p.wantChangeType) 1 else 0) + (if (p.wantLsn) 1 else 0))
     var i = 0
     while (i < p.cols.length) {
       val c = p.cols(i)
@@ -219,8 +313,8 @@ class GraftChangesPartitionReader(p: GraftChangesPartition)
           DataType.fromJson(c.storedTypeJson), DataType.fromJson(c.outTypeJson))
       i += 1
     }
-    vals(p.cols.length) = if (deleted) delete else upsert
-    vals(p.cols.length + 1) = lsn
+    if (p.wantChangeType) { vals(i) = if (deleted) delete else upsert; i += 1 }
+    if (p.wantLsn) vals(i) = lsn
     new GenericInternalRow(vals)
   }
 

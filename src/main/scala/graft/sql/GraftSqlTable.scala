@@ -27,7 +27,8 @@ import graft.lake.{LakeTable, TableMeta}
   * paths (merge/replay) use the native vectorized reader via `LakeTable`.
   */
 class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   // metadata is pinned at load time: one SQL query = one consistent snapshot
   private val meta: TableMeta = LakeTable.metaAt(root)
@@ -54,6 +55,67 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
     require(snapshotId.isEmpty, s"cannot write to time-travel view $displayName")
     new GraftWriteBuilder(root)
   }
+
+  /** SQL row-level DELETE (`DELETE FROM graftsql.ns.t WHERE ...`): the
+    * matching live rows become one merge commit with `op = "D"` at
+    * lsn = high-water + 1 — i.e. tombstones, exactly what the Scala API's
+    * delete path writes, so the change feed, vacuum and downstream syncs all
+    * see SQL deletes identically to native ones. Reference analogue: the
+    * soft-delete flag set through its upsert (`queries/fact_studies.py:73`,
+    * `ON CONFLICT ... DO UPDATE SET ... deleted = excluded.deleted`). */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    snapshotId.isEmpty && filters.forall(GraftSqlTable.supportedDeleteFilter)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(snapshotId.isEmpty, s"cannot delete from time-travel view $displayName")
+    import org.apache.spark.sql.functions._
+    val spark = org.apache.spark.sql.SparkSession.active
+    val t = LakeTable.forPath(spark, root)
+    val cond = filters.map(GraftSqlTable.filterToColumn)
+      .foldLeft(lit(true))(_ && _) // empty WHERE = delete everything
+    val nextLsn = t.meta.currentSnapshot
+      .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
+    t.merge(t.currentState().filter(cond)
+      .withColumn("lsn", lit(nextLsn)).withColumn("op", lit("D")))
+  }
+}
+
+object GraftSqlTable {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.Column
+
+  private[sql] def supportedDeleteFilter(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+         _: StringStartsWith | _: StringEndsWith | _: StringContains |
+         _: AlwaysTrue | _: AlwaysFalse => true
+    case And(l, r) => supportedDeleteFilter(l) && supportedDeleteFilter(r)
+    case Or(l, r) => supportedDeleteFilter(l) && supportedDeleteFilter(r)
+    case Not(c) => supportedDeleteFilter(c)
+    case _ => false
+  }
+
+  private[sql] def filterToColumn(f: Filter): Column = f match {
+    case EqualTo(a, v) => col(a) === lit(v)
+    case EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case GreaterThan(a, v) => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v) => col(a) < lit(v)
+    case LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a) => col(a).isNull
+    case IsNotNull(a) => col(a).isNotNull
+    case StringStartsWith(a, v) => col(a).startsWith(v)
+    case StringEndsWith(a, v) => col(a).endsWith(v)
+    case StringContains(a, v) => col(a).contains(v)
+    case And(l, r) => filterToColumn(l) && filterToColumn(r)
+    case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+    case Not(c) => !filterToColumn(c)
+    case _: AlwaysTrue => lit(true)
+    case _: AlwaysFalse => lit(false)
+    case other => sys.error(s"unsupported DELETE filter $other")
+  }
 }
 
 /** SQL write path (the reference's entire write surface is SQL — ON
@@ -76,13 +138,26 @@ class GraftWriteBuilder(root: String) extends WriteBuilder with SupportsTruncate
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean): Unit = {
+        import org.apache.spark.sql.functions._
         val t = LakeTable.forPath(data.sparkSession, root)
         if (overwrite || overwriteFlag) t.replace(data)
         else {
           val nextLsn = t.meta.currentSnapshot
             .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
-          import org.apache.spark.sql.functions.lit
-          t.merge(data.withColumn("lsn", lit(nextLsn)).withColumn("op", lit("I")))
+          // every row of one statement shares one lsn, and the engine's LWW
+          // invariant (same key + same lsn ⇒ identical payload) underpins
+          // merge ties, changes() and the change feed — so duplicate keys
+          // WITHIN the statement are deduped first, deterministically (max
+          // payload-hash wins; full-duplicate rows tie on identical payloads,
+          // which is exactly the invariant)
+          val keyCols = t.meta.keyCols
+          val dataCols = data.columns.toSeq
+          val deduped = data
+            .groupBy(keyCols.map(col): _*)
+            .agg(max_by(struct(dataCols.map(col): _*),
+              xxhash64(dataCols.map(col): _*)).as("__r"))
+            .select(col("__r.*"))
+          t.merge(deduped.withColumn("lsn", lit(nextLsn)).withColumn("op", lit("I")))
         }
       }
     }
@@ -123,9 +198,15 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
     }
     val colId: Map[String, String] = meta.schemaById(schemaId).columns
       .map(c => c.name -> c.id.toString).toMap
-    // rendered-stat vs literal comparison; None = incomparable ⇒ keep file
+    // rendered-stat vs literal comparison; None = incomparable ⇒ keep file.
+    // Strings compare in UTF-8 BINARY order (UTF8String.compareTo), matching
+    // parquet footer min/max and Spark's runtime comparison — String.compareTo
+    // (UTF-16 code units) diverges for supplementary characters, and a
+    // wrongly pruned file is silent data loss (the post-scan filter can't
+    // recover rows that were never read).
     def cmp(rendered: String, v: Any): Option[Int] = v match {
-      case s: String => Some(rendered.compareTo(s))
+      case s: String => Some(UTF8String.fromString(rendered)
+        .compareTo(UTF8String.fromString(s)))
       case _: Int | _: Long | _: Short | _: Byte | _: Float | _: Double |
            _: java.math.BigDecimal =>
         scala.util.Try(BigDecimal(rendered).compare(BigDecimal(v.toString))).toOption

@@ -8,6 +8,38 @@ import org.apache.spark.sql.functions._
   * `sync/studies.py:35-41`; watermark table `queries/sync_records.py:7-19`)
   * against embedded Derby: lake state → JDBC upserts/deletes → read-back
   * equality, watermark-incremental beats, idempotent replay. */
+/** Simulates JDBC drivers that return Statement.SUCCESS_NO_INFO (−2) for
+  * batched statements (MySQL rewriteBatchedStatements, some Postgres modes):
+  * the real batch executes, but per-row counts are withheld. Top-level class
+  * so the foreachPartition closure serializes without capturing the spec. */
+class NoInfoBatchSink(url: String, table: String, keyCols: Seq[String], batchSize: Int)
+    extends JdbcUpsertSink(url, table, keyCols, batchSize = batchSize) {
+  import java.lang.reflect.{InvocationHandler, Method, Proxy}
+  override protected def connect(): java.sql.Connection = {
+    val real = super.connect()
+    def proxy[T](iface: Class[T], target: AnyRef, h: (Method, Array[AnyRef]) => AnyRef): T =
+      Proxy.newProxyInstance(getClass.getClassLoader, Array(iface),
+        new InvocationHandler {
+          override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = h(m, args)
+        }).asInstanceOf[T]
+    def call(target: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+      if (args == null) m.invoke(target) else m.invoke(target, args: _*)
+    proxy(classOf[java.sql.Connection], real, (m, args) => {
+      val r = call(real, m, args)
+      if (m.getName == "prepareStatement" && args != null &&
+          args(0).asInstanceOf[String].startsWith("UPDATE")) {
+        val ps = r.asInstanceOf[java.sql.PreparedStatement]
+        proxy(classOf[java.sql.PreparedStatement], ps, (m2, a2) => {
+          if (m2.getName == "executeBatch") {
+            val n = ps.executeBatch().length
+            Array.fill(n)(java.sql.Statement.SUCCESS_NO_INFO)
+          } else call(ps, m2, a2)
+        })
+      } else r
+    })
+  }
+}
+
 class JdbcSinkSpec extends SparkTestBase {
 
   private def freshLake(): LakeTable =
@@ -63,6 +95,55 @@ class JdbcSinkSpec extends SparkTestBase {
     JdbcWarehouseSync.syncOnce(t, sink)
     assert(sink.watermark() == wm)
     assert(readBack(url, "code_files") == lakeState(t))
+  }
+
+  test("upsert survives drivers reporting SUCCESS_NO_INFO batch counts (no lost inserts)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:jsink3;create=true"
+    val sink = new NoInfoBatchSink(url, "noinfo_kv", Seq("k"), batchSize = 5)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType, true)))
+    sink.ensureTable(schema)
+    // all-new keys: with counts == −2 a count==0-only miss check would skip
+    // phase-2 INSERT entirely and silently write NOTHING
+    sink.upsert((1 to 17).map(i => (s"k$i", i.toLong)).toDF("k", "v"))
+    val back = spark.read.jdbc(url, "noinfo_kv", new java.util.Properties)
+    assert(back.count() == 17, "new keys lost under SUCCESS_NO_INFO")
+    // mixed page: updates must apply AND the new key must be inserted
+    sink.upsert(Seq(("k1", 100L), ("k18", 18L)).toDF("k", "v"))
+    val m = back.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.size == 18 && m("k1") == 100L && m("k18") == 18L)
+  }
+
+  test("syncOnce detects a vacuum gap and full-resyncs instead of stranding deletes") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:jsink4;create=true"
+    val t = freshLake()
+    val sink = new JdbcUpsertSink(url, "gap_files", ChangeEvent.keyCols.toSeq, batchSize = 7)
+    sink.ensureTable(CdcPipeline.baseTableSchema)
+    t.merge(Seq(
+      (1L, "I", "r1", "p1", "c1", "scala", "a"),
+      (2L, "I", "r2", "p2", "c2", "scala", "b"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content"), 0)
+    JdbcWarehouseSync.syncOnce(t, sink)
+    assert(readBack(url, "gap_files") == lakeState(t))
+
+    // the sink now lags: a delete lands AND its tombstone is vacuumed before
+    // the next beat — the lsn-watermark path could never see the delete
+    t.merge(Seq(
+      (3L, "D", "r1", "p1", "c1", "scala", null),
+      (4L, "I", "r3", "p3", "c3", "go", "c"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content"), 1)
+    assert(t.vacuum() == 1L)
+    assert(sink.watermark() < t.meta.vacuumLsn, "test premise: sink lags the vacuum")
+
+    JdbcWarehouseSync.syncOnce(t, sink)
+    val target = readBack(url, "gap_files")
+    assert(target == lakeState(t), "full resync must converge the target")
+    assert(!target.exists(_.head == "r1"), "vacuumed delete stranded in the warehouse")
+    // next beat is incremental again
+    assert(JdbcWarehouseSync.syncOnce(t, sink) == 0L)
   }
 
   test("upsert repartitions by key so concurrent tasks never race one key") {

@@ -180,6 +180,43 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(stateSet(t).map(_.take(3)).size == 50)
   }
 
+  test("vacuum discovery is manifest-driven: a tombstone-free table runs zero Spark jobs") {
+    val t = freshTable()
+    t.merge(batch((1 to 20).map(i =>
+      (i.toLong, "I", s"r$i", "p", "c", "scala", s"v$i")): _*), 0)
+    assert(t.meta.vacuumLsn == -1L)
+    val snap = t.meta.currentSnapshotId
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(t.vacuum() == 0L)
+      Thread.sleep(500) // listener bus is async; give a started job time to surface
+      assert(jobs.get() == 0,
+        "vacuum on a tombstone-free table must prune every file from the manifest, not scan")
+      assert(t.meta.currentSnapshotId == snap, "no-op vacuum must not commit")
+      assert(t.meta.vacuumLsn == -1L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("vacuum records the dropped-tombstone high-water for downstream consumers") {
+    val t = freshTable()
+    t.merge(batch(
+      (1L, "I", "k1", "p", "c", "scala", "a"),
+      (2L, "I", "k2", "p", "c", "scala", "b")), 0)
+    t.merge(batch((3L, "D", "k1", "p", "c", "scala", null)), 1)
+    assert(t.vacuum() == 1L)
+    val v = t.meta.vacuumLsn
+    assert(v >= 3L, s"vacuumLsn $v must cover the dropped tombstone's lsn")
+    // a second vacuum with nothing eligible left must not move the gap marker
+    assert(t.vacuum() == 0L)
+    assert(t.meta.vacuumLsn == v)
+  }
+
   test("changes refuses an expired from-snapshot instead of silently full-diffing") {
     val t = freshTable()
     t.merge(batch((1L, "I", "k1", "p", "c", "scala", "a")), 0)

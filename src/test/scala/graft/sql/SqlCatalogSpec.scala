@@ -143,6 +143,61 @@ class SqlCatalogSpec extends SparkTestBase {
       spark.sql(s"INSERT INTO g6.ns.docs VERSION AS OF $s1 VALUES (8, 'pt', 80)"))
   }
 
+  test("SQL DELETE tombstones matching rows; feed, time travel and q-surface agree") {
+    val cat = setupCatalog("g9")
+    spark.sql("CREATE NAMESPACE g9.ns")
+    spark.sql("""CREATE TABLE g9.ns.docs (id BIGINT, lang STRING, n BIGINT)
+      TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    spark.sql("INSERT INTO g9.ns.docs VALUES (1,'en',10), (2,'de',20), (3,'fr',30), (4,'es',40)")
+    val t = cat.loadTable("ns", "docs")
+    val s1 = t.meta.currentSnapshotId
+
+    // key-predicate delete
+    spark.sql("DELETE FROM g9.ns.docs WHERE id = 2")
+    def ids() = spark.sql("SELECT id FROM g9.ns.docs ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids() == Seq(1L, 3L, 4L))
+    // non-key predicate delete (scan-filter → tombstone merge)
+    spark.sql("DELETE FROM g9.ns.docs WHERE n >= 30 AND lang <> 'nope'")
+    assert(ids() == Seq(1L))
+    // the deletes are real tombstone commits: change feed sees them, time
+    // travel still sees the pre-delete state
+    val feed = t.changes(s1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("_change_type")).toMap
+    assert(feed == Map(2L -> "delete", 3L -> "delete", 4L -> "delete"))
+    assert(t.currentState(Some(s1)).count() == 4)
+    // delete with no matches is a no-op, not an error
+    val preSnap = t.meta.currentSnapshotId
+    spark.sql("DELETE FROM g9.ns.docs WHERE id = 999")
+    assert(t.meta.currentSnapshotId == preSnap)
+    // unconditional DELETE empties the table
+    spark.sql("DELETE FROM g9.ns.docs")
+    assert(ids().isEmpty)
+  }
+
+  test("duplicate keys inside one INSERT dedup deterministically (LWW invariant holds)") {
+    val cat = setupCatalog("g10")
+    spark.sql("CREATE NAMESPACE g10.ns")
+    spark.sql("""CREATE TABLE g10.ns.kv (id BIGINT, v STRING)
+      TBLPROPERTIES ('keys'='id', 'buckets'='2')""")
+    // key 1 appears three times in ONE statement: exactly one survivor, and
+    // repeating the identical statement must reproduce the identical choice
+    val stmt = "INSERT INTO g10.ns.kv VALUES (1,'a'), (1,'b'), (2,'x'), (1,'c')"
+    spark.sql(stmt)
+    val first = spark.sql("SELECT id, v FROM g10.ns.kv ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(first.map(_._1) == Seq(1L, 2L), s"dup keys not deduped: $first")
+    spark.sql(stmt) // same statement again → same winner (determinism)
+    val second = spark.sql("SELECT id, v FROM g10.ns.kv ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(second == first)
+    // engine invariant: one row per (key, lsn) in the stored state
+    val t = cat.loadTable("ns", "kv")
+    val perKeyLsn = t.read().groupBy(col("id"), col("_lsn")).count()
+      .filter(col("count") > 1).count()
+    assert(perKeyLsn == 0, "duplicate (key, lsn) rows violate the LWW invariant")
+  }
+
   test("min/max manifest stats skip files for range predicates; results unchanged") {
     val cat = setupCatalog("g7")
     import spark.implicits._

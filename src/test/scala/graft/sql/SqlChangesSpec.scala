@@ -58,6 +58,63 @@ class SqlChangesSpec extends SparkTestBase {
       .head().getLong(0) == 1)
   }
 
+  test("feed scan prunes columns and vectorizes tombstone-free reads") {
+    val cat = setupCatalog("ch3")
+    val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 4)
+    t.merge(batch((1 to 30).map(i =>
+      (i.toLong, "I", s"k$i", "p", "c", "scala", s"v$i")): _*), 0)
+
+    // narrow tail: only (repo, _change_type) reach the readers — content,
+    // the bulk of the bytes, is never materialized
+    val q = spark.sql("SELECT repo, _change_type FROM ch3.ns.`t$changes`")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=repo,_change_type"), s"feed scan not pruned:\n$plan")
+    assert(!plan.contains("content"), s"content survived pruning:\n$plan")
+    // insert-only files above the lsn floor have no per-row work left →
+    // vectorized batches (constant "upsert" spliced in per batch)
+    assert(plan.contains("ColumnarToRow"), s"tombstone-free feed not vectorized:\n$plan")
+    assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      (1 to 30).map(i => (s"k$i", "upsert")).toSet)
+    // full-width read vectorizes too, and _lsn comes from the file
+    val all = spark.sql("SELECT repo, _lsn FROM ch3.ns.`t$changes`")
+    assert(all.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(all.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      (1 to 30).map(i => (s"k$i", i.toLong)).toSet)
+
+    // a delete writes tombstones into one file → whole-scan row fallback
+    // (mixed row/columnar scans are rejected), results stay exact
+    t.merge(batch((31L, "D", "k1", "p", "c", "scala", null)), 1)
+    val q2 = spark.sql("SELECT repo, _change_type FROM ch3.ns.`t$changes`")
+    assert(!q2.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(q2.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      ((2 to 30).map(i => (s"k$i", "upsert")).toSet + (("k1", "delete"))))
+  }
+
+  test("feed refuses a floor behind the vacuum high-water instead of dropping deletes") {
+    val cat = setupCatalog("ch4")
+    val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 4)
+    t.merge(batch(
+      (1L, "I", "k1", "p", "c", "scala", "a"),
+      (2L, "I", "k2", "p", "c", "scala", "b")), 0)
+    val s1 = t.meta.currentSnapshotId
+    t.merge(batch((3L, "D", "k1", "p", "c", "scala", null)), 1)
+    assert(t.vacuum() == 1L) // the tombstone this consumer never saw is gone
+
+    // incremental read from the pre-delete snapshot can no longer observe
+    // the delete — must error, not silently emit nothing
+    val e = intercept[Exception] {
+      spark.read.option("fromSnapshot", s1.toString)
+        .table("ch4.ns.`t$changes`").collect()
+    }
+    assert(e.getMessage != null || e.getCause != null) // fails loudly
+    // bootstrap read (full current image) stays available and correct
+    val boot = spark.read.table("ch4.ns.`t$changes`").collect()
+      .map(r => (r.getAs[String]("repo"), r.getAs[String]("_change_type"))).toSet
+    assert(boot == Set(("k2", "upsert")))
+  }
+
   test("streaming feed tails commits across restarts exactly once") {
     val cat = setupCatalog("ch2")
     val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
