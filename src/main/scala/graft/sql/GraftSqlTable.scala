@@ -45,7 +45,7 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
       "snapshot-id" -> snap.map(_.snapshotId.toString).getOrElse("-")).asJava
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, meta, readSchemaId,
@@ -53,7 +53,7 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(snapshotId.isEmpty, s"cannot write to time-travel view $displayName")
-    new GraftWriteBuilder(root)
+    new GraftWriteBuilder(root, info)
   }
 
   /** SQL row-level DELETE (`DELETE FROM graftsql.ns.t WHERE ...`): the
@@ -127,15 +127,22 @@ object GraftSqlTable {
   *    semantics), new keys are inserted, and a later INSERT outranks this
   *    one by LWW.
   *  - `INSERT OVERWRITE graftsql.ns.t ...` — full-replace snapshot commit.
+  *  - `df.writeStream.toTable("graftsql.ns.t")` — streaming writes: each
+  *    micro-batch's rows land as ONE epoch-ledgered lake commit — append
+  *    mode = keyed upserts (the same merge as INSERT), complete mode
+  *    (`truncate()`) = full replace per epoch. See [[GraftStreamingWrite]].
   *
   * V1Write hands the insert a driver-side DataFrame, which lands directly
   * on the engine's native merge/replace — the distributed heavy lifting
   * (bucket pruning, LWW aggregation, staging write) is exactly the plan the
   * streaming path runs; no second write implementation to keep correct. */
-class GraftWriteBuilder(root: String) extends WriteBuilder with SupportsTruncate {
+class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new V1Write {
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(root, info.queryId(), info.schema(), overwrite)
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean): Unit = {
         import org.apache.spark.sql.functions._

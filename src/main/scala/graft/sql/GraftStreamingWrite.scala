@@ -1,0 +1,163 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lake.LakeTable
+
+/** Streaming SQL writes: `df.writeStream.toTable("graftsql.ns.t")`.
+  *
+  * Shape: executor tasks spill their micro-batch partition to staging
+  * parquet (Group API — no Spark machinery needed executor-side), and the
+  * EPOCH COMMIT on the driver runs the engine's native plan over exactly
+  * the files the committed tasks reported:
+  *  - append mode — keyed MERGE upsert at lsn = high-water + 1 (same
+  *    semantics as SQL INSERT INTO, including deterministic in-batch key
+  *    dedup), so the stream is a CDC upsert feed into the table;
+  *  - complete mode (`truncate()`) — full `replace` per epoch, for
+  *    streaming aggregation results.
+  *
+  * Exactly-once: merge/replace are epoch-ledgered (a replayed epoch after a
+  * crash is a no-op), task retries are excluded because the commit reads
+  * only the file paths carried in committed tasks' messages, and staging is
+  * deleted after commit (also on abort). One streaming query per table at a
+  * time — the epoch ledger is per-table, the same contract as the native
+  * [[graft.cdc.CdcPipeline]]. */
+class GraftStreamingWrite(root: String, queryId: String, writeSchema: StructType,
+    overwrite: Boolean) extends StreamingWrite {
+
+  private def stageDir(epochId: Long) =
+    java.nio.file.Paths.get(root, "_streamstage", queryId, s"epoch-$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(
+      java.nio.file.Paths.get(root, "_streamstage", queryId).toString, writeSchema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case StagedEpochFile(p) if p != null => p }
+    val dir = stageDir(epochId)
+    try {
+      if (files.nonEmpty) {
+        val spark = SparkSession.active
+        val t = LakeTable.forPath(spark, root)
+        val df = spark.read.schema(writeSchema).parquet(files.toIndexedSeq: _*)
+        if (overwrite) t.replace(df, epochId)
+        else {
+          val nextLsn = t.meta.currentSnapshot
+            .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
+          val keyCols = t.meta.keyCols
+          val dataCols = df.columns.toSeq
+          // same in-statement key dedup as SQL INSERT: one row per (key, lsn)
+          val deduped = df
+            .groupBy(keyCols.map(col): _*)
+            .agg(max_by(struct(dataCols.map(col): _*),
+              xxhash64(dataCols.map(col): _*)).as("__r"))
+            .select(col("__r.*"))
+          t.merge(deduped.withColumn("lsn", lit(nextLsn)).withColumn("op", lit("I")),
+            epochId)
+        }
+      }
+    } finally LakeTable.deleteRecursively(dir)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    LakeTable.deleteRecursively(stageDir(epochId))
+}
+
+case class StagedEpochFile(path: String) extends WriterCommitMessage
+
+class GraftStreamingWriterFactory(stageRoot: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftStagingWriter(
+      s"$stageRoot/epoch-$epochId/part-$partitionId-$taskId.parquet", schema)
+}
+
+/** Writes one task partition to one staging parquet file via the parquet
+  * Group API (works in any executor; at real scale the file lands on the
+  * cluster FS via the executor's hadoop conf). Lazy-opens so empty
+  * partitions stage nothing. */
+class GraftStagingWriter(path: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroup
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.io.api.Binary
+
+  private val messageType = GroupWrites.toMessageType(schema)
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = _
+
+  private def open(): Unit = if (writer == null) {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), conf))
+      .withConf(conf).withType(messageType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    open()
+    val g = new SimpleGroup(messageType)
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val name = schema(i).name
+        // bytes are COPIED out of the (Spark-reused) row buffer: parquet
+        // dictionary writers retain Binary references past this call
+        schema(i).dataType match {
+          case StringType => g.add(name, Binary.fromString(row.getUTF8String(i).toString))
+          case LongType => g.add(name, row.getLong(i))
+          case IntegerType => g.add(name, row.getInt(i))
+          case DoubleType => g.add(name, row.getDouble(i))
+          case FloatType => g.add(name, row.getFloat(i))
+          case BooleanType => g.add(name, row.getBoolean(i))
+          case BinaryType =>
+            val b = row.getBinary(i)
+            g.add(name, Binary.fromConstantByteArray(java.util.Arrays.copyOf(b, b.length)))
+          case other => sys.error(s"unsupported streaming-write type $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) { writer.close(); writer = null; StagedEpochFile(path) }
+    else StagedEpochFile(null) // empty partition: nothing staged
+  }
+  override def abort(): Unit = close()
+  override def close(): Unit = if (writer != null) { writer.close(); writer = null }
+}
+
+/** Spark → parquet schema mapping for the staging writer (simple types —
+  * the same set the lake's storage format and SQL readers support). */
+private[sql] object GroupWrites {
+  import org.apache.parquet.schema.{MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+
+  def toMessageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case StringType => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
+        case FloatType => b.addField(Types.optional(FLOAT).named(f.name))
+        case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
+        case BinaryType => b.addField(Types.optional(BINARY).named(f.name))
+        case other => sys.error(s"unsupported streaming-write type $other")
+      }
+    }
+    b.named("graft_stream_stage")
+  }
+}

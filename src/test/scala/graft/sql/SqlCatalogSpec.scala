@@ -262,6 +262,49 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT repo FROM g8.ns.t WHERE repo='r7'").count() == 0)
   }
 
+  test("streaming SQL writes: micro-batches land as epoch-ledgered upsert commits") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val cat = setupCatalog("g11")
+    spark.sql("CREATE NAMESPACE g11.ns")
+    spark.sql("""CREATE TABLE g11.ns.st (id BIGINT, v STRING)
+      TBLPROPERTIES ('keys'='id', 'buckets'='2')""")
+    val src = tmpDir("stsrc")
+    val ckpt = tmpDir("stckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.schema("id BIGINT, v STRING").parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("g11.ns.st")
+      q.awaitTermination()
+    }
+    def state() = spark.sql("SELECT id, v FROM g11.ns.st ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(src)
+    drain()
+    assert(state() == Seq((1L, "a"), (2L, "b")))
+
+    // a later micro-batch upserts an existing key and inserts a new one
+    Seq((2L, "b2"), (3L, "c")).toDF("id", "v").write.mode("append").parquet(src)
+    drain()
+    assert(state() == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+
+    // drained restart: offsets caught up, no new table commits, no staging left
+    val t = cat.loadTable("ns", "st")
+    val snap = t.meta.currentSnapshotId
+    drain()
+    assert(t.meta.currentSnapshotId == snap)
+    val stage = java.nio.file.Paths.get(t.root, "_streamstage")
+    if (java.nio.file.Files.exists(stage)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(stage)
+      val leftover = try w.iterator().asScala
+        .exists(_.getFileName.toString.startsWith("epoch-")) finally w.close()
+      assert(!leftover, "staging epoch dirs not cleaned after commit")
+    }
+  }
+
   test("column pruning is pushed into the parquet projection") {
     val cat = setupCatalog("g4")
     val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
