@@ -195,8 +195,13 @@ object BenchScale {
         val pairs = repsS.toInt
         (1 to pairs).foreach { i =>
           await(sync.resolve(s"turn-$role-$i"))
-          val (t, c) = BenchJobs.replayJob(s, logDir, s"$work/scale-$cores-$i")
+          val tableDir = s"$work/scale-$cores-$i"
+          val (t, c) = BenchJobs.replayJob(s, logDir, tableDir)
           chk = c; e2e += t
+          // scratch lives in /dev/shm — drop each rep's table immediately or
+          // RAM usage grows monotonically across reps and later pairs run
+          // under memory pressure the earlier ones did not see
+          LakeTable.deleteRecursively(java.nio.file.Paths.get(tableDir))
           touch(sync.resolve(if (role == "A") s"turn-B-$i" else s"turn-A-${i + 1}"))
         }
         // compute probes run serialized the same way (A fully, then B)
@@ -215,7 +220,9 @@ object BenchScale {
         while (e2e.length < minReps + 4 &&
                (e2e.length < minReps || sinceImprove < 2)) {
           val i = e2e.length + 1
-          val (t, c) = BenchJobs.replayJob(s, logDir, s"$work/scale-$cores-$i")
+          val tableDir = s"$work/scale-$cores-$i"
+          val (t, c) = BenchJobs.replayJob(s, logDir, tableDir)
+          LakeTable.deleteRecursively(java.nio.file.Paths.get(tableDir))
           chk = c
           if (e2e.isEmpty || t < e2e.min * 0.98) sinceImprove = 0 else sinceImprove += 1
           e2e += t
@@ -453,7 +460,10 @@ object Bench {
       // of whichever level is colder — excluded). Best-of-level stays the
       // throughput capability number. Falls back to the round-2 sequential
       // alternating-pass protocol if the paired spawn fails.
-      val pairCount = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "5").toInt
+      // 7 pairs = 5 measured: the median then tolerates TWO anomalous host
+      // windows (round 4's record had one 0.51 pair among 0.82-0.85 peers —
+      // with only 3 measured, a second bad window would have decided it)
+      val pairCount = sys.env.getOrElse("SPARK_GRAFT_SCALING_PAIRS", "7").toInt
       val warmupPairs = 2
       var pairEffs: Seq[Double] = Seq.empty
       var (e2eNs, compNs, e2e4Ns, comp4Ns) =

@@ -58,6 +58,21 @@ object CatalogOps {
              TBLPROPERTIES ('keys'='doc_id', 'buckets'='8')""")
     s.sql("INSERT INTO graftsql.main.docs_del SELECT doc_id, lang, n_chars FROM graft_docs_src")
     s.sql("DELETE FROM graftsql.main.docs_del WHERE doc_id >= 100 AND doc_id < 200")
+
+    // q39 table: seeded with even doc_ids through SQL, then one MERGE INTO
+    // statement applies update/delete/insert actions from a source query
+    // (the delta-based row-level path → one LWW merge commit)
+    s.sql("DROP TABLE IF EXISTS graftsql.main.docs_mrg")
+    s.sql("""CREATE TABLE graftsql.main.docs_mrg (doc_id BIGINT, lang STRING, n_chars BIGINT)
+             TBLPROPERTIES ('keys'='doc_id', 'buckets'='8')""")
+    s.sql("""INSERT INTO graftsql.main.docs_mrg
+             SELECT doc_id, lang, n_chars FROM graft_docs_src WHERE doc_id % 2 = 0""")
+    s.sql("""MERGE INTO graftsql.main.docs_mrg AS t
+             USING (SELECT doc_id, lang, n_chars FROM graft_docs_src WHERE doc_id % 3 = 0) AS s
+             ON t.doc_id = s.doc_id
+             WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
+             WHEN MATCHED THEN UPDATE SET lang = 'merged', n_chars = s.n_chars + 1
+             WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, 'new', s.n_chars)""")
   }
 
   val all: Seq[OpQuery] = Seq(
@@ -109,5 +124,29 @@ object CatalogOps {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars
              |FROM documents WHERE NOT (doc_id >= 100 AND doc_id < 200)
+             |GROUP BY lang""".stripMargin)),
+
+    // SQL MERGE INTO — the table held even doc_ids; one MERGE statement
+    // (setup above) deleted matched multiples of 5, updated the other
+    // matched rows and inserted the unmatched source rows. The oracle
+    // recomputes the post-merge state from the source parquet; agreement
+    // proves each WHEN branch hit exactly its rows.
+    OpQuery("q39_sql_merge",
+      (s, d) => {
+        ensureCatalog(s, d)
+        s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+                 FROM graftsql.main.docs_mrg GROUP BY lang""")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 6 = 0 THEN 'merged'
+             |         WHEN doc_id % 2 <> 0 THEN 'new'
+             |         ELSE lang END AS lang,
+             |    CASE WHEN doc_id % 6 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+             |  FROM documents
+             |  WHERE (doc_id % 2 = 0 OR doc_id % 3 = 0)
+             |    AND NOT (doc_id % 6 = 0 AND doc_id % 5 = 0))
              |GROUP BY lang""".stripMargin)))
 }

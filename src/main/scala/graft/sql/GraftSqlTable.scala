@@ -28,7 +28,8 @@ import graft.lake.{LakeTable, TableMeta}
   */
 class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   // metadata is pinned at load time: one SQL query = one consistent snapshot
   private val meta: TableMeta = LakeTable.metaAt(root)
@@ -38,7 +39,12 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
     snapshotId.flatMap(_ => snap.map(_.schemaId)).getOrElse(meta.currentSchemaId)
 
   override def name(): String = displayName
-  override def schema(): StructType = meta.schemaById(readSchemaId).toStruct
+  /** Key columns are declared non-nullable: they are the merge identity
+    * (bucketing + LWW grouping assume present keys) and Spark's row-level
+    * DML rejects nullable row-id attributes. */
+  override def schema(): StructType = StructType(
+    meta.schemaById(readSchemaId).toStruct.fields.map(f =>
+      if (meta.keyCols.contains(f.name)) f.copy(nullable = false) else f))
   override def partitioning(): Array[Transform] = Array.empty
   override def properties(): util.Map[String, String] =
     Map("location" -> root, "format" -> "graft-lake",
@@ -54,6 +60,17 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(snapshotId.isEmpty, s"cannot write to time-travel view $displayName")
     new GraftWriteBuilder(root, info)
+  }
+
+  /** SQL UPDATE / MERGE INTO / subquery DELETE — the delta-based row-level
+    * path ([[GraftRowLevelOperation]]). Plain predicate DELETEs still take
+    * the metadata path below (Spark's optimizer converts the row-level plan
+    * back to `deleteWhere` when `canDeleteWhere` accepts the predicates). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(snapshotId.isEmpty, s"cannot modify time-travel view $displayName")
+    () => new GraftRowLevelOperation(root, meta, readSchemaId,
+      snap.map(_.files).getOrElse(Seq.empty), schema(), info.command())
   }
 
   /** SQL row-level DELETE (`DELETE FROM graftsql.ns.t WHERE ...`): the

@@ -262,6 +262,66 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT repo FROM g8.ns.t WHERE repo='r7'").count() == 0)
   }
 
+  test("SQL UPDATE rewrites matching rows as one LWW upsert commit") {
+    val cat = setupCatalog("g12")
+    spark.sql("CREATE NAMESPACE g12.ns")
+    spark.sql("""CREATE TABLE g12.ns.t (id BIGINT, v STRING, n INT)
+      TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    spark.sql("INSERT INTO g12.ns.t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    def state() = spark.sql("SELECT id, v, n FROM g12.ns.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+
+    // plain value update with an expression over existing columns
+    spark.sql("UPDATE g12.ns.t SET v = concat(v, '!'), n = n + 1 WHERE n >= 20")
+    assert(state() == Seq((1L, "a", 10), (2L, "b!", 21), (3L, "c!", 31)))
+
+    // key-changing update: old key tombstoned, new key upserted
+    spark.sql("UPDATE g12.ns.t SET id = 10 WHERE id = 1")
+    assert(state() == Seq((2L, "b!", 21), (3L, "c!", 31), (10L, "a", 10)))
+
+    // no-match update is a no-op commit-wise
+    val t = cat.loadTable("ns", "t")
+    val snaps = t.meta.currentSnapshotId
+    spark.sql("UPDATE g12.ns.t SET v = 'x' WHERE id = 999")
+    assert(state().size == 3 && t.meta.currentSnapshotId == snaps)
+    // staging is cleaned up after every statement
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, "_deltastage")) ||
+      { val s = java.nio.file.Files.list(java.nio.file.Paths.get(t.root, "_deltastage"))
+        try !s.iterator().hasNext finally s.close() })
+  }
+
+  test("SQL MERGE INTO: matched update/delete + not-matched insert, one commit") {
+    val cat = setupCatalog("g13")
+    spark.sql("CREATE NAMESPACE g13.ns")
+    spark.sql("""CREATE TABLE g13.ns.t (id BIGINT, v STRING, n INT)
+      TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    spark.sql("INSERT INTO g13.ns.t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    import spark.implicits._
+    Seq((2L, "b2", 200, "U"), (3L, null: String, 0, "D"), (4L, "d", 40, "U"))
+      .toDF("id", "v", "n", "op").createOrReplaceTempView("src")
+
+    val t = cat.loadTable("ns", "t")
+    val before = t.meta.currentSnapshotId
+    spark.sql("""MERGE INTO g13.ns.t AS t USING src AS s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n
+      WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, s.n)""")
+    val state = spark.sql("SELECT id, v, n FROM g13.ns.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(state == Seq((1L, "a", 10), (2L, "b2", 200), (4L, "d", 40)))
+    // the whole statement is ONE merge commit, visible to the change feed
+    assert(t.meta.currentSnapshotId == before + 1)
+    val feed = t.changes(before).select("id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((2L, "update"), (3L, "delete"), (4L, "insert")))
+
+    // NOT MATCHED BY SOURCE sweeps rows absent from the source
+    Seq(2L).toDF("id").createOrReplaceTempView("keep")
+    spark.sql("""MERGE INTO g13.ns.t AS t USING keep AS s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT id FROM g13.ns.t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("streaming SQL writes: micro-batches land as epoch-ledgered upsert commits") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
