@@ -322,6 +322,24 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT id FROM g13.ns.t").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("CTAS creates + populates in one statement; subquery DELETE rides the row-level path") {
+    setupCatalog("g14")
+    spark.sql("CREATE NAMESPACE g14.ns")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v").createOrReplaceTempView("ctas_src")
+    spark.sql("""CREATE TABLE g14.ns.t TBLPROPERTIES ('keys'='id', 'buckets'='2')
+      AS SELECT id, v FROM ctas_src""")
+    assert(spark.sql("SELECT id FROM g14.ns.t").count() == 4)
+
+    // IN-subquery can't become a source Filter → metadata delete is
+    // ineligible and the delta-based row-level plan must handle it
+    Seq(2L, 4L).toDF("id").createOrReplaceTempView("drop_ids")
+    spark.sql("DELETE FROM g14.ns.t WHERE id IN (SELECT id FROM drop_ids)")
+    assert(spark.sql("SELECT id FROM g14.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
   test("streaming SQL writes: micro-batches land as epoch-ledgered upsert commits") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
