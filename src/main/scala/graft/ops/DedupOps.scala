@@ -86,11 +86,20 @@ object DedupOps {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             array_distinct(tokens(col("text"))).as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
         assertReferenceScale(docs, "q21_dedup_jaccard_pairs (all-pairs exact)",
           "q27_dedup_minhash_lsh")
-        val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
-        val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
+        val a = docs.select(col("lang"), col("doc_id").as("id_a"),
+          col("toks").as("toks_a"), col("n").as("n_a"))
+        val b = docs.select(col("lang"), col("doc_id").as("id_b"),
+          col("toks").as("toks_b"), col("n").as("n_b"))
         a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
+          // size-ratio prefilter, result-preserving: J = |∩|/|∪| ≤ min/max,
+          // so J(rounded to 6dp) ≥ 0.8 forces min/max ≥ 0.7999995 — the
+          // cheap integer compare skips the hash-set Jaccard for the bulk
+          // of pairs (799999/1e6 leaves slack for the rounding)
+          .filter(least(col("n_a"), col("n_b")) * 1000000L >=
+            greatest(col("n_a"), col("n_b")) * 799999L)
           .withColumn("jac", round(jaccard(col("toks_a"), col("toks_b")), 6))
           .filter(col("jac") >= 0.8)
           .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
