@@ -422,6 +422,20 @@ object Bench {
       }
       sA.stop()
 
+      // Suite-only mode (SPARK_GRAFT_SUITE_ONLY=1): emit the warmed query
+      // times and exit WITHOUT running replay/scaling and WITHOUT touching
+      // BENCH.json — for quick per-query regression checks between full
+      // records (the official record stays whatever the last full run wrote).
+      if (sys.env.contains("SPARK_GRAFT_SUITE_ONLY")) {
+        val totalA = queryTimes.map(_._2).filter(_ >= 0).sum
+        val qs = queryTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+          .mkString("{", ",", "}")
+        val lineA = s"""{"metric":"suite","value":$totalA,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+        println(lineA)
+        System.err.println(lineA)
+        return
+      }
+
       // ---------------- phase B: CDC end-to-end replay (streaming) --------
       val sB = BenchJobs.session(cpus, localDir)
       val genSec = BenchJobs.timeSec {

@@ -89,11 +89,19 @@ object DedupOps {
           .withColumn("n", size(col("toks")).cast("long"))
         assertReferenceScale(docs, "q21_dedup_jaccard_pairs (all-pairs exact)",
           "q27_dedup_minhash_lsh")
-        val a = docs.select(col("lang"), col("doc_id").as("id_a"),
-          col("toks").as("toks_a"), col("n").as("n_a"))
+        // The corpus side is broadcast (a reference-scale corpus is by
+        // definition small); the probe side is SPREAD to the cluster's
+        // parallelism first — the source is typically one small file = one
+        // scan split, and a lang-keyed shuffle join would cap the all-pairs
+        // probe at |langs| busy tasks either way. With the broadcast +
+        // spread probe, every core verifies a slice of pairs in one
+        // codegen'd stage.
+        val a = spread(docs)
+          .select(col("lang"), col("doc_id").as("id_a"),
+            col("toks").as("toks_a"), col("n").as("n_a"))
         val b = docs.select(col("lang"), col("doc_id").as("id_b"),
           col("toks").as("toks_b"), col("n").as("n_b"))
-        a.join(b, Seq("lang")).filter(col("id_a") < col("id_b"))
+        a.join(broadcast(b), Seq("lang")).filter(col("id_a") < col("id_b"))
           // size-ratio prefilter, result-preserving: J = |∩|/|∪| ≤ min/max,
           // so J(rounded to 6dp) ≥ 0.8 forces min/max ≥ 0.7999995 — the
           // cheap integer compare skips the hash-set Jaccard for the bulk
@@ -144,7 +152,9 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, w: Int, k: Int, b: Int, r: Int,
       threshold: Double): DataFrame = {
     require(b * r == k, "bands × rows must equal signature length")
-    val base = docs.select(col("doc_id"), col("lang"),
+    // spread: shingling + k-stream minhash is the corpus-scan hot loop — a
+    // single-split source must not pin it to one core (see Tables.spread)
+    val base = Tables.spread(docs).select(col("doc_id"), col("lang"),
       array_distinct(shingles(col("text"), w)).as("sh"))
     val banded = base
       .select(col("doc_id"), col("lang"),
@@ -185,7 +195,7 @@ object DedupOps {
       c.foldLeft(lit(0L)) { (acc, i) =>
         shiftleft(acc, widths(i)).bitwiseOR(blockVal(col("sh"), i)) }
     }
-    val base = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val base = Tables.spread(docs).select(col("doc_id"), simhash64(col("text")).as("sh"))
     val chunked = base.select(col("doc_id"), col("sh"),
       posexplode(array(comboKeys: _*)).as(Seq("chunk", "ckey")))
     val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))

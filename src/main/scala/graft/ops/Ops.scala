@@ -26,6 +26,18 @@ object Tables {
   /** Exact decimal sum of a 2-dp double column, surfaced as DOUBLE. */
   def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Guarantee at least the cluster's parallelism ahead of a compute-heavy
+    * stage (signature computation, all-pairs verify). Small reference
+    * corpora often arrive as ONE file = one scan split, which would pin the
+    * downstream kernel to a single core no matter how wide the cluster —
+    * measured 6× on the exact-Jaccard verify. A no-op (no shuffle) when the
+    * source already plans enough splits, which is what a many-file
+    * warehouse-scale table does. */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism max 8
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** Distributed top-k: `orderBy().limit(k)` plans TakeOrderedAndProject —
     * per-partition bounded heaps merged on the driver — instead of the
     * global-window formulation that funnels EVERY surviving row through one

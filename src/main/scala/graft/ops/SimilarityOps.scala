@@ -73,9 +73,11 @@ object SimilarityOps {
         val e = t(s, d, "embeddings").select(col("vec_id"), emb(col("embedding")).as("v"))
         assertReferenceScale(e, "q26_embedding_neardup_pairs (all-pairs exact)",
           "q30_embedding_neardup_lsh")
-        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        // spread probe + broadcast build: the corpus is one small file = one
+        // split, which would pin the all-pairs cosine verify to a single core
+        val a = spread(e).select(col("vec_id").as("id_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-        a.join(b, col("id_a") < col("id_b"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
           .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
           .filter(col("sim") >= 0.40)
           .select(col("id_a"), col("id_b"), col("sim"))
@@ -138,7 +140,10 @@ object SimilarityOps {
     * partition pruning); here it's computed inline. */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int, nCells: Int,
       nProbe: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), emb(col("embedding")).as("v"))
+    // spread: cell assignment evaluates nCells cosines per vector — don't
+    // let a single-split source pin that scan to one core
+    val e = Tables.spread(embeddings)
+      .select(col("vec_id"), col("label"), emb(col("embedding")).as("v"))
     // Deterministic coarse centroids: an evenly-strided corpus sample in
     // vec_id order. Unique cell ids (0..nCells-1 by sample position), stable
     // across runs and partitioning-invariant — `limit` without an order, or
@@ -181,7 +186,8 @@ object SimilarityOps {
         hyperplaneBit(col("v"), tb * nPlanes + p, dim) * lit(1 << p))
         .reduce(_ + _)
     }: _*)
-    val e = embeddings.select(col("vec_id"), emb(col("embedding")).as("v"))
+    val e = Tables.spread(embeddings)
+      .select(col("vec_id"), emb(col("embedding")).as("v"))
     // candidates are ID PAIRS only: the bucket join and the cross-table
     // dedup shuffle 16 bytes/pair instead of two dim-sized vectors; the
     // vectors re-join by id for the verify (candidate set ≪ corpus × T)

@@ -80,4 +80,27 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q02_agg_pricing_summary")
     assert(p.contains("HashAggregate"), s"group-by lost hash agg:\n$p")
   }
+
+  test("all-pairs references broadcast the build side and spread the probe") {
+    // single-file sources plan ONE split; without the spread the whole
+    // pair-verify stage runs on one core (measured 6× on q21 at sf0.1)
+    val p21 = plan("q21_dedup_jaccard_pairs")
+    assert(p21.contains("BroadcastHashJoin"), s"q21 lost the broadcast:\n$p21")
+    assert(p21.contains("ROUND_ROBIN") || p21.contains("RoundRobinPartitioning"),
+      s"q21 probe side not spread:\n$p21")
+    val p26 = plan("q26_embedding_neardup_pairs")
+    assert(p26.contains("BroadcastNestedLoopJoin"), s"q26 lost the broadcast:\n$p26")
+    assert(p26.contains("ROUND_ROBIN") || p26.contains("RoundRobinPartitioning"),
+      s"q26 probe side not spread:\n$p26")
+  }
+
+  test("spread is a no-op when the source already plans enough splits") {
+    import org.apache.spark.sql.functions._
+    val wide = spark.range(0, 10000, 1,
+      spark.sparkContext.defaultParallelism * 2).toDF("id")
+    assert(Tables.spread(wide) eq wide, "spread repartitioned an already-wide plan")
+    val narrow = spark.range(0, 100, 1, 1).toDF("id")
+    assert(Tables.spread(narrow).rdd.getNumPartitions >=
+      (spark.sparkContext.defaultParallelism max 8))
+  }
 }
