@@ -28,7 +28,7 @@ import graft.lake._
   * `LakeTable.read(Some(id))`. Key columns for `CREATE TABLE` come from the
   * `keys` table property (default: the first column).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -153,6 +153,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     cat.dropTable(ident.namespace()(0), ident.name)
     true
   }
+
+  // ------------------------------------------------------------ procedures
+
+  /** Maintenance procedures live under the reserved `system` namespace:
+    * `CALL graftsql.system.compact(table => 'ns.t')` — see
+    * [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array(GraftProcedures.Namespace)),
+      s"procedures live in the ${GraftProcedures.Namespace} namespace, got $ident")
+    GraftProcedures.load(warehouse, ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array(GraftProcedures.Namespace)))
+      GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)

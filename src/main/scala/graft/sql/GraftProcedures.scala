@@ -1,0 +1,131 @@
+package graft.sql
+
+import java.util.Collections
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import graft.lake.{LakeCatalog, LakeTable}
+
+/** SQL stored procedures for lake maintenance (Spark 4 DSv2
+  * `ProcedureCatalog`), so a SQL-only operator can run the table lifecycle
+  * the same way a SQL-only consumer can already run the full DML surface:
+  *
+  * {{{
+  * CALL graftsql.system.compact(table => 'ns.t')
+  * CALL graftsql.system.vacuum(table => 'ns.t', up_to_lsn => 1000)
+  * CALL graftsql.system.rebucket(table => 'ns.t', num_buckets => 64)
+  * CALL graftsql.system.expire_snapshots(table => 'ns.t', keep_last => 3)
+  * }}}
+  *
+  * Each procedure resolves its `'namespace.table'` argument through the
+  * warehouse, runs the corresponding [[LakeTable]] maintenance operation
+  * (same code path as the Scala API and the CLI — one implementation, three
+  * surfaces), and returns a single metrics row. The reference's analogue is
+  * operational SQL against Postgres (VACUUM / CLUSTER / retention jobs);
+  * here they are catalog procedures because the lake format must do its own
+  * maintenance.
+  */
+object GraftProcedures {
+  val Namespace = "system"
+
+  val names: Seq[String] = Seq("compact", "vacuum", "rebucket", "expire_snapshots")
+
+  def load(warehouse: String, name: String): UnboundProcedure = name.toLowerCase match {
+    case "compact" => Proc(
+      "compact",
+      "bin-pack small data files; returns the net reduction in live file count",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("target_file_bytes", LongType, Some((128L << 20).toString),
+          "files below this size are pack candidates"),
+        in("min_files", IntegerType, Some("2"),
+          "minimum small files in a bucket before it is repacked")),
+      new StructType().add("files_removed", IntegerType, nullable = false),
+      (wh, input) => {
+        val n = table(wh, input).compact(input.getLong(1), input.getInt(2))
+        new GenericInternalRow(Array[Any](n))
+      }, warehouse)
+    case "vacuum" => Proc(
+      "vacuum",
+      "physically drop tombstones with lsn <= up_to_lsn; returns rows removed",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("up_to_lsn", LongType, Some(Long.MaxValue.toString),
+          "must not exceed the slowest downstream consumer's watermark")),
+      new StructType().add("tombstones_removed", LongType, nullable = false),
+      (wh, input) => {
+        val n = table(wh, input).vacuum(input.getLong(1))
+        new GenericInternalRow(Array[Any](n))
+      }, warehouse)
+    case "rebucket" => Proc(
+      "rebucket",
+      "re-hash the table into num_buckets buckets in one COW commit",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("num_buckets", IntegerType, None, "new hash bucket count")),
+      new StructType().add("num_buckets", IntegerType, nullable = false),
+      (wh, input) => {
+        val t = table(wh, input)
+        t.rebucket(input.getInt(1))
+        new GenericInternalRow(Array[Any](t.meta.numBuckets))
+      }, warehouse)
+    case "expire_snapshots" => Proc(
+      "expire_snapshots",
+      "drop all but the keep_last newest snapshots and delete unreferenced files",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("keep_last", IntegerType, Some("1"), "snapshots to retain")),
+      new StructType().add("files_deleted", LongType, nullable = false),
+      (wh, input) => {
+        val n = table(wh, input).expireSnapshots(input.getInt(1))
+        new GenericInternalRow(Array[Any](n))
+      }, warehouse)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"unknown procedure $Namespace.$other; available: ${names.mkString(", ")}")
+  }
+
+  private def in(name: String, dt: DataType, default: Option[String],
+      comment: String): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt).comment(comment)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private def table(warehouse: String, input: InternalRow): LakeTable = {
+    val ref = input.getUTF8String(0).toString
+    val parts = ref.split('.')
+    require(parts.length == 2, s"table must be 'namespace.table', got '$ref'")
+    new LakeCatalog(SparkSession.active, warehouse).loadTable(parts(0), parts(1))
+  }
+
+  /** One class serves as both the unbound and bound form: parameters are
+    * static (no overloads), so `bind` is identity. `call` runs the
+    * maintenance eagerly and hands Spark one driver-local result row —
+    * maintenance work itself is distributed inside the LakeTable op; only
+    * the metrics row is local. */
+  private case class Proc(
+      procName: String,
+      desc: String,
+      params: Array[ProcedureParameter],
+      outSchema: StructType,
+      run: (String, InternalRow) => InternalRow,
+      warehouse: String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = run(warehouse, input)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def rows(): Array[InternalRow] = Array(row)
+      }
+      Collections.singletonList(scan).iterator()
+    }
+  }
+}

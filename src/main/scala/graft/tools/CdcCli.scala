@@ -17,6 +17,7 @@ import graft.lake._
   *   compact <tableDir> [targetMB] [minFiles]      — bin-pack small data files
   *   rebucket <tableDir> <n>                       — re-hash into n buckets
   *   changes <tableDir> <fromSnap> [toSnap]        — row-level change feed between snapshots
+  *   sql <warehouseDir> <query>                    — ad hoc SQL against the graftsql catalog
   */
 object CdcCli {
   def main(args: Array[String]): Unit = {
@@ -140,6 +141,16 @@ object CdcCli {
       val removed = table.expireSnapshots(rest.headOption.map(_.toInt).getOrElse(1))
       println(s"[expire] removed=$removed unreferenced data files; " +
         s"snapshots=${table.meta.snapshots.size}")
+
+    case "sql" :: warehouse :: query :: Nil =>
+      // ad hoc SQL (incl. CALL graftsql.system.<proc>) against a warehouse:
+      //   sql <warehouseDir> "SELECT ... FROM graftsql.ns.t"
+      spark.conf.set("spark.sql.catalog.graftsql",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftsql.warehouse", warehouse)
+      val res = spark.sql(query)
+      println(s"[sql] ${res.schema.fieldNames.mkString(", ")}")
+      res.show(100, truncate = 60)
 
     case "explain" :: logDir :: Nil =>
       val log = spark.read.schema(CdcPipeline.envelopeSchema).parquet(logDir)

@@ -395,4 +395,52 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(p.contains("cols=repo"), s"projection not pruned to repo:\n$p")
     assert(!p.contains("cols=repo,path"), s"over-wide scan:\n$p")
   }
+
+  test("SQL maintenance procedures: CALL compact / vacuum / rebucket / expire_snapshots") {
+    val cat = setupCatalog("g15")
+    spark.sql("CREATE NAMESPACE g15.ops")
+    spark.sql("""CREATE TABLE g15.ops.t (k STRING, v INT)
+      TBLPROPERTIES ('keys'='k', 'buckets'='4')""")
+    spark.sql("INSERT INTO g15.ops.t VALUES ('a', 1), ('b', 2), ('c', 3)")
+    spark.sql("DELETE FROM g15.ops.t WHERE k = 'b'")
+    val t = cat.loadTable("ops", "t")
+    import spark.implicits._
+    (1 to 3).foreach { i => // appends accumulate small sibling files per bucket
+      t.append(Seq((s"x$i", 10 + i, 100L + i)).toDF("k", "v", "lsn"))
+    }
+    val filesBefore = t.meta.currentSnapshot.get.files.size
+
+    // compact: packs the small files, returns the net file reduction
+    val removed = spark.sql("CALL g15.system.compact(table => 'ops.t')")
+      .head().getInt(0)
+    assert(removed > 0)
+    assert(t.meta.currentSnapshot.get.files.size == filesBefore - removed)
+
+    // vacuum: default up_to_lsn drops the one tombstone ('b')
+    assert(spark.sql("CALL g15.system.vacuum(table => 'ops.t')")
+      .head().getLong(0) == 1L)
+
+    // rebucket (positional args) flips the bucket count in one commit
+    assert(spark.sql("CALL g15.system.rebucket('ops.t', 8)").head().getInt(0) == 8)
+    assert(t.meta.numBuckets == 8)
+
+    // logical state survived all three maintenance ops
+    assert(spark.sql("SELECT k, v FROM g15.ops.t ORDER BY k")
+      .collect().map(_.toSeq).toSeq ==
+      Seq(Seq("a", 1), Seq("c", 3), Seq("x1", 11), Seq("x2", 12), Seq("x3", 13)))
+
+    // expire_snapshots: history trimmed, old version unreadable, head intact
+    val deleted = spark.sql(
+      "CALL g15.system.expire_snapshots(table => 'ops.t', keep_last => 1)")
+      .head().getLong(0)
+    assert(deleted >= 1L)
+    intercept[Exception](spark.sql("SELECT * FROM g15.ops.t VERSION AS OF 1").collect())
+    assert(spark.sql("SELECT count(*) FROM g15.ops.t").head().getLong(0) == 5)
+
+    // discovery + error surface (Spark wraps the catalog's error in
+    // FAILED_TO_LOAD_ROUTINE; our "unknown procedure" detail is the cause)
+    val e = intercept[Exception](spark.sql("CALL g15.system.no_such_proc('ops.t')"))
+    assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
+      e.getMessage.contains("unknown procedure"))
+  }
 }
