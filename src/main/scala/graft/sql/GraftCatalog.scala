@@ -96,16 +96,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     ident.namespace.length == 1 &&
       cat.tableExists(ident.namespace()(0), baseName(ident))
 
-  /** `t$changes` resolves to t's change-feed metadata table (Iceberg-style
-    * suffix addressing; backquote it in SQL: FROM graftsql.ns.`t$changes`). */
+  /** `t$changes` resolves to t's change-feed metadata table and `t$cdc` to
+    * t's CDC-apply write view (Iceberg-style suffix addressing; backquote
+    * in SQL: FROM graftsql.ns.`t$changes`, toTable("graftsql.ns.`t$cdc`")). */
   private def baseName(ident: Identifier): String =
     ident.name.stripSuffix(GraftChangesTable.Suffix)
+      .stripSuffix(GraftSqlTable.CdcSuffix)
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val path = cat.tablePath(ident.namespace()(0), baseName(ident))
     if (ident.name.endsWith(GraftChangesTable.Suffix))
       new GraftChangesTable(path, ident.toString)
+    else if (ident.name.endsWith(GraftSqlTable.CdcSuffix))
+      new GraftSqlTable(path, ident.toString, snapshotId = None, cdcWrite = true)
     else new GraftSqlTable(path, ident.toString, snapshotId = None)
   }
 

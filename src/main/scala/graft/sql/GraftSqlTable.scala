@@ -26,7 +26,8 @@ import graft.lake.{LakeTable, TableMeta}
   * projection. This path is the SQL convenience surface; the engine's hot
   * paths (merge/replay) use the native vectorized reader via `LakeTable`.
   */
-class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
+class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long],
+    cdcWrite: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -50,8 +51,16 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
     Map("location" -> root, "format" -> "graft-lake",
       "snapshot-id" -> snap.map(_.snapshotId.toString).getOrElse("-")).asJava
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+    if (cdcWrite)
+      // the `t$cdc` write view accepts feed-shaped rows (data columns +
+      // `_change_type` + `_lsn`), which never match the table schema — so
+      // schema resolution is ours (validated in newWriteBuilder); no
+      // TRUNCATE: a CDC apply stream is append-only by definition
+      Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+    else
+      Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, meta, readSchemaId,
@@ -59,7 +68,8 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(snapshotId.isEmpty, s"cannot write to time-travel view $displayName")
-    new GraftWriteBuilder(root, info)
+    if (cdcWrite) GraftSqlTable.validateCdcSchema(info.schema(), meta, displayName)
+    new GraftWriteBuilder(root, info, cdc = cdcWrite)
   }
 
   /** SQL UPDATE / MERGE INTO / subquery DELETE — the delta-based row-level
@@ -101,6 +111,33 @@ object GraftSqlTable {
   import org.apache.spark.sql.sources._
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.Column
+
+  /** Suffix addressing for the CDC-apply write view (the write-side mirror
+    * of reading `t$changes`): `writeStream.toTable("graftsql.ns.`t$cdc`")`
+    * applies feed-shaped rows — data columns + `_change_type` + `_lsn` — as
+    * native LWW merges carrying the SOURCE lsn, so deletes propagate and
+    * replays/reorderings resolve exactly like the source table's own
+    * ingest. */
+  val CdcSuffix = "$cdc"
+
+  /** A CDC apply must carry exactly the table's data columns plus the feed
+    * metadata pair — a missing data column would silently null a field on
+    * every upsert, an extra one is a mis-wired pipeline. */
+  private[sql] def validateCdcSchema(schema: StructType, meta: TableMeta,
+      displayName: String): Unit = {
+    val metaCols = Set(GraftChangesTable.ChangeTypeCol, LakeTable.LsnCol)
+    val dataCols = meta.currentSchema.columns.map(_.name).toSet
+    val have = schema.fieldNames.toSet
+    val missingMeta = metaCols -- have
+    require(missingMeta.isEmpty,
+      s"$displayName expects feed columns ${metaCols.mkString(", ")}; missing ${missingMeta.mkString(", ")} " +
+        s"(write the result of reading a `t$$changes` feed)")
+    val missing = dataCols -- have
+    val extra = have -- dataCols -- metaCols
+    require(missing.isEmpty && extra.isEmpty,
+      s"$displayName expects data columns ${dataCols.mkString(", ")} + feed metadata; " +
+        s"missing ${missing.mkString(", ")}; unexpected ${extra.mkString(", ")}")
+  }
 
   private[sql] def supportedDeleteFilter(f: Filter): Boolean = f match {
     case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
@@ -153,18 +190,26 @@ object GraftSqlTable {
   * on the engine's native merge/replace — the distributed heavy lifting
   * (bucket pruning, LWW aggregation, staging write) is exactly the plan the
   * streaming path runs; no second write implementation to keep correct. */
-class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
+class GraftWriteBuilder(root: String, info: LogicalWriteInfo, cdc: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def truncate(): WriteBuilder = {
+    require(!cdc, "a CDC apply view is append-only; overwrite/complete mode unsupported")
+    overwrite = true; this
+  }
   override def build(): Write = new V1Write {
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(root, info.queryId(), info.schema(), overwrite)
+      new GraftStreamingWrite(root, info.queryId(), info.schema(), overwrite, cdc)
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean): Unit = {
         import org.apache.spark.sql.functions._
         val t = LakeTable.forPath(data.sparkSession, root)
-        if (overwrite || overwriteFlag) t.replace(data)
+        if (cdc) {
+          // batch CDC apply (`INSERT INTO ns.`t$cdc` SELECT ... FROM
+          // ns.`s$changes``): same source-lsn merge as the streaming path
+          require(!(overwrite || overwriteFlag), "CDC apply is append-only")
+          t.merge(GraftStreamingWrite.cdcToMergeInput(data))
+        } else if (overwrite || overwriteFlag) t.replace(data)
         else {
           val nextLsn = t.meta.currentSnapshot
             .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1

@@ -27,7 +27,7 @@ import graft.lake.LakeTable
   * time — the epoch ledger is per-table, the same contract as the native
   * [[graft.cdc.CdcPipeline]]. */
 class GraftStreamingWrite(root: String, queryId: String, writeSchema: StructType,
-    overwrite: Boolean) extends StreamingWrite {
+    overwrite: Boolean, cdc: Boolean = false) extends StreamingWrite {
 
   private def stageDir(epochId: Long) =
     java.nio.file.Paths.get(root, "_streamstage", queryId, s"epoch-$epochId")
@@ -44,7 +44,8 @@ class GraftStreamingWrite(root: String, queryId: String, writeSchema: StructType
         val spark = SparkSession.active
         val t = LakeTable.forPath(spark, root)
         val df = spark.read.schema(writeSchema).parquet(files.toIndexedSeq: _*)
-        if (overwrite) t.replace(df, epochId)
+        if (cdc) t.merge(GraftStreamingWrite.cdcToMergeInput(df), epochId)
+        else if (overwrite) t.replace(df, epochId)
         else {
           val nextLsn = t.meta.currentSnapshot
             .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
@@ -65,6 +66,24 @@ class GraftStreamingWrite(root: String, queryId: String, writeSchema: StructType
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     LakeTable.deleteRecursively(stageDir(epochId))
+}
+
+object GraftStreamingWrite {
+  import org.apache.spark.sql.DataFrame
+  import graft.sql.{GraftChangesTable => Feed}
+
+  /** Feed-shaped rows → merge input: `_change_type` becomes the op
+    * (delete → tombstone, else upsert) and `_lsn` passes through as the
+    * SOURCE lsn — no per-statement lsn stamping and NO in-batch key dedup,
+    * because the feed's lsns are already a total per-key order and the
+    * merge's LWW aggregate is the correct resolver when one catch-up batch
+    * carries several changes of the same key (e.g. an upsert superseded by
+    * a delete two snapshots later). Replaying the same feed range is a
+    * no-op by the same LWW argument, independent of the epoch ledger. */
+  private[sql] def cdcToMergeInput(df: DataFrame): DataFrame =
+    df.withColumn("op",
+        when(col(Feed.ChangeTypeCol) === "delete", lit("D")).otherwise(lit("U")))
+      .withColumn("lsn", col(LakeTable.LsnCol))
 }
 
 case class StagedEpochFile(path: String) extends WriterCommitMessage

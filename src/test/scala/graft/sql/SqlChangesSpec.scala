@@ -163,4 +163,71 @@ class SqlChangesSpec extends SparkTestBase {
     drain()
     assert(emitted.size == 3)
   }
+
+  test("SQL streaming cascade: a$changes -> filter -> b$cdc propagates upserts AND deletes") {
+    import org.apache.spark.sql.functions.col
+    val cat = setupCatalog("ch5")
+    val a = cat.createTable("ns", "a", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 4)
+    val b = cat.createTable("ns", "b", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 2)
+    val ckpt = tmpDir("cascckpt")
+
+    // the derived table is maintained ENTIRELY through the SQL streaming
+    // surface: tail a's feed, transform, apply into b with source lsns
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("startingSnapshot", "0")
+        .table("ch5.ns.`a$changes`")
+        .filter(col("lang") === "scala") // the cascade's transform
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("ch5.ns.`b$cdc`")
+      q.awaitTermination()
+    }
+    def bState: Set[(String, String)] =
+      spark.sql("SELECT repo, content FROM ch5.ns.b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+
+    a.merge(batch(
+      (1L, "I", "k1", "p", "c", "scala", "a1"),
+      (2L, "I", "k2", "p", "c", "py", "b1")), 0) // k2 filtered out
+    drain()
+    assert(bState == Set(("k1", "a1")))
+
+    // update + a new key while the cascade is down; restart catches up
+    a.merge(batch((3L, "U", "k1", "p", "c", "scala", "a2")), 1)
+    a.merge(batch((4L, "I", "k3", "p", "c", "scala", "c1")), 2)
+    drain()
+    assert(bState == Set(("k1", "a2"), ("k3", "c1")))
+
+    // DELETE propagates (the reason $cdc exists: plain toTable can only
+    // upsert); the catch-up batch nets upsert(5) ⊂ delete(6) for k3 via LWW
+    a.merge(batch((5L, "U", "k3", "p", "c", "scala", "c2")), 3)
+    a.merge(batch((6L, "D", "k3", "p", "c", "scala", null)), 4)
+    drain()
+    assert(bState == Set(("k1", "a2")))
+
+    // b carries a's SOURCE lsns: replay-idempotent and feed-composable
+    assert(b.read().filter(col("repo") === "k1")
+      .select(LakeTable.LsnCol).head().getLong(0) == 3L)
+
+    // drained restart: no new commits on b
+    val snap = b.meta.currentSnapshotId
+    drain()
+    assert(b.meta.currentSnapshotId == snap)
+
+    // mis-wired pipelines fail at plan time, not by silently nulling fields
+    val e = intercept[Exception] {
+      spark.readStream.option("startingSnapshot", "0")
+        .table("ch5.ns.`a$changes`")
+        .drop("content") // missing data column
+        .writeStream.option("checkpointLocation", tmpDir("cascbad"))
+        .trigger(Trigger.AvailableNow())
+        .toTable("ch5.ns.`b$cdc`")
+        .awaitTermination()
+    }
+    assert(e.getMessage.contains("missing") || e.getCause != null)
+  }
 }
