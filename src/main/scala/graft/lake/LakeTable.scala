@@ -360,8 +360,24 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * packing cannot promise that: it caps splits at totalBytes/parallelism
     * and freely mixes buckets). Content is byte-identical; time travel to
     * pre-compact snapshots still sees the old layout. Returns the net
-    * reduction in live file count. */
-  def compact(targetFileBytes: Long = 128L << 20, minFiles: Int = 2): Int = {
+    * reduction in live file count.
+    *
+    * `sortBy` additionally CLUSTERS each rewritten file by the given data
+    * columns (the OPTIMIZE/CLUSTER analogue — the reference gets this from
+    * Postgres CLUSTER on an index): rows land sorted within the file, so
+    * parquet row-group/page min-max statistics become tight, disjoint
+    * ranges and a range predicate on a clustered column skips whole row
+    * groups inside the scan (on top of the manifest's per-file skipping).
+    * Merge commits deliberately do NOT sort — ingest stays cheap and the
+    * periodic compact is where layout is repaid, same division as
+    * Delta/Iceberg OPTIMIZE. The sort rides the existing pack shuffle
+    * (sortWithinPartitions; the bucket prefix also satisfies the
+    * partitionBy writer's required ordering, so no second sort is added). */
+  def compact(targetFileBytes: Long = 128L << 20, minFiles: Int = 2,
+      sortBy: Seq[String] = Nil): Int = {
+    val schemaCols = meta.currentSchema.columns.map(_.name).toSet
+    require(sortBy.forall(schemaCols.contains),
+      s"sortBy ${sortBy.filterNot(schemaCols.contains).mkString(", ")} not in table schema")
     val m0 = meta
     val snap = m0.currentSnapshot.getOrElse(return 0)
     // one stat per live file and one groupBy for the per-bucket small-file
@@ -380,9 +396,12 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     if (rewritten.isEmpty) return 0
     val snapshotId = m0.currentSnapshotId + 1
     val buckets = rewritten.map(_.bucket).distinct.size
-    val packed = readFiles(m0, rewritten, m0.currentSchemaId)
+    val repacked = readFiles(m0, rewritten, m0.currentSchemaId)
       .withColumn(BucketCol, bucketExpr(m0)) // identical to stored bucket (cast keys)
       .repartition(buckets, col(BucketCol))
+    val packed =
+      if (sortBy.isEmpty) repacked
+      else repacked.sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
     val staging = stageWrite(packed, snapshotId)
     val newFiles = statsFromFooters(staging, m0.currentSchemaId)
     commitOrClean(staging) {

@@ -36,16 +36,21 @@ object GraftProcedures {
   def load(warehouse: String, name: String): UnboundProcedure = name.toLowerCase match {
     case "compact" => Proc(
       "compact",
-      "bin-pack small data files; returns the net reduction in live file count",
+      "bin-pack small data files (optionally clustering each rewritten file " +
+        "by sort_by columns); returns the net reduction in live file count",
       Array(
         in("table", StringType, None, "target table as 'namespace.table'"),
         in("target_file_bytes", LongType, Some((128L << 20).toString),
           "files below this size are pack candidates"),
         in("min_files", IntegerType, Some("2"),
-          "minimum small files in a bucket before it is repacked")),
+          "minimum small files in a bucket before it is repacked"),
+        in("sort_by", StringType, Some("''"),
+          "comma-separated data columns to cluster rewritten files by")),
       new StructType().add("files_removed", IntegerType, nullable = false),
       (wh, input) => {
-        val n = table(wh, input).compact(input.getLong(1), input.getInt(2))
+        val sortBy = input.getUTF8String(3).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val n = table(wh, input).compact(input.getLong(1), input.getInt(2), sortBy)
         new GenericInternalRow(Array[Any](n))
       }, warehouse)
     case "vacuum" => Proc(

@@ -14,7 +14,7 @@ import graft.lake._
   *   show <tableDir>                               — table state summary
   *   reconcile <logDir> <tableDir>                 — anti-join verification (must be 0/0)
   *   vacuum <tableDir> [upToLsn]                   — drop old tombstones
-  *   compact <tableDir> [targetMB] [minFiles]      — bin-pack small data files
+  *   compact <tableDir> [targetMB] [minFiles] [sortCols] — bin-pack (and cluster) small data files
   *   rebucket <tableDir> <n>                       — re-hash into n buckets
   *   changes <tableDir> <fromSnap> [toSnap]        — row-level change feed between snapshots
   *   sql <warehouseDir> <query>                    — ad hoc SQL against the graftsql catalog
@@ -119,8 +119,12 @@ object CdcCli {
       val table = LakeTable.forPath(spark, tableDir)
       val before = table.meta.currentSnapshot.map(_.files.size).getOrElse(0)
       val target = rest.headOption.map(_.toLong * (1L << 20)).getOrElse(128L << 20)
-      val saved = table.compact(target, rest.drop(1).headOption.map(_.toInt).getOrElse(2))
-      println(s"[compact] files $before -> ${before - saved} (target=${target >> 20}MB)")
+      val sortBy = rest.drop(2).headOption // e.g. "lsn" or "lang,repo"
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val saved = table.compact(target,
+        rest.drop(1).headOption.map(_.toInt).getOrElse(2), sortBy)
+      println(s"[compact] files $before -> ${before - saved} (target=${target >> 20}MB" +
+        (if (sortBy.nonEmpty) s", clustered by ${sortBy.mkString(",")})" else ")"))
 
     case "rebucket" :: tableDir :: n :: Nil =>
       val table = LakeTable.forPath(spark, tableDir)

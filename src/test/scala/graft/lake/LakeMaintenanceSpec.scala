@@ -59,6 +59,68 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(after.map(_.rowCount).sum == before.map(_.rowCount).sum)
   }
 
+  test("clustered compact sorts rewritten files; row-group stats become disjoint ranges") {
+    val t = freshTable(buckets = 2)
+    // keys arrive in scattered repo order across several commits
+    def scattered(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, "I", f"r${(i * 37) % 400}%03d", s"p$i", s"c$i", "scala", "v" * 80)
+    }
+    t.merge(batch(scattered(0, 200): _*), 0)
+    // appends leave extra small sibling files per bucket (a merge would COW
+    // the whole bucket back to one file and give compact nothing to pack)
+    (1 to 2).foreach { k =>
+      t.append(scattered(200 * k, 200 * (k + 1))
+        .map { case (lsn, _, repo, p, c, lang, v) => (repo, p, c, lang, v, lsn) }
+        .toDF("repo", "path", "commit", "lang", "content", "lsn"))
+    }
+    val preState = stateSet(t)
+    val preFiles = t.meta.currentSnapshot.get.files.map(_.path).toSet
+
+    // tiny row groups so one compacted file carries many — the unit the
+    // clustering exists to make prunable
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 4096)
+    hc.setInt("parquet.page.size", 1024)
+    val saved = try t.compact(targetFileBytes = 32L << 20, minFiles = 2,
+      sortBy = Seq("repo"))
+    finally {
+      if (oldBlock != null) hc.set("parquet.block.size", oldBlock) else hc.unset("parquet.block.size")
+      if (oldPage != null) hc.set("parquet.page.size", oldPage) else hc.unset("parquet.page.size")
+    }
+    assert(saved > 0)
+    assert(stateSet(t) == preState, "clustering must not change logical state")
+
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val newFiles = t.meta.currentSnapshot.get.files.filterNot(f => preFiles(f.path))
+    assert(newFiles.nonEmpty)
+    var multiGroup = false
+    newFiles.foreach { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"${t.root}/${f.path}"),
+        new org.apache.hadoop.conf.Configuration())
+      val r = ParquetFileReader.open(in)
+      val repoStats = try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val c = b.getColumns.asScala.find(_.getPath.toDotString == "repo").get
+        val s = c.getStatistics
+        (new String(s.getMinBytes, "UTF-8"), new String(s.getMaxBytes, "UTF-8"))
+      } finally r.close()
+      if (repoStats.size > 1) {
+        multiGroup = true
+        // clustered: consecutive row groups cover non-overlapping, ascending
+        // repo ranges — a range predicate reads only the groups that match
+        repoStats.sliding(2).foreach { case Seq((_, max1), (min2, _)) =>
+          assert(max1 <= min2, s"row-group ranges overlap: $repoStats")
+        }
+      }
+      assert(repoStats.forall { case (mn, mx) => mn <= mx })
+    }
+    assert(multiGroup, "expected at least one multi-row-group file to demonstrate pruning")
+  }
+
   test("compact with nothing to gain is a no-op commit-free pass") {
     val t = freshTable(buckets = 2)
     t.merge(batch((1L, "I", "r", "p", "c", "scala", "v")), 0)
