@@ -380,12 +380,13 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       s"sortBy ${sortBy.filterNot(schemaCols.contains).mkString(", ")} not in table schema")
     val m0 = meta
     val snap = m0.currentSnapshot.getOrElse(return 0)
-    // one stat per live file and one groupBy for the per-bucket small-file
-    // count — planning is a single pass over the manifest. (The first version
-    // re-stat'ed every file inside the partition predicate, O(files²)
-    // syscalls at exactly the file counts compaction exists for.)
-    val sizeByPath: Map[String, Long] =
-      snap.files.map(f => f.path -> Files.size(Paths.get(root, f.path))).toMap
+    // planning is pure metadata: sizes come from the manifest (recorded at
+    // commit by the footer pass); only legacy files missing the field pay a
+    // stat. (The first version re-stat'ed every file inside the partition
+    // predicate — O(files²) syscalls at exactly the file counts compaction
+    // exists for.)
+    val sizeByPath: Map[String, Long] = snap.files.map(f => f.path ->
+      (if (f.sizeBytes > 0) f.sizeBytes else Files.size(Paths.get(root, f.path)))).toMap
     val smallPerBucket: Map[Int, Int] = snap.files
       .filter(f => sizeByPath(f.path) < targetFileBytes)
       .groupBy(_.bucket).map { case (b, fs) => b -> fs.size }
@@ -658,7 +659,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
           if (mx == Long.MinValue) 0L else mx,
           colMins = mins.filter(kv => shared(kv._1)),
           colMaxs = maxs.filter(kv => shared(kv._1)),
-          hasTombstones = tombstones || (!deletedColSeen && cnt > 0))
+          hasTombstones = tombstones || (!deletedColSeen && cnt > 0),
+          sizeBytes = Files.size(p))
       } finally reader.close()
     }.seq.toSeq
   }

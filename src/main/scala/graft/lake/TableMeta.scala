@@ -50,7 +50,12 @@ case class DataFileMeta(
     // false ⇒ the file provably contains no `_deleted=true` rows (footer
     // boolean max), making it eligible for the vectorized columnar SQL read
     // path (no per-row tombstone filter needed). Missing/legacy ⇒ true.
-    hasTombstones: Boolean = true)
+    hasTombstones: Boolean = true,
+    // on-disk size recorded at commit (the footer pass already holds the
+    // file): compaction planning and SQL scan-size estimation become pure
+    // metadata — no per-file stat storm on the driver. 0 = legacy/unknown,
+    // readers fall back to Files.size / row-width estimates.
+    sizeBytes: Long = 0L)
 
 case class Snapshot(
     snapshotId: Long,

@@ -321,12 +321,37 @@ object GraftScanBuilder {
 
 class GraftScan(root: String, meta: TableMeta, schemaId: Int,
     files: Seq[graft.lake.DataFileMeta], required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan(files=${files.size}, cols=${required.fieldNames.mkString(",")})"
+
+  /** Manifest-backed size estimate — what lets Catalyst auto-broadcast a
+    * small lake table in a SQL join instead of defaulting to a sort-merge
+    * join of unknown-size relations. Bytes are the PRUNED files' recorded
+    * on-disk sizes scaled by the projected-column fraction (the same
+    * column-pruning discount Spark's own FileScan applies); legacy files
+    * without a recorded size fall back to rowCount × row width. */
+  override def estimateStatistics(): Statistics = {
+    val full = meta.schemaById(schemaId).toStruct
+    val fraction =
+      if (full.isEmpty) 1.0
+      else required.map(_.dataType.defaultSize).sum.toDouble /
+        math.max(1, full.map(_.dataType.defaultSize).sum)
+    val rows = files.map(_.rowCount).sum
+    val bytes = files.map { f =>
+      if (f.sizeBytes > 0) (f.sizeBytes * fraction).toLong
+      else f.rowCount * math.max(1, required.map(_.dataType.defaultSize).sum)
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   private def plannedPartitions: Array[GraftInputPartition] = {
     val target = meta.schemaById(schemaId)

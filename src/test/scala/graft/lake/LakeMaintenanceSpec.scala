@@ -97,6 +97,11 @@ class LakeMaintenanceSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     val newFiles = t.meta.currentSnapshot.get.files.filterNot(f => preFiles(f.path))
     assert(newFiles.nonEmpty)
+    // commits record on-disk size in the manifest (metadata-only planning)
+    newFiles.foreach { f =>
+      assert(f.sizeBytes ==
+        java.nio.file.Files.size(java.nio.file.Paths.get(t.root, f.path)))
+    }
     var multiGroup = false
     newFiles.foreach { f =>
       val in = HadoopInputFile.fromPath(

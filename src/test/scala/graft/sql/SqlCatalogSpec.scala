@@ -396,6 +396,28 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(!p.contains("cols=repo,path"), s"over-wide scan:\n$p")
   }
 
+  test("manifest-backed scan statistics auto-broadcast small lake tables in SQL joins") {
+    val cat = setupCatalog("g16")
+    import spark.implicits._
+    def mk(name: String, n: Int) = {
+      val t = cat.createTable("ns", name, CdcPipeline.baseTableSchema,
+        Seq("repo", "path", "commit"), numBuckets = 2)
+      t.merge((1 to n).map(i => (i.toLong, "I", s"r$i", s"p$i", s"c$i", "scala", s"v$i"))
+        .toDF("lsn", "op", "repo", "path", "commit", "lang", "content"), 0)
+      t
+    }
+    mk("big", 500); mk("small", 5)
+    // without estimateStatistics a DSv2 relation defaults to "unknown =
+    // huge" and the join degrades to sort-merge; the manifest sizes let
+    // Catalyst pick a broadcast join on its own (no hint)
+    val q = spark.sql("""SELECT a.repo, b.content FROM g16.ns.big a
+      JOIN g16.ns.small b ON a.repo = b.repo""")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"stats not used for join planning:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"degraded to SMJ:\n$p")
+    assert(q.count() == 5)
+  }
+
   test("SQL maintenance procedures: CALL compact / vacuum / rebucket / expire_snapshots") {
     val cat = setupCatalog("g15")
     spark.sql("CREATE NAMESPACE g15.ops")
