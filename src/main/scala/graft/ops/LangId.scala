@@ -2,6 +2,11 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Character-n-gram language identification (Cavnar–Trenkle-style profiles,
   * argmax over per-language trigram-occurrence scores) as a PURE Column
@@ -121,17 +126,19 @@ object LangId {
     when(maxScore === 0, lit("unknown")).otherwise(ladder)
   }
 
-  /** One-column convenience: classify `text` directly. */
-  def predict(text: Column): Column = {
-    val n = normalize(text)
-    val scoreOf: Map[String, Column] =
-      langs.map(lg => lg -> profiles(lg).map(g => hits(n, g)).reduce(_ + _)).toMap
-    val maxScore = greatest(langs.map(scoreOf): _*)
-    val ladder = langs.reverse.foldLeft(lit("unknown")) { (acc, lg) =>
-      when(scoreOf(lg) === maxScore, lit(lg)).otherwise(acc)
-    }
-    when(maxScore === 0, lit("unknown")).otherwise(ladder)
-  }
+  /** One-column convenience: classify `text` directly.
+    *
+    * Native kernel, not the Column ladder: 6 langs × 28 trigrams as a
+    * length-delta Column tree is ~170 replace+length pairs whose generated
+    * code overflows janino's 64 KB method limit — Spark silently falls back
+    * to interpreted eval for the whole projection. The expression form is
+    * one static call (counts + argmax fused, one profile loop over the
+    * normalized text), stays inside whole-stage codegen, and reproduces the
+    * `replace` length-delta semantics exactly (non-overlapping left-to-right
+    * occurrence counts; ×3 cancels in the argmax). Same result as
+    * `scores`+`argmax` and the generated DuckDB oracle SQL. */
+  def predict(text: Column): Column =
+    ColumnShim.column(LangIdPredict(ColumnShim.expression(normalize(text))))
 
   // ----------------------------------------------------------- oracle side
 
@@ -149,4 +156,53 @@ object LangId {
     val ladder = langs.map(lg => s"WHEN ${scoreSql(n, lg)} = $maxExpr THEN '$lg'").mkString(" ")
     s"CASE WHEN $maxExpr = 0 THEN 'unknown' $ladder ELSE 'unknown' END"
   }
+}
+
+/** Static classifier kernel referenced from generated code: profiles are
+  * deterministic class-init constants, so the whole per-row cost is one loop
+  * over 6 × 28 trigram `indexOf` scans of the normalized text. */
+object LangIdKernel {
+  private val langU8: Array[UTF8String] =
+    LangId.langs.map(UTF8String.fromString).toArray
+  private val grams: Array[Array[UTF8String]] =
+    LangId.langs.map(lg => LangId.profiles(lg).map(UTF8String.fromString).toArray).toArray
+  private val unknown = UTF8String.fromString("unknown")
+
+  /** Non-overlapping left-to-right occurrence count — exactly what
+    * `length(s) - length(replace(s, g, ''))` measures (÷ gram length). */
+  private def count(n: UTF8String, g: UTF8String): Int = {
+    var c = 0
+    var idx = n.indexOf(g, 0)
+    val step = g.numChars()
+    while (idx >= 0) { c += 1; idx = n.indexOf(g, idx + step) }
+    c
+  }
+
+  /** Argmax over per-language profile-hit counts, lexicographic tiebreak
+    * (langs are sorted; strict `>` keeps the first max), `unknown` on zero. */
+  def predict(norm: UTF8String): UTF8String = {
+    var best = 0
+    var bestScore = 0
+    var li = 0
+    while (li < grams.length) {
+      val gs = grams(li)
+      var s = 0
+      var gi = 0
+      while (gi < gs.length) { s += count(norm, gs(gi)); gi += 1 }
+      if (s > bestScore) { bestScore = s; best = li }
+      li += 1
+    }
+    if (bestScore == 0) unknown else langU8(best)
+  }
+}
+
+case class LangIdPredict(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "langid_predict"
+  override def nullSafeEval(a: Any): Any =
+    LangIdKernel.predict(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ops.LangIdKernel.predict($a)")
+  override protected def withNewChildInternal(c: Expression): LangIdPredict =
+    copy(child = c)
 }
