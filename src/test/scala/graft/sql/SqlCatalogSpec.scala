@@ -464,5 +464,8 @@ class SqlCatalogSpec extends SparkTestBase {
     val e = intercept[Exception](spark.sql("CALL g15.system.no_such_proc('ops.t')"))
     assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
       e.getMessage.contains("unknown procedure"))
+    assert(spark.sql("SHOW PROCEDURES IN g15.system").collect()
+      .map(_.getAs[String]("procedure_name")).toSet ==
+      Set("compact", "vacuum", "rebucket", "expire_snapshots"))
   }
 }

@@ -164,6 +164,36 @@ class SqlChangesSpec extends SparkTestBase {
     assert(emitted.size == 3)
   }
 
+  test("feed restart after expire_snapshots fails loudly, never silently mis-reads") {
+    val cat = setupCatalog("ch6")
+    val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 4)
+    val ckpt = tmpDir("expckpt")
+    val out = tmpDir("expout")
+    def drain(): Unit = {
+      val q = spark.readStream.option("startingSnapshot", "0")
+        .table("ch6.ns.`t$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out).outputMode("append").start()
+      q.awaitTermination()
+    }
+    t.merge(batch((1L, "I", "k1", "p", "c", "scala", "a")), 0)
+    drain() // checkpoint now holds this snapshot as its offset
+
+    // retention trims the stream's offset snapshot out of metadata while
+    // the consumer is down; the restart must error (re-bootstrap required),
+    // not silently emit a wrong diff against a missing base
+    t.merge(batch((2L, "U", "k1", "p", "c", "scala", "a2")), 1)
+    t.merge(batch((3L, "I", "k2", "p", "c", "scala", "b")), 2)
+    assert(t.expireSnapshots(keepLast = 1) >= 0)
+    val e = intercept[Exception](drain())
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("no longer in metadata")),
+      s"expected loud expiry error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("SQL streaming cascade: a$changes -> filter -> b$cdc propagates upserts AND deletes") {
     import org.apache.spark.sql.functions.col
     val cat = setupCatalog("ch5")
