@@ -239,6 +239,25 @@ class LakeTable private (val spark: SparkSession, val root: String) {
 
   /** Append rows without key reconciliation (reference S5: the technicians
     * insert has no ON CONFLICT, `queries/dim_technicians.py:14-21`). */
+  /** The applied-lsn high-water + 1: the lsn a new SQL statement stamps its
+    * rows with (one definition — the DML surfaces must not drift apart). */
+  def nextLsn: Long = meta.currentSnapshot
+    .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
+
+  /** One row per key for a single-lsn statement: every row of one SQL
+    * statement shares one lsn, and the engine's LWW invariant (same key +
+    * same lsn ⇒ identical payload) underpins merge ties, changes() and the
+    * change feed — so duplicate keys WITHIN the statement are deduped
+    * first, deterministically (max payload-hash wins; full-duplicate rows
+    * tie on identical payloads, which is exactly the invariant). */
+  def dedupStatementKeys(data: DataFrame): DataFrame = {
+    val dataCols = data.columns.toSeq
+    data.groupBy(meta.keyCols.map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*),
+        xxhash64(dataCols.map(col): _*)).as("__r"))
+      .select(col("__r.*"))
+  }
+
   def append(rows: DataFrame, epochId: Long = -1L): Unit = {
     val m0 = meta
     if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return
@@ -660,7 +679,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
           colMins = mins.filter(kv => shared(kv._1)),
           colMaxs = maxs.filter(kv => shared(kv._1)),
           hasTombstones = tombstones || (!deletedColSeen && cnt > 0),
-          sizeBytes = Files.size(p))
+          sizeBytes = Files.size(p), statsUtf8 = true)
       } finally reader.close()
     }.seq.toSeq
   }

@@ -55,7 +55,13 @@ case class DataFileMeta(
     // file): compaction planning and SQL scan-size estimation become pure
     // metadata — no per-file stat storm on the driver. 0 = legacy/unknown,
     // readers fall back to Files.size / row-width estimates.
-    sizeBytes: Long = 0L)
+    sizeBytes: Long = 0L,
+    // true ⇒ string colMins/colMaxs were accumulated in UTF-8 binary order
+    // (matching parquet footers and Spark's runtime comparison). Legacy
+    // manifests (false) used java.lang.String UTF-16 order, which diverges
+    // for supplementary characters — pruners must not trust their STRING
+    // bounds (numeric bounds are order-agnostic and stay usable).
+    statsUtf8: Boolean = false)
 
 case class Snapshot(
     snapshotId: Long,

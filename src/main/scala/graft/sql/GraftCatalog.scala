@@ -113,15 +113,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else new GraftSqlTable(path, ident.toString, snapshotId = None)
   }
 
-  /** SQL time travel: `VERSION AS OF <snapshotId>`. */
+  /** SQL time travel: `VERSION AS OF <snapshotId>`. Metadata views
+    * (`$changes`, `$cdc`) are themselves range/write surfaces — version-
+    * pinning them has no meaning, so reject instead of resolving the raw
+    * suffixed name into a nonexistent path. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    require(baseName(ident) == ident.name,
+      s"VERSION AS OF is not supported on metadata views ($ident); " +
+        "time-travel the base table, or use fromSnapshot/toSnapshot options on the feed")
     new GraftSqlTable(cat.tablePath(ident.namespace()(0), ident.name),
       s"$ident@$version", snapshotId = Some(version.toLong))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // reserved suffixes: a table literally named `x$changes`/`x$cdc` could
+    // never be addressed (reads would always resolve it as x's view) and
+    // would leave an orphaned directory behind the failed CREATE
+    require(baseName(ident) == ident.name,
+      s"table names ending in ${GraftChangesTable.Suffix} or ${GraftSqlTable.CdcSuffix} are reserved for metadata views: $ident")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
     val keys = props.get("keys").map(_.split(",").map(_.trim).toSeq)
@@ -153,6 +164,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    require(baseName(ident) == ident.name,
+      s"cannot drop a metadata view ($ident); drop the base table")
     if (!tableExists(ident)) return false
     cat.dropTable(ident.namespace()(0), ident.name)
     true
@@ -175,6 +188,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(baseName(oldIdent) == oldIdent.name && baseName(newIdent) == newIdent.name,
+      s"metadata-view names cannot be renamed: $oldIdent -> $newIdent")
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     java.nio.file.Files.move(

@@ -143,7 +143,16 @@ object GraftChangesScan {
     // deletes from added files. Fail loudly (re-bootstrap restores a correct
     // full image) instead of silently dropping deletes; bootstrap reads
     // (no fromSnapshot) emit the complete current state and are unaffected.
-    if (fromSnap.isDefined && m.vacuumLsn > lsnFloor)
+    // The gap only exists when a vacuum commit lies INSIDE (from, to]: a
+    // vacuum at-or-before `from` could only drop tombstones the base image
+    // already reflects (its droppable lsns are ≤ the floor by definition),
+    // and a vacuum after `to` rewrites files in a LATER snapshot — the
+    // range's own added files still physically carry their tombstones. So a
+    // pinned historical range keeps working after later retention.
+    val vacuumInRange = m.snapshots.exists(s =>
+      s.operation == "vacuum" && s.snapshotId > fromSnapshotId &&
+        toSnap.forall(s.snapshotId <= _.snapshotId))
+    if (fromSnap.isDefined && vacuumInRange && m.vacuumLsn > lsnFloor)
       sys.error(s"tombstones up to lsn ${m.vacuumLsn} were vacuumed past this " +
         s"feed's floor ($lsnFloor): deletes in that range are unobservable — " +
         "re-bootstrap the consumer (fromSnapshot/startingSnapshot = 0)")

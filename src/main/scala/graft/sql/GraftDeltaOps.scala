@@ -74,7 +74,8 @@ class GraftDeltaBatchWrite(root: String, tableSchema: StructType, queryId: Strin
   private def stageDir = java.nio.file.Paths.get(root, "_deltastage", queryId)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftDeltaWriterFactory(stageDir.toString, tableSchema, rowSchema, rowIdSchema)
+    new GraftDeltaWriterFactory(stageDir.toString, tableSchema, rowSchema, rowIdSchema,
+      GraftStreamingWrite.sessionHadoopConf())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case StagedEpochFile(p) if p != null => p }
@@ -100,9 +101,7 @@ class GraftDeltaBatchWrite(root: String, tableSchema: StructType, queryId: Strin
             max_by(struct(dataCols.map(col): _*), ordering).as("__r"))
           .select(col("__r.*"),
             when(col("__hasI") === 1, "I").otherwise("D").as("op"))
-        val nextLsn = t.meta.currentSnapshot
-          .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
-        t.merge(resolved.withColumn("lsn", lit(nextLsn)))
+        t.merge(resolved.withColumn("lsn", lit(t.nextLsn)))
       }
     } finally LakeTable.deleteRecursively(stageDir)
   }
@@ -117,10 +116,11 @@ object GraftDeltaBatchWrite {
 }
 
 class GraftDeltaWriterFactory(stageRoot: String, tableSchema: StructType,
-    rowSchema: StructType, rowIdSchema: StructType) extends DeltaWriterFactory {
+    rowSchema: StructType, rowIdSchema: StructType,
+    hadoopConf: Map[String, String]) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(s"$stageRoot/part-$partitionId-$taskId.parquet",
-      tableSchema, rowSchema, rowIdSchema)
+      tableSchema, rowSchema, rowIdSchema, hadoopConf)
 }
 
 /** Stages row-level actions as parquet rows of (table columns + __op):
@@ -131,12 +131,13 @@ class GraftDeltaWriterFactory(stageRoot: String, tableSchema: StructType,
   * Value copies happen synchronously inside [[GraftStagingWriter.write]],
   * so Spark's reused row buffers are never retained. */
 class GraftDeltaWriter(path: String, tableSchema: StructType,
-    rowSchema: StructType, rowIdSchema: StructType) extends DeltaWriter[InternalRow] {
+    rowSchema: StructType, rowIdSchema: StructType,
+    hadoopConf: Map[String, String] = Map.empty) extends DeltaWriter[InternalRow] {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
   private val staged = StructType(
     tableSchema.fields :+ StructField(GraftDeltaBatchWrite.OpCol, StringType))
-  private val out = new GraftStagingWriter(path, staged)
+  private val out = new GraftStagingWriter(path, staged, hadoopConf)
   private val opI = org.apache.spark.unsafe.types.UTF8String.fromString("I")
   private val opD = org.apache.spark.unsafe.types.UTF8String.fromString("D")
 

@@ -98,12 +98,22 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long],
     import org.apache.spark.sql.functions._
     val spark = org.apache.spark.sql.SparkSession.active
     val t = LakeTable.forPath(spark, root)
+    val m = t.meta
     val cond = filters.map(GraftSqlTable.filterToColumn)
       .foldLeft(lit(true))(_ && _) // empty WHERE = delete everything
-    val nextLsn = t.meta.currentSnapshot
-      .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
-    t.merge(t.currentState().filter(cond)
-      .withColumn("lsn", lit(nextLsn)).withColumn("op", lit("D")))
+    // same manifest pruning as the read path: a key-equality DELETE reads
+    // one bucket's files and a range DELETE only the files whose min/max
+    // can match — not the whole table. Pruning is safe-side only (kept
+    // files are still row-filtered by `cond`), so delete semantics are
+    // identical to scanning everything.
+    val files = m.currentSnapshot.map(_.files).getOrElse(Seq.empty)
+    val candidates = GraftScanBuilder.pruneFiles(m, m.currentSchemaId, files, filters)
+    val dataCols = m.currentSchema.columns.map(c => col(c.name))
+    t.merge(t.readFileSubset(candidates, m.currentSchemaId)
+      .filter(!col(LakeTable.DeletedCol))
+      .select(dataCols: _*)
+      .filter(cond)
+      .withColumn("lsn", lit(t.nextLsn)).withColumn("op", lit("D")))
   }
 }
 
@@ -209,25 +219,14 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo, cdc: Boolean = fal
           // ns.`s$changes``): same source-lsn merge as the streaming path
           require(!(overwrite || overwriteFlag), "CDC apply is append-only")
           t.merge(GraftStreamingWrite.cdcToMergeInput(data))
-        } else if (overwrite || overwriteFlag) t.replace(data)
-        else {
-          val nextLsn = t.meta.currentSnapshot
-            .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
-          // every row of one statement shares one lsn, and the engine's LWW
-          // invariant (same key + same lsn ⇒ identical payload) underpins
-          // merge ties, changes() and the change feed — so duplicate keys
-          // WITHIN the statement are deduped first, deterministically (max
-          // payload-hash wins; full-duplicate rows tie on identical payloads,
-          // which is exactly the invariant)
-          val keyCols = t.meta.keyCols
-          val dataCols = data.columns.toSeq
-          val deduped = data
-            .groupBy(keyCols.map(col): _*)
-            .agg(max_by(struct(dataCols.map(col): _*),
-              xxhash64(dataCols.map(col): _*)).as("__r"))
-            .select(col("__r.*"))
-          t.merge(deduped.withColumn("lsn", lit(nextLsn)).withColumn("op", lit("I")))
-        }
+        } else if (overwrite || overwriteFlag)
+          // replace stamps every row lsn 0: duplicate keys within the
+          // statement would break the same-key-same-lsn LWW invariant just
+          // like INSERT's would — dedup both paths identically
+          t.replace(t.dedupStatementKeys(data))
+        else
+          t.merge(t.dedupStatementKeys(data)
+            .withColumn("lsn", lit(t.nextLsn)).withColumn("op", lit("I")))
       }
     }
   }
@@ -259,48 +258,7 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
     *     gets the equivalent from Postgres indexes; Iceberg from manifest
     *     stats). Columns or files without usable stats are never pruned. */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.sources._
-    val eqs = filters.collect { case EqualTo(a, v) if meta.keyCols.contains(a) => a -> v }.toMap
-    if (meta.keyCols.forall(eqs.contains)) {
-      val b = GraftScanBuilder.bucketOf(meta.keyCols.map(eqs), meta.numBuckets)
-      prunedFiles = prunedFiles.filter(_.bucket == b)
-    }
-    val colId: Map[String, String] = meta.schemaById(schemaId).columns
-      .map(c => c.name -> c.id.toString).toMap
-    // rendered-stat vs literal comparison; None = incomparable ⇒ keep file.
-    // Strings compare in UTF-8 BINARY order (UTF8String.compareTo), matching
-    // parquet footer min/max and Spark's runtime comparison — String.compareTo
-    // (UTF-16 code units) diverges for supplementary characters, and a
-    // wrongly pruned file is silent data loss (the post-scan filter can't
-    // recover rows that were never read).
-    def cmp(rendered: String, v: Any): Option[Int] = v match {
-      case s: String => Some(UTF8String.fromString(rendered)
-        .compareTo(UTF8String.fromString(s)))
-      case _: Int | _: Long | _: Short | _: Byte | _: Float | _: Double |
-           _: java.math.BigDecimal =>
-        scala.util.Try(BigDecimal(rendered).compare(BigDecimal(v.toString))).toOption
-      case _ => None
-    }
-    def keep(f: graft.lake.DataFileMeta, attr: String,
-        test: (Option[String], Option[String]) => Option[Boolean]): Boolean =
-      colId.get(attr) match {
-        case None => true
-        case Some(id) => test(f.colMins.get(id), f.colMaxs.get(id)).getOrElse(true)
-      }
-    filters.foreach {
-      case EqualTo(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (mn, mx) =>
-        for { lo <- mn; hi <- mx; c1 <- cmp(lo, v); c2 <- cmp(hi, v) }
-          yield c1 <= 0 && c2 >= 0))
-      case GreaterThan(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (_, mx) =>
-        for { hi <- mx; c <- cmp(hi, v) } yield c > 0))
-      case GreaterThanOrEqual(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (_, mx) =>
-        for { hi <- mx; c <- cmp(hi, v) } yield c >= 0))
-      case LessThan(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (mn, _) =>
-        for { lo <- mn; c <- cmp(lo, v) } yield c < 0))
-      case LessThanOrEqual(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (mn, _) =>
-        for { lo <- mn; c <- cmp(lo, v) } yield c <= 0))
-      case _ =>
-    }
+    prunedFiles = GraftScanBuilder.pruneFiles(meta, schemaId, prunedFiles, filters)
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -316,6 +274,60 @@ object GraftScanBuilder {
     val h = Murmur3Hash(keyValues.map(v => Literal.create(v)), 42)
       .eval(null).asInstanceOf[Int]
     ((h % numBuckets) + numBuckets) % numBuckets
+  }
+
+  /** Manifest file skipping shared by the SQL scan and `deleteWhere` (one
+    * pruner — a fix to its comparison semantics must reach both). */
+  def pruneFiles(meta: TableMeta, schemaId: Int,
+      files: Seq[graft.lake.DataFileMeta],
+      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[graft.lake.DataFileMeta] = {
+    import org.apache.spark.sql.sources._
+    var prunedFiles = files
+    val eqs = filters.collect { case EqualTo(a, v) if meta.keyCols.contains(a) => a -> v }.toMap
+    if (meta.keyCols.forall(eqs.contains)) {
+      val b = GraftScanBuilder.bucketOf(meta.keyCols.map(eqs), meta.numBuckets)
+      prunedFiles = prunedFiles.filter(_.bucket == b)
+    }
+    val colId: Map[String, String] = meta.schemaById(schemaId).columns
+      .map(c => c.name -> c.id.toString).toMap
+    // rendered-stat vs literal comparison; None = incomparable ⇒ keep file.
+    // Strings compare in UTF-8 BINARY order (UTF8String.compareTo), matching
+    // parquet footer min/max and Spark's runtime comparison — String.compareTo
+    // (UTF-16 code units) diverges for supplementary characters, and a
+    // wrongly pruned file is silent data loss (the post-scan filter can't
+    // recover rows that were never read). String bounds from LEGACY manifest
+    // entries (statsUtf8 = false, accumulated in UTF-16 order by older code)
+    // are therefore never trusted; their numeric bounds stay usable.
+    def cmp(f: graft.lake.DataFileMeta, rendered: String, v: Any): Option[Int] = v match {
+      case _: String if !f.statsUtf8 => None
+      case s: String => Some(UTF8String.fromString(rendered)
+        .compareTo(UTF8String.fromString(s)))
+      case _: Int | _: Long | _: Short | _: Byte | _: Float | _: Double |
+           _: java.math.BigDecimal =>
+        scala.util.Try(BigDecimal(rendered).compare(BigDecimal(v.toString))).toOption
+      case _ => None
+    }
+    def keep(f: graft.lake.DataFileMeta, attr: String,
+        test: (graft.lake.DataFileMeta, Option[String], Option[String]) => Option[Boolean]): Boolean =
+      colId.get(attr) match {
+        case None => true
+        case Some(id) => test(f, f.colMins.get(id), f.colMaxs.get(id)).getOrElse(true)
+      }
+    filters.foreach {
+      case EqualTo(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (f, mn, mx) =>
+        for { lo <- mn; hi <- mx; c1 <- cmp(f, lo, v); c2 <- cmp(f, hi, v) }
+          yield c1 <= 0 && c2 >= 0))
+      case GreaterThan(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (f, _, mx) =>
+        for { hi <- mx; c <- cmp(f, hi, v) } yield c > 0))
+      case GreaterThanOrEqual(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (f, _, mx) =>
+        for { hi <- mx; c <- cmp(f, hi, v) } yield c >= 0))
+      case LessThan(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (f, mn, _) =>
+        for { lo <- mn; c <- cmp(f, lo, v) } yield c < 0))
+      case LessThanOrEqual(a, v) => prunedFiles = prunedFiles.filter(keep(_, a, (f, mn, _) =>
+        for { lo <- mn; c <- cmp(f, lo, v) } yield c <= 0))
+      case _ =>
+    }
+    prunedFiles
   }
 }
 

@@ -34,7 +34,8 @@ class GraftStreamingWrite(root: String, queryId: String, writeSchema: StructType
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(
-      java.nio.file.Paths.get(root, "_streamstage", queryId).toString, writeSchema)
+      java.nio.file.Paths.get(root, "_streamstage", queryId).toString, writeSchema,
+      GraftStreamingWrite.sessionHadoopConf())
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case StagedEpochFile(p) if p != null => p }
@@ -45,21 +46,12 @@ class GraftStreamingWrite(root: String, queryId: String, writeSchema: StructType
         val t = LakeTable.forPath(spark, root)
         val df = spark.read.schema(writeSchema).parquet(files.toIndexedSeq: _*)
         if (cdc) t.merge(GraftStreamingWrite.cdcToMergeInput(df), epochId)
-        else if (overwrite) t.replace(df, epochId)
-        else {
-          val nextLsn = t.meta.currentSnapshot
-            .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
-          val keyCols = t.meta.keyCols
-          val dataCols = df.columns.toSeq
-          // same in-statement key dedup as SQL INSERT: one row per (key, lsn)
-          val deduped = df
-            .groupBy(keyCols.map(col): _*)
-            .agg(max_by(struct(dataCols.map(col): _*),
-              xxhash64(dataCols.map(col): _*)).as("__r"))
-            .select(col("__r.*"))
-          t.merge(deduped.withColumn("lsn", lit(nextLsn)).withColumn("op", lit("I")),
-            epochId)
-        }
+        // complete mode stamps lsn 0 on every row — dedup duplicate keys
+        // exactly like append mode or the same-key-same-lsn invariant breaks
+        else if (overwrite) t.replace(t.dedupStatementKeys(df), epochId)
+        else t.merge(t.dedupStatementKeys(df) // same dedup as SQL INSERT
+          .withColumn("lsn", lit(t.nextLsn)).withColumn("op", lit("I")),
+          epochId)
       }
     } finally LakeTable.deleteRecursively(dir)
   }
@@ -71,6 +63,23 @@ class GraftStreamingWrite(root: String, queryId: String, writeSchema: StructType
 object GraftStreamingWrite {
   import org.apache.spark.sql.DataFrame
   import graft.sql.{GraftChangesTable => Feed}
+
+  /** Session hadoop conf captured ON THE DRIVER for executor-side staging
+    * writers: a bare `new Configuration()` on the executor would miss every
+    * `spark.hadoop.*` setting (defaultFS, object-store credentials), so the
+    * staging write would only ever work against local paths. Captured once
+    * per write as a plain serializable map. */
+  private[sql] def sessionHadoopConf(): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    SparkSession.active.sessionState.newHadoopConf().iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+  }
+
+  private[sql] def toConfiguration(entries: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
   /** Feed-shaped rows → merge input: `_change_type` becomes the op
     * (delete → tombstone, else upsert) and `_lsn` passes through as the
@@ -88,18 +97,20 @@ object GraftStreamingWrite {
 
 case class StagedEpochFile(path: String) extends WriterCommitMessage
 
-class GraftStreamingWriterFactory(stageRoot: String, schema: StructType)
+class GraftStreamingWriterFactory(stageRoot: String, schema: StructType,
+    hadoopConf: Map[String, String])
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new GraftStagingWriter(
-      s"$stageRoot/epoch-$epochId/part-$partitionId-$taskId.parquet", schema)
+      s"$stageRoot/epoch-$epochId/part-$partitionId-$taskId.parquet", schema, hadoopConf)
 }
 
 /** Writes one task partition to one staging parquet file via the parquet
   * Group API (works in any executor; at real scale the file lands on the
   * cluster FS via the executor's hadoop conf). Lazy-opens so empty
   * partitions stage nothing. */
-class GraftStagingWriter(path: String, schema: StructType)
+class GraftStagingWriter(path: String, schema: StructType,
+    hadoopConf: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroup
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -111,7 +122,11 @@ class GraftStagingWriter(path: String, schema: StructType)
 
   private def open(): Unit = if (writer == null) {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // the DRIVER's session hadoop conf, shipped through the factory — a
+    // bare executor-side Configuration would drop spark.hadoop.* settings
+    val conf =
+      if (hadoopConf.isEmpty) new org.apache.hadoop.conf.Configuration()
+      else GraftStreamingWrite.toConfiguration(hadoopConf)
     writer = ExampleParquetWriter.builder(
         org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
           new org.apache.hadoop.fs.Path(path), conf))

@@ -396,6 +396,40 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(!p.contains("cols=repo,path"), s"over-wide scan:\n$p")
   }
 
+  test("INSERT OVERWRITE dedups duplicate keys in-statement (replace stamps one lsn)") {
+    setupCatalog("g17")
+    spark.sql("CREATE NAMESPACE g17.ns")
+    spark.sql("""CREATE TABLE g17.ns.t (k STRING, v INT)
+      TBLPROPERTIES ('keys'='k', 'buckets'='2')""")
+    // duplicate key within one OVERWRITE: without the dedup both rows land
+    // at lsn 0 and the same-key-same-lsn LWW invariant is broken
+    spark.sql("INSERT OVERWRITE g17.ns.t VALUES ('a', 1), ('a', 2), ('b', 3)")
+    val rows = spark.sql("SELECT k, v FROM g17.ns.t ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows.map(_._1) == Seq("a", "b"), s"duplicate key stored: $rows")
+    // deterministic winner (max payload-hash) and a later merge stays sane
+    spark.sql("INSERT INTO g17.ns.t VALUES ('a', 9)")
+    assert(spark.sql("SELECT v FROM g17.ns.t WHERE k = 'a'").head().getInt(0) == 9)
+  }
+
+  test("reserved view suffixes are rejected by DDL instead of leaving orphans") {
+    setupCatalog("g18")
+    spark.sql("CREATE NAMESPACE g18.ns")
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE g18.ns.`x$cdc` (k STRING, v INT) TBLPROPERTIES ('keys'='k')"))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    intercept[Exception](spark.sql(
+      "CREATE TABLE g18.ns.`x$changes` (k STRING, v INT) TBLPROPERTIES ('keys'='k')"))
+    // time travel on a view addresses nothing meaningful — loud error
+    spark.sql("CREATE TABLE g18.ns.t (k STRING, v INT) TBLPROPERTIES ('keys'='k')")
+    spark.sql("INSERT INTO g18.ns.t VALUES ('a', 1)")
+    val tv = intercept[Exception](spark.sql(
+      "SELECT * FROM g18.ns.`t$changes` VERSION AS OF 1").collect())
+    assert(tv.getMessage.contains("not supported on metadata views") ||
+      (tv.getCause != null && tv.getCause.getMessage.contains("not supported on metadata views")),
+      tv.getMessage)
+  }
+
   test("manifest-backed scan statistics auto-broadcast small lake tables in SQL joins") {
     val cat = setupCatalog("g16")
     import spark.implicits._

@@ -164,6 +164,44 @@ class SqlChangesSpec extends SparkTestBase {
     assert(emitted.size == 3)
   }
 
+  test("vacuum guard fires only for ranges spanning the vacuum; pinned history keeps working") {
+    val cat = setupCatalog("ch7")
+    val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 4)
+    t.merge(batch((1L, "I", "k1", "p", "c", "scala", "a")), 0)
+    val s1 = t.meta.currentSnapshotId
+    t.merge(batch(
+      (2L, "I", "k2", "p", "c", "scala", "b"),
+      (3L, "D", "k1", "p", "c", "scala", null)), 1)
+    val s2 = t.meta.currentSnapshotId
+    t.merge(batch((4L, "I", "k3", "p", "c", "scala", "c")), 2)
+    val s3 = t.meta.currentSnapshotId
+    assert(t.vacuum() == 1L) // drops k1's tombstone in a NEW snapshot
+
+    // a pinned historical range BEFORE the vacuum commit: its added files
+    // still physically carry their tombstones — the audit read must work
+    val hist = spark.read.option("fromSnapshot", s1.toString)
+      .option("toSnapshot", s2.toString)
+      .table("ch7.ns.`t$changes`").collect()
+      .map(r => (r.getAs[String]("repo"), r.getAs[String]("_change_type"))).toSet
+    assert(hist == Set(("k2", "upsert"), ("k1", "delete")))
+
+    // a range SPANNING the vacuum with a floor below it: deletes in the gap
+    // are physically gone — must error, not silently under-report
+    val e = intercept[Exception] {
+      spark.read.option("fromSnapshot", s1.toString)
+        .table("ch7.ns.`t$changes`").collect()
+    }
+    assert(e.getMessage.contains("vacuumed") ||
+      (e.getCause != null && e.getCause.getMessage.contains("vacuumed")))
+
+    // a range entirely AFTER the floor-relevant deletes (floor ≥ vacuumLsn):
+    // fine even though it spans the vacuum snapshot
+    val tail = spark.read.option("fromSnapshot", s3.toString)
+      .table("ch7.ns.`t$changes`").collect()
+    assert(tail.isEmpty) // vacuum itself adds no logical changes
+  }
+
   test("feed restart after expire_snapshots fails loudly, never silently mis-reads") {
     val cat = setupCatalog("ch6")
     val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
