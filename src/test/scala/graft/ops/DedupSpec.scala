@@ -37,6 +37,32 @@ class DedupSpec extends SparkTestBase {
     assert(exact.nonEmpty, "test data produced no exact near-dup pairs — recalibrate w/threshold")
   }
 
+  test("incremental LSH against a maintained band index ≡ full recompute") {
+    import org.apache.spark.sql.functions.col
+    // the production shape: corpus already indexed, batches arrive and are
+    // deduped against the index at cost ∝ batch, then their bands append
+    val corpus0 = docs.filter(col("doc_id") % 3 === 0)
+    val batch1 = docs.filter(col("doc_id") % 3 === 1)
+    val batch2 = docs.filter(col("doc_id") % 3 === 2)
+    val (w, k, b, r, th) = (3, 32, 16, 2, 0.5)
+
+    var index = DedupOps.bandIndex(corpus0, w, k, b, r)
+    var corpus = corpus0
+    var pairs = DedupOps.minhashLshPairs(corpus0, w, k, b, r, th)
+      .collect().map(_.toSeq).toSet
+    for (batch <- Seq(batch1, batch2)) {
+      pairs ++= DedupOps.minhashLshIncremental(batch, corpus, index, w, k, b, r, th)
+        .collect().map(_.toSeq).toSet
+      index = index.unionByName(DedupOps.bandIndex(batch, w, k, b, r))
+      corpus = corpus.unionByName(batch)
+    }
+    val full = DedupOps.minhashLshPairs(docs, w, k, b, r, th)
+      .collect().map(_.toSeq).toSet
+    assert(pairs == full,
+      s"incremental != full: missing ${(full -- pairs).size}, extra ${(pairs -- full).size}")
+    assert(full.nonEmpty)
+  }
+
   test("minhash LSH is deterministic across runs and partitionings") {
     val p1 = DedupOps.minhashLshPairs(docs, 3, 32, 16, 2, 0.5)
       .collect().map(_.toSeq).toSet
