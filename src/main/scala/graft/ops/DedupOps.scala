@@ -256,6 +256,23 @@ object DedupOps {
       blocks: Int = 4, comboSize: Int = 1): DataFrame = {
     require(blocks - maxHamming >= comboSize,
       s"blocks($blocks) - maxHamming($maxHamming) must be >= comboSize($comboSize) for exact recall")
+    val chunked = simhashChunkIndex(docs, blocks, comboSize)
+    val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** SimHash chunk index `(chunk, ckey, doc_id, sh)` — the durable state
+    * for incremental simhash dedup, appended per ingested batch (the 64-bit
+    * fingerprint rides along: the hamming verify then needs no re-join to
+    * the corpus at all). */
+  def simhashChunkIndex(docs: DataFrame,
+      blocks: Int = 4, comboSize: Int = 1): DataFrame = {
     val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def blockVal(sh: Column, i: Int): Column =
@@ -264,13 +281,37 @@ object DedupOps {
       c.foldLeft(lit(0L)) { (acc, i) =>
         shiftleft(acc, widths(i)).bitwiseOR(blockVal(col("sh"), i)) }
     }
-    val base = Tables.spread(docs).select(col("doc_id"), simhash64(col("text")).as("sh"))
-    val chunked = base.select(col("doc_id"), col("sh"),
-      posexplode(array(comboKeys: _*)).as(Seq("chunk", "ckey")))
-    val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
+    Tables.spread(docs).select(col("doc_id"), simhash64(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        posexplode(array(comboKeys: _*)).as(Seq("chunk", "ckey")))
+  }
+
+  /** Incremental simhash near-dup: pairs a NEW batch introduces against the
+    * stored chunk index plus within-batch pairs — per-batch cost ∝ batch ×
+    * C(blocks, comboSize), never corpus². Exactness carries over from
+    * [[simhashPairs]] (pigeonhole on intact blocks); DedupSpec asserts
+    * incremental ∪ prior ≡ full recompute. */
+  def simhashIncremental(newDocs: DataFrame, index: DataFrame, maxHamming: Int,
+      blocks: Int = 4, comboSize: Int = 1): DataFrame = {
+    require(blocks - maxHamming >= comboSize,
+      s"blocks($blocks) - maxHamming($maxHamming) must be >= comboSize($comboSize) for exact recall")
+    val newChunked = simhashChunkIndex(newDocs, blocks, comboSize)
+    val cross = newChunked.select(col("chunk"), col("ckey"),
+        col("doc_id").as("id_new"), col("sh").as("sh_new"))
+      .join(index.select(col("chunk"), col("ckey"),
+        col("doc_id").as("id_old"), col("sh").as("sh_old")), Seq("chunk", "ckey"))
+      .select(
+        least(col("id_new"), col("id_old")).as("id_a"),
+        greatest(col("id_new"), col("id_old")).as("id_b"),
+        when(col("id_new") < col("id_old"), col("sh_new")).otherwise(col("sh_old")).as("sh_a"),
+        when(col("id_new") < col("id_old"), col("sh_old")).otherwise(col("sh_new")).as("sh_b"))
+    val within = newChunked.select(col("chunk"), col("ckey"),
+        col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(newChunked.select(col("chunk"), col("ckey"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    cross.unionByName(within)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)

@@ -63,6 +63,22 @@ class DedupSpec extends SparkTestBase {
     assert(full.nonEmpty)
   }
 
+  test("incremental simhash against a stored chunk index ≡ full recompute") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.filter(col("doc_id") % 3 =!= 2)
+    val batch = docs.filter(col("doc_id") % 3 === 2)
+    val inc = DedupOps.simhashPairs(corpus, maxHamming = 3)
+      .collect().map(_.toSeq).toSet ++
+      DedupOps.simhashIncremental(batch,
+        DedupOps.simhashChunkIndex(corpus), maxHamming = 3)
+        .collect().map(_.toSeq).toSet
+    val full = DedupOps.simhashPairs(docs, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full,
+      s"incremental != full: missing ${(full -- inc).size}, extra ${(inc -- full).size}")
+    assert(full.nonEmpty)
+  }
+
   test("minhash LSH is deterministic across runs and partitionings") {
     val p1 = DedupOps.minhashLshPairs(docs, 3, 32, 16, 2, 0.5)
       .collect().map(_.toSeq).toSet
