@@ -28,7 +28,8 @@ import graft.lake._
   * `LakeTable.read(Some(id))`. Key columns for `CREATE TABLE` come from the
   * `keys` table property (default: the first column).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -186,6 +187,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (namespace.sameElements(Array(GraftProcedures.Namespace)))
       GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
     else Array.empty
+
+  // ------------------------------------------------------------- functions
+
+  /** [[GraftBucketFunction]] backs the bucket transforms the scans report for
+    * storage-partitioned joins. Spark resolves a reported transform by
+    * loading its function from THIS catalog with an empty namespace
+    * (`V2ExpressionUtils.toCatalyst`); `graftsql.system.bucket(...)` also
+    * resolves for ad hoc SQL (e.g. inspecting a row's bucket). */
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.name == GraftBucketFunction.Name) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array(GraftProcedures.Namespace)))
+      Array(Identifier.of(namespace, GraftBucketFunction.Name))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name == GraftBucketFunction.Name
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     require(baseName(oldIdent) == oldIdent.name && baseName(newIdent) == newIdent.name,

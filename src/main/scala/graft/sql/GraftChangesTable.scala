@@ -188,8 +188,20 @@ case class GraftChangesOffset(snapshotId: Long) extends Offset {
 }
 
 class GraftChangesStream(root: String, target: SchemaVersion,
-    required: StructType, options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    required: StructType, options: CaseInsensitiveStringMap) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
   private def meta: TableMeta = LakeTable.metaAt(root)
+
+  /** Trigger.AvailableNow contract: pin the drain target when the query
+    * starts, so the rate-limited catch-up below runs batch after batch until
+    * exactly this snapshot and then terminates — commits landing mid-drain
+    * wait for the next run. (Without this interface Spark demotes
+    * AvailableNow to a single batch, which would defeat the pacing.) */
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(meta.currentSnapshotId)
 
   override def initialOffset(): Offset = GraftChangesOffset(
     Option(options.get("startingSnapshot")).map(_.toLong)
@@ -197,6 +209,52 @@ class GraftChangesStream(root: String, target: SchemaVersion,
   override def latestOffset(): Offset = GraftChangesOffset(meta.currentSnapshotId)
   override def deserializeOffset(json: String): Offset =
     GraftChangesOffset(json.trim.toLong)
+
+  /** Admission control (`maxFilesPerTrigger` option): without it, a consumer
+    * restarting from an old floor — or bootstrapping a large table — gets
+    * ONE micro-batch covering the whole backlog, which at warehouse scale
+    * means an unbounded task wave and a checkpoint that only lands at the
+    * very end. With it, each micro-batch ends at the FURTHEST snapshot whose
+    * cumulative added-file count (the exact per-file work `partitions()`
+    * will plan, pure rewrites already excluded) stays within the cap —
+    * always advancing at least one snapshot, since offsets are
+    * snapshot-granular (one commit is the smallest replayable unit, as in
+    * Delta/Iceberg rate limiting). Progress is checkpointed per batch, so a
+    * kill mid-backlog resumes where it stopped instead of restarting the
+    * whole catch-up. */
+  override def getDefaultReadLimit: ReadLimit =
+    Option(options.get("maxFilesPerTrigger"))
+      .map(n => ReadLimit.maxFiles(n.toInt)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val m = meta
+    val startId = start.asInstanceOf[GraftChangesOffset].snapshotId
+    val latest = availableNowTarget.getOrElse(m.currentSnapshotId)
+    limit match {
+      case mf: ReadMaxFiles if latest > startId =>
+        val startPaths = m.snapshotById(startId)
+          .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+        val floor =
+          if (startId <= 0) -1L
+          else m.snapshotById(startId)
+            .map(_.files.map(_.lsnMax).foldLeft(-1L)(math.max)).getOrElse(-1L)
+        def addedCount(s: graft.lake.Snapshot): Int = s.files
+          .count(f => !startPaths.contains(f.path) && f.lsnMax > floor)
+        val candidates = m.snapshots
+          .filter(s => s.snapshotId > startId && s.snapshotId <= latest)
+          .sortBy(_.snapshotId)
+        if (candidates.isEmpty) GraftChangesOffset(startId)
+        else {
+          var end = candidates.head.snapshotId // always advance one snapshot
+          candidates.drop(1).takeWhile(addedCount(_) <= mf.maxFiles)
+            .foreach(s => end = s.snapshotId)
+          GraftChangesOffset(end)
+        }
+      case _ => GraftChangesOffset(latest)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = GraftChangesOffset(meta.currentSnapshotId)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 

@@ -47,7 +47,9 @@ class GraftRowLevelOperation(root: String, meta: TableMeta, schemaId: Int,
   /** The rows Spark matches against: the live-table scan, with the same
     * column pruning + manifest file skipping as any SQL read. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, meta, schemaId, files, full)
+    // the row-level scan is always the CURRENT snapshot, so the current
+    // bucket layout holds — a lake-to-lake MERGE source can co-locate
+    new GraftScanBuilder(root, meta, schemaId, files, full, Some(meta.numBuckets))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {

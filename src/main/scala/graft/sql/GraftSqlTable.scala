@@ -46,7 +46,23 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long],
   override def schema(): StructType = StructType(
     meta.schemaById(readSchemaId).toStruct.fields.map(f =>
       if (meta.keyCols.contains(f.name)) f.copy(nullable = false) else f))
-  override def partitioning(): Array[Transform] = Array.empty
+  /** The physical layout, declared: every data file belongs to exactly one
+    * `bucket(numBuckets, key...)` partition ([[GraftBucketFunction]]). This
+    * is what SHOW CREATE/DESCRIBE report; the SCAN re-reports it per query as
+    * a KeyGroupedPartitioning for storage-partitioned joins. */
+  override def partitioning(): Array[Transform] = Array(
+    org.apache.spark.sql.connector.expressions.Expressions.bucket(
+      meta.numBuckets, meta.keyCols: _*))
+
+  /** The bucket layout the scanned snapshot conforms to, or None when it
+    * cannot be proven: a time-travel read BEFORE a later rebucket sees files
+    * laid out under the OLD bucket count, and reporting the current one
+    * would let Spark skip a needed exchange — silent wrong joins. */
+  private def layoutBuckets: Option[Int] =
+    if (snap.forall(s => !meta.snapshots.exists(r =>
+      r.operation == "rebucket" && r.snapshotId > s.snapshotId)))
+      Some(meta.numBuckets)
+    else None
   override def properties(): util.Map[String, String] =
     Map("location" -> root, "format" -> "graft-lake",
       "snapshot-id" -> snap.map(_.snapshotId.toString).getOrElse("-")).asJava
@@ -64,7 +80,7 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, meta, readSchemaId,
-      snap.map(_.files).getOrElse(Seq.empty), schema())
+      snap.map(_.files).getOrElse(Seq.empty), schema(), layoutBuckets)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(snapshotId.isEmpty, s"cannot write to time-travel view $displayName")
@@ -233,7 +249,8 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo, cdc: Boolean = fal
 }
 
 class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
-    files: Seq[graft.lake.DataFileMeta], full: StructType)
+    files: Seq[graft.lake.DataFileMeta], full: StructType,
+    layoutBuckets: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -263,7 +280,8 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
-  override def build(): Scan = new GraftScan(root, meta, schemaId, prunedFiles, required)
+  override def build(): Scan =
+    new GraftScan(root, meta, schemaId, prunedFiles, required, layoutBuckets)
 }
 
 object GraftScanBuilder {
@@ -332,13 +350,44 @@ object GraftScanBuilder {
 }
 
 class GraftScan(root: String, meta: TableMeta, schemaId: Int,
-    files: Seq[graft.lake.DataFileMeta], required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+    files: Seq[graft.lake.DataFileMeta], required: StructType,
+    layoutBuckets: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan(files=${files.size}, cols=${required.fieldNames.mkString(",")})"
+
+  /** Declares the on-disk clustering — `bucket(n, key)` backed by
+    * [[GraftBucketFunction]] — as a KeyGroupedPartitioning. With Spark's v2
+    * bucketing (on by default) a join of two co-bucketed lake tables on
+    * their key becomes a storage-partitioned join: no exchange on either
+    * side, each task joins one bucket in place; `GROUP BY key` likewise
+    * aggregates shuffle-free. Tasks = buckets present in the (pruned)
+    * selection; missing buckets on one join side are backfilled as empty
+    * partitions by Spark (`pushPartValues`). At 100 TB this is THE
+    * fact-to-fact join strategy: co-located joins with zero network, the
+    * broadcast path covering small dims.
+    *
+    * Single-column keys only: Spark's SPJ machinery accepts exactly one
+    * reference per partition transform (`V2ExpressionUtils.
+    * toCatalystTransformOpt` guards `refs.length == 1`, and physical
+    * `KeyGroupedPartitioning.supportsExpressions` requires one child) — a
+    * multi-column key's combined-hash bucket cannot be expressed, so those
+    * tables report UnknownPartitioning and join through the normal
+    * exchange. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    layoutBuckets match {
+      case Some(n) if files.nonEmpty && meta.keyCols.size == 1 =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            n, meta.keyCols.head)),
+          files.map(_.bucket).distinct.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(files.size)
+    }
 
   /** Manifest-backed size estimate — what lets Catalyst auto-broadcast a
     * small lake table in a SQL join instead of defaulting to a sort-merge
@@ -384,7 +433,7 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
         c.storedName == c.outName && c.storedTypeJson == c.outTypeJson &&
           GraftScan.vectorizable(c.outTypeJson)
       }
-      GraftInputPartition(s"$root/${f.path}", cols, columnar)
+      GraftInputPartition(s"$root/${f.path}", cols, columnar, f.bucket)
     }.toArray
   }
 
@@ -415,7 +464,14 @@ case class ColSpec(outName: String, outTypeJson: String,
     storedName: String, storedTypeJson: String) extends Serializable
 
 case class GraftInputPartition(filePath: String, cols: Array[ColSpec],
-    columnar: Boolean = false) extends InputPartition
+    columnar: Boolean = false, bucket: Int = 0)
+    extends InputPartition with HasPartitionKey {
+  /** The file's bucket id — the value `bucket(n, key...)` yields for every
+    * row in it. Spark groups same-key splits into one task when planning a
+    * storage-partitioned join (all files of bucket i, both sides, one task). */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 class GraftReaderFactory(allColumnar: Boolean) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = allColumnar

@@ -298,4 +298,47 @@ class SqlChangesSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("missing") || e.getCause != null)
   }
+
+  test("maxFilesPerTrigger paces a backlog into bounded micro-batches, exactly once") {
+    val cat = setupCatalog("ch8")
+    val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 4)
+    // 5 commits = a 5-snapshot backlog, each adding a handful of files
+    (0 until 5).foreach { i =>
+      t.merge(batch(
+        (i * 2 + 1L, "I", s"k${i * 2}", "p", "c", "scala", s"v$i"),
+        (i * 2 + 2L, "I", s"k${i * 2 + 1}", "p", "c", "scala", s"v$i")), i)
+    }
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q0 = spark.readStream
+      .option("startingSnapshot", "0") // full backlog: bootstrap + tail
+      .option("maxFilesPerTrigger", "3")
+      .table("ch8.ns.`t$changes`")
+      .writeStream
+      .option("checkpointLocation", tmpDir("chrate"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches += ((id, df.count())); ()
+      }
+      .start()
+    q0.awaitTermination()
+
+    // the backlog split into several batches instead of one unbounded one,
+    // and nothing was lost or duplicated across the splits
+    assert(batches.size > 1, s"expected a paced catch-up, got $batches")
+    assert(batches.map(_._2).sum == 10, s"exactly-once across batches: $batches")
+    // without the option the same backlog drains in one batch
+    val one = scala.collection.mutable.ArrayBuffer.empty[Long]
+    spark.readStream.option("startingSnapshot", "0")
+      .table("ch8.ns.`t$changes`")
+      .writeStream
+      .option("checkpointLocation", tmpDir("chrate1"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        one += df.count(); ()
+      }
+      .start().awaitTermination()
+    assert(one.toSeq == Seq(10))
+  }
 }
