@@ -73,6 +73,15 @@ object CatalogOps {
              WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
              WHEN MATCHED THEN UPDATE SET lang = 'merged', n_chars = s.n_chars + 1
              WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, 'new', s.n_chars)""")
+
+    // q41 table: the vector side of the co-bucketed fact-to-fact join —
+    // same bucket count as `docs` and a single-column key, so the join
+    // below qualifies for a storage-partitioned join (zero exchanges)
+    s.sql("DROP TABLE IF EXISTS graftsql.main.vecs")
+    s.sql("""CREATE TABLE graftsql.main.vecs (vec_id BIGINT, label INT)
+             TBLPROPERTIES ('keys'='vec_id', 'buckets'='8')""")
+    Tables.t(s, d, "embeddings").createOrReplaceTempView("graft_vecs_src")
+    s.sql("INSERT INTO graftsql.main.vecs SELECT vec_id, label FROM graft_vecs_src")
   }
 
   val all: Seq[OpQuery] = Seq(
@@ -148,5 +157,25 @@ object CatalogOps {
              |  FROM documents
              |  WHERE (doc_id % 2 = 0 OR doc_id % 3 = 0)
              |    AND NOT (doc_id % 6 = 0 AND doc_id % 5 = 0))
+             |GROUP BY lang""".stripMargin)),
+
+    // Storage-partitioned fact-to-fact join — `docs` and `vecs` are both
+    // hash-bucketed 8 ways on their single-column key, and the scans report
+    // that layout as a KeyGroupedPartitioning, so this id-equi join runs
+    // with zero exchanges on either side when broadcast doesn't apply
+    // (PlanSpec asserts the exchange-free shape; at 100 TB this is the
+    // co-located join path for two large synced tables). The oracle runs
+    // the same join + rollup on the source parquet in DuckDB.
+    OpQuery("q41_sql_spj_join",
+      (s, d) => {
+        ensureCatalog(s, d)
+        s.sql("""SELECT d.lang, count(*) AS n_pairs, sum(v.label) AS total_label
+                 FROM graftsql.main.docs d
+                 JOIN graftsql.main.vecs v ON d.doc_id = v.vec_id
+                 GROUP BY d.lang""")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(label) AS BIGINT) AS total_label
+             |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
              |GROUP BY lang""".stripMargin)))
 }

@@ -94,6 +94,24 @@ class PlanSpec extends SparkTestBase {
       s"q26 probe side not spread:\n$p26")
   }
 
+  test("q41: co-bucketed lake join is storage-partitioned — no exchange before the join") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1") // force the large-large path; broadcast would hide SPJ
+    try {
+      val df = SparkEntry.queries("q41_sql_spj_join")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the only exchange is the lang re-clustering for the final GROUP BY;
+      // the doc_id/vec_id join itself must ride the reported bucket layout
+      assert(!p.contains("hashpartitioning(doc_id") &&
+        !p.contains("hashpartitioning(vec_id"),
+        s"join side shuffled despite co-bucketed layout:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled-family join riding KeyGroupedPartitioning:\n$p")
+    } finally spark.conf.set(key, old)
+  }
+
   test("spread is a no-op when the source already plans enough splits") {
     import org.apache.spark.sql.functions._
     val wide = spark.range(0, 10000, 1,
