@@ -308,23 +308,8 @@ object GraftScanBuilder {
     }
     val colId: Map[String, String] = meta.schemaById(schemaId).columns
       .map(c => c.name -> c.id.toString).toMap
-    // rendered-stat vs literal comparison; None = incomparable ⇒ keep file.
-    // Strings compare in UTF-8 BINARY order (UTF8String.compareTo), matching
-    // parquet footer min/max and Spark's runtime comparison — String.compareTo
-    // (UTF-16 code units) diverges for supplementary characters, and a
-    // wrongly pruned file is silent data loss (the post-scan filter can't
-    // recover rows that were never read). String bounds from LEGACY manifest
-    // entries (statsUtf8 = false, accumulated in UTF-16 order by older code)
-    // are therefore never trusted; their numeric bounds stay usable.
-    def cmp(f: graft.lake.DataFileMeta, rendered: String, v: Any): Option[Int] = v match {
-      case _: String if !f.statsUtf8 => None
-      case s: String => Some(UTF8String.fromString(rendered)
-        .compareTo(UTF8String.fromString(s)))
-      case _: Int | _: Long | _: Short | _: Byte | _: Float | _: Double |
-           _: java.math.BigDecimal =>
-        scala.util.Try(BigDecimal(rendered).compare(BigDecimal(v.toString))).toOption
-      case _ => None
-    }
+    def cmp(f: graft.lake.DataFileMeta, rendered: String, v: Any): Option[Int] =
+      cmpStat(f, rendered, v)
     def keep(f: graft.lake.DataFileMeta, attr: String,
         test: (graft.lake.DataFileMeta, Option[String], Option[String]) => Option[Boolean]): Boolean =
       colId.get(attr) match {
@@ -347,18 +332,132 @@ object GraftScanBuilder {
     }
     prunedFiles
   }
+
+  /** Rendered-manifest-stat vs literal comparison; None = incomparable ⇒
+    * keep file. Strings compare in UTF-8 BINARY order (UTF8String.compareTo),
+    * matching parquet footer min/max and Spark's runtime comparison —
+    * String.compareTo (UTF-16 code units) diverges for supplementary
+    * characters, and a wrongly pruned file is silent data loss (the
+    * post-scan filter can't recover rows that were never read). String
+    * bounds from LEGACY manifest entries (statsUtf8 = false, accumulated in
+    * UTF-16 order by older code) are therefore never trusted; their numeric
+    * bounds stay usable. */
+  private def cmpStat(f: graft.lake.DataFileMeta, rendered: String, v: Any): Option[Int] = v match {
+    case _: String if !f.statsUtf8 => None
+    case s: String => Some(UTF8String.fromString(rendered)
+      .compareTo(UTF8String.fromString(s)))
+    case _: Int | _: Long | _: Short | _: Byte | _: Float | _: Double |
+         _: java.math.BigDecimal =>
+      scala.util.Try(BigDecimal(rendered).compare(BigDecimal(v.toString))).toOption
+    case _ => None
+  }
+
+  /** Decomposes a runtime V2 predicate into (column, external values) —
+    * `IN(col, v...)` and `=(col, v)`, the shapes Spark's DSv2 runtime
+    * filtering delivers after the join's build side materializes. Catalyst
+    * internals map back to externals (UTF8String → String, Decimal → java);
+    * date/timestamp internals stay as their int/long encodings, which both
+    * the bucket hash and the numeric stat comparison treat identically to
+    * how the write path hashed/recorded them. */
+  def inPredicate(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(String, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (p.name != "IN" && p.name != "=") return None
+    p.children() match {
+      case Array(ref: NamedReference, rest @ _*) if ref.fieldNames.length == 1 =>
+        val vals = rest.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value match {
+              case u: UTF8String => u.toString
+              case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+              case x => x
+            }
+        }
+        if (vals.nonEmpty && vals.size == rest.size)
+          Some((ref.fieldNames.head, vals.toSeq))
+        else None
+      case _ => None
+    }
+  }
+
+  /** Runtime IN pruning — sound, never exactness-bearing (Spark re-applies
+    * the join itself): keep only files that can contain SOME of the values.
+    * Bucket membership applies when the column IS the single-column merge
+    * key (each value hashes to one bucket — a selective dim cuts the fact
+    * scan to the few buckets its keys live in); manifest min/max range
+    * skipping applies to any column with trusted stats (tight after
+    * clustered compaction). */
+  def pruneFilesIn(meta: TableMeta, schemaId: Int,
+      files: Seq[graft.lake.DataFileMeta], attr: String,
+      values: Seq[Any]): Seq[graft.lake.DataFileMeta] = {
+    var sel = files
+    val hashable = values.forall {
+      case _: String | _: Int | _: Long | _: Short | _: Byte | _: Boolean |
+           _: Float | _: Double => true
+      case _ => false
+    }
+    if (meta.keyCols == Seq(attr) && hashable) {
+      val buckets = values.map(v => bucketOf(Seq(v), meta.numBuckets)).toSet
+      sel = sel.filter(f => buckets.contains(f.bucket))
+    }
+    meta.schemaById(schemaId).columns.find(_.name == attr).foreach { c =>
+      val cid = c.id.toString
+      sel = sel.filter { f =>
+        (f.colMins.get(cid), f.colMaxs.get(cid)) match {
+          case (Some(mn), Some(mx)) => values.exists { v =>
+            (cmpStat(f, mn, v), cmpStat(f, mx, v)) match {
+              case (Some(c1), Some(c2)) => c1 <= 0 && c2 >= 0
+              case _ => true // incomparable value ⇒ the file must stay
+            }
+          }
+          case _ => true // no stats ⇒ the file must stay
+        }
+      }
+    }
+    sel
+  }
 }
 
 class GraftScan(root: String, meta: TableMeta, schemaId: Int,
     files: Seq[graft.lake.DataFileMeta], required: StructType,
     layoutBuckets: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan(files=${files.size}, cols=${required.fieldNames.mkString(",")})"
+
+  // ------------------------------------------------------ runtime filtering
+
+  /** Files surviving static (planning-time) pruning, further narrowed by
+    * runtime filters before partition planning. */
+  private var selected: Seq[graft.lake.DataFileMeta] = files
+  private var runtimeSkipped: Long = 0L
+
+  /** Every projected column is runtime-filterable: a broadcast join's build
+    * keys arrive as an IN after the build side materializes (DPP for the
+    * lake), and [[GraftScanBuilder.pruneFilesIn]] turns them into manifest
+    * bucket/min-max file skipping. At 100 TB this is what makes
+    * dim-filtered fact queries read buckets, not the table. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      GraftScanBuilder.inPredicate(p).foreach { case (attr, values) =>
+        val before = selected.size
+        selected = GraftScanBuilder.pruneFilesIn(meta, schemaId, selected, attr, values)
+        runtimeSkipped += before - selected.size
+      }
+    }
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new GraftScan.RuntimeSkippedFilesMetric, new GraftScan.PlannedFilesMetric)
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftScan.DriverMetric("runtimeSkippedFiles", runtimeSkipped),
+      GraftScan.DriverMetric("plannedFiles", selected.size.toLong))
 
   /** Declares the on-disk clustering — `bucket(n, key)` backed by
     * [[GraftBucketFunction]] — as a KeyGroupedPartitioning. With Spark's v2
@@ -416,7 +515,7 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
 
   private def plannedPartitions: Array[GraftInputPartition] = {
     val target = meta.schemaById(schemaId)
-    files.map { f =>
+    selected.map { f =>
       val storedById = meta.schemaById(f.schemaId).byId
       val cols = required.fields.map { rf =>
         val cd = target.columns.find(_.name == rf.name)
@@ -456,6 +555,20 @@ object GraftScan {
     DoubleType, FloatType, BooleanType, BinaryType, ShortType, ByteType)
     .map(_.json)
   def vectorizable(typeJson: String): Boolean = simple.contains(typeJson)
+
+  import org.apache.spark.sql.connector.metric.{CustomSumMetric, CustomTaskMetric}
+  class RuntimeSkippedFilesMetric extends CustomSumMetric {
+    override def name(): String = "runtimeSkippedFiles"
+    override def description(): String = "data files skipped by runtime (join) filters"
+  }
+  class PlannedFilesMetric extends CustomSumMetric {
+    override def name(): String = "plannedFiles"
+    override def description(): String = "data files read after all pruning"
+  }
+  case class DriverMetric(metricName: String, metricValue: Long) extends CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = metricValue
+  }
 }
 
 /** One stored-file column mapping: output name/type + the name/type it was
