@@ -252,14 +252,98 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
     files: Seq[graft.lake.DataFileMeta], full: StructType,
     layoutBuckets: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
   private var prunedFiles: Seq[graft.lake.DataFileMeta] = files
+  private var agg: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep declared column order; requiredSchema may reorder
     val names = requiredSchema.fieldNames.toSet
     required = StructType(full.fields.filter(f => names.contains(f.name)))
+  }
+
+  // --------------------------------------------------- aggregate pushdown
+
+  /** `COUNT(*)` / `COUNT(key)` / `MIN` / `MAX` answered from the MANIFEST —
+    * zero data files read — when provably exact: every selected file is
+    * footer-proven tombstone-free (a tombstone both inflates rowCount and
+    * pollutes key-column bounds) and, for MIN/MAX, carries trusted stats for
+    * the column on every file. Rendered stats reverse exactly for integral
+    * and string types only (float NaN and decimal rendering are not
+    * round-trip-safe, so those fall back to the scan). Spark only attempts
+    * the pushdown when no residual filter remains, and this source never
+    * absorbs filters — so a WHERE query always takes the normal scan. At
+    * warehouse scale this turns `SELECT count(*)`/`max(lsn)` monitoring
+    * queries on a 100 TB table into metadata lookups (Iceberg answers the
+    * same from its manifests). */
+  override def supportCompletePushDown(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answer(aggregation).isDefined
+
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    agg = answer(aggregation)
+    agg.isDefined
+  }
+
+  private def answer(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (aggregation.groupByExpressions.nonEmpty) return None
+    if (prunedFiles.exists(_.hasTombstones)) return None
+    val cols = meta.schemaById(schemaId).columns
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[graft.lake.ColumnDef] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          cols.find(_.name == r.fieldNames.head)
+        case _ => None
+      }
+    // exact bound of one column across the selection, already rendered in a
+    // reversible type — None when any file lacks a trusted stat
+    def bound(c: graft.lake.ColumnDef, maxSide: Boolean): Option[Any] = {
+      val dt = c.dataType
+      val reversible = dt == IntegerType || dt == LongType || dt == ShortType ||
+        dt == ByteType || dt == StringType
+      if (!reversible) return None
+      if (prunedFiles.isEmpty) return Some(null) // empty selection ⇒ NULL
+      val rendered = prunedFiles.map { f =>
+        if (dt == StringType && !f.statsUtf8) None
+        else (if (maxSide) f.colMaxs else f.colMins).get(c.id.toString)
+      }
+      if (rendered.exists(_.isEmpty)) return None
+      val vs = rendered.flatten
+      dt match {
+        case StringType =>
+          val pick = vs.map(UTF8String.fromString)
+          Some(if (maxSide) pick.max else pick.min)
+        case _ =>
+          val longs = vs.map(_.toLong)
+          val v = if (maxSide) longs.max else longs.min
+          Some(dt match {
+            case IntegerType => v.toInt
+            case ShortType => v.toShort
+            case ByteType => v.toByte
+            case _ => v
+          })
+      }
+    }
+    val rows = prunedFiles.map(_.rowCount).sum
+    val answers: Seq[Option[(StructField, Any)]] = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false), rows))
+      case c: Count if !c.isDistinct =>
+        // COUNT(col) = rowCount only for provably non-null columns = keys
+        colOf(c.column).collect { case cd if meta.keyCols.contains(cd.name) =>
+          (StructField(s"count(${cd.name})", LongType, nullable = false), rows)
+        }
+      case m: Min => colOf(m.column).flatMap(cd => bound(cd, maxSide = false)
+        .map(v => (StructField(s"min(${cd.name})", cd.dataType), v)))
+      case m: Max => colOf(m.column).flatMap(cd => bound(cd, maxSide = true)
+        .map(v => (StructField(s"max(${cd.name})", cd.dataType), v)))
+      case _ => None
+    }
+    if (answers.exists(_.isEmpty)) None
+    else Some((StructType(answers.flatten.map(_._1)), answers.flatten.map(_._2)))
   }
 
   /** Manifest-level file skipping, two mechanisms (filters are never fully
@@ -280,8 +364,38 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
-  override def build(): Scan =
-    new GraftScan(root, meta, schemaId, prunedFiles, required, layoutBuckets)
+  override def build(): Scan = agg match {
+    case Some((schema, values)) => new GraftManifestAggScan(schema, values)
+    case None =>
+      new GraftScan(root, meta, schemaId, prunedFiles, required, layoutBuckets)
+  }
+}
+
+/** The pre-computed answer of a fully-pushed aggregation: one partition, one
+  * row, no data file touched (see `GraftScanBuilder.answer`). */
+class GraftManifestAggScan(schema: StructType, values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftManifestAggScan(${schema.fieldNames.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values.toArray))
+  override def createReaderFactory(): PartitionReaderFactory = new GraftAggReaderFactory
+}
+
+case class GraftAggPartition(values: Array[Any]) extends InputPartition
+
+class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val row = new GenericInternalRow(
+        partition.asInstanceOf[GraftAggPartition].values)
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 object GraftScanBuilder {
