@@ -97,12 +97,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     ident.namespace.length == 1 &&
       cat.tableExists(ident.namespace()(0), baseName(ident))
 
-  /** `t$changes` resolves to t's change-feed metadata table and `t$cdc` to
-    * t's CDC-apply write view (Iceberg-style suffix addressing; backquote
-    * in SQL: FROM graftsql.ns.`t$changes`, toTable("graftsql.ns.`t$cdc`")). */
+  /** `t$changes` resolves to t's change-feed metadata table, `t$cdc` to
+    * t's CDC-apply write view, and `t$snapshots` / `t$files` to driver-side
+    * introspection tables over the commit log and current manifest
+    * (Iceberg-style suffix addressing; backquote in SQL:
+    * FROM graftsql.ns.`t$changes`, toTable("graftsql.ns.`t$cdc`")). */
+  private val metaSuffixes = Seq(GraftChangesTable.Suffix, GraftSqlTable.CdcSuffix,
+    GraftMetaTables.SnapshotsSuffix, GraftMetaTables.FilesSuffix)
+
   private def baseName(ident: Identifier): String =
-    ident.name.stripSuffix(GraftChangesTable.Suffix)
-      .stripSuffix(GraftSqlTable.CdcSuffix)
+    metaSuffixes.foldLeft(ident.name)(_ stripSuffix _)
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -111,6 +115,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       new GraftChangesTable(path, ident.toString)
     else if (ident.name.endsWith(GraftSqlTable.CdcSuffix))
       new GraftSqlTable(path, ident.toString, snapshotId = None, cdcWrite = true)
+    else if (ident.name.endsWith(GraftMetaTables.SnapshotsSuffix))
+      new GraftMetaTable(path, ident.toString, files = false)
+    else if (ident.name.endsWith(GraftMetaTables.FilesSuffix))
+      new GraftMetaTable(path, ident.toString, files = true)
     else new GraftSqlTable(path, ident.toString, snapshotId = None)
   }
 
@@ -129,11 +137,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // reserved suffixes: a table literally named `x$changes`/`x$cdc` could
-    // never be addressed (reads would always resolve it as x's view) and
-    // would leave an orphaned directory behind the failed CREATE
+    // reserved suffixes: a table literally named `x$changes`/`x$cdc`/
+    // `x$snapshots`/`x$files` could never be addressed (reads would always
+    // resolve it as x's view) and would leave an orphaned directory behind
+    // the failed CREATE
     require(baseName(ident) == ident.name,
-      s"table names ending in ${GraftChangesTable.Suffix} or ${GraftSqlTable.CdcSuffix} are reserved for metadata views: $ident")
+      s"table names ending in ${metaSuffixes.mkString("/")} are reserved for metadata views: $ident")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
     val keys = props.get("keys").map(_.split(",").map(_.trim).toSeq)

@@ -1,0 +1,129 @@
+package graft.sql
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+import graft.lake.{LakeTable, TableMeta}
+
+/** Iceberg-style introspection metadata tables, addressed by suffix:
+  * `SELECT * FROM graftsql.ns.\`t$snapshots\`` (commit history: operation,
+  * wall clock, file/row/byte totals, files added vs parent, lsn high-water)
+  * and `t$files` (the CURRENT snapshot's manifest: per-file bucket, row
+  * count, lsn range, size, tombstone flag and column min/max stats keyed by
+  * column NAME). Everything answers from table metadata on the driver —
+  * zero data files read — which is what makes `$files` the right way to
+  * inspect layout health (small-file counts, skew, stats coverage) on a
+  * 100 TB table. The reference's analogue is Postgres catalog queries; the
+  * operational need it serves is the `sync_records` bookkeeping the
+  * reference inspects per beat (`queries/sync_records.py:3-5`). */
+object GraftMetaTables {
+  val SnapshotsSuffix = "$snapshots"
+  val FilesSuffix = "$files"
+
+  val snapshotsSchema: StructType = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = false),
+    StructField("epoch_id", LongType, nullable = false),
+    StructField("schema_id", IntegerType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("file_count", IntegerType, nullable = false),
+    StructField("total_rows", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("added_files", IntegerType, nullable = false),
+    StructField("lsn_max", LongType, nullable = false)))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("schema_id", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("lsn_min", LongType, nullable = false),
+    StructField("lsn_max", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("has_tombstones", BooleanType, nullable = false),
+    StructField("col_mins", MapType(StringType, StringType), nullable = false),
+    StructField("col_maxs", MapType(StringType, StringType), nullable = false)))
+
+  def snapshotRows(m: TableMeta): Seq[InternalRow] = {
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    m.snapshots.map { s =>
+      val parentPaths = byId.get(s.parentId).map(_.files.map(_.path).toSet)
+        .getOrElse(Set.empty[String])
+      new GenericInternalRow(Array[Any](
+        s.snapshotId, s.parentId, s.epochId, s.schemaId,
+        UTF8String.fromString(s.operation), s.wallClockMs * 1000L,
+        s.files.size, s.files.map(_.rowCount).sum, s.files.map(_.sizeBytes).sum,
+        s.files.count(f => !parentPaths.contains(f.path)),
+        s.files.map(_.lsnMax).foldLeft(0L)(math.max)))
+    }
+  }
+
+  def fileRows(m: TableMeta): Seq[InternalRow] =
+    m.currentSnapshot.map(_.files).getOrElse(Seq.empty).map { f =>
+      // stats are stored by column ID; resolve to names through the schema
+      // the file was written under (a renamed column shows its CURRENT name
+      // only if the id still resolves there — use the file's own schema, the
+      // names its footer actually carried)
+      val names = m.schemaById(f.schemaId).columns.map(c => c.id.toString -> c.name).toMap
+      def toMap(stats: Map[String, String]) = ArrayBasedMapData(
+        stats.toSeq.sortBy(_._1).map { case (id, v) =>
+          UTF8String.fromString(names.getOrElse(id, s"#$id")) }.toArray[Any],
+        stats.toSeq.sortBy(_._1).map(kv => UTF8String.fromString(kv._2)).toArray[Any])
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(f.path), f.bucket, f.schemaId, f.rowCount,
+        f.lsnMin, f.lsnMax, f.sizeBytes, f.hasTombstones,
+        toMap(f.colMins), toMap(f.colMaxs)))
+    }
+}
+
+class GraftMetaTable(root: String, displayName: String, files: Boolean)
+    extends Table with SupportsRead {
+  override def name(): String = displayName
+  override def schema(): StructType =
+    if (files) GraftMetaTables.filesSchema else GraftMetaTables.snapshotsSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] =
+    Map("location" -> root, "format" -> "graft-lake-meta").asJava
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => {
+      val m = LakeTable.metaAt(root) // metadata read pinned at scan build
+      new LocalRowsScan(schema(),
+        if (files) GraftMetaTables.fileRows(m) else GraftMetaTables.snapshotRows(m))
+    }
+}
+
+/** Driver-computed rows served as a one-partition batch (metadata-only
+  * surfaces: introspection tables, pushed-aggregate answers). */
+class LocalRowsScan(schema: StructType, rows: Seq[InternalRow])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"LocalRowsScan(rows=${rows.size})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LocalRowsPartition(rows.toArray))
+  override def createReaderFactory(): PartitionReaderFactory = new LocalRowsReaderFactory
+}
+
+case class LocalRowsPartition(rows: Array[InternalRow]) extends InputPartition
+
+class LocalRowsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = partition.asInstanceOf[LocalRowsPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
+      override def close(): Unit = ()
+    }
+}
