@@ -271,6 +271,13 @@ object JdbcWarehouseSync {
     // the deleted rows in the warehouse forever. Full resync instead:
     // upsert every live row and anti-diff the target's keys for deletes.
     if (wm >= 0 && wm < m.vacuumLsn) return fullResync(lake, sink, newWm)
+    // rollback gap: a watermark INSIDE a reverted lsn span means the sink
+    // replicated writes that no longer exist — the lsn path can never emit
+    // their un-write, so push the full corrected image instead. Watermarks
+    // taken after the rollback can't land in the span (nextLsn never
+    // re-enters it), so this fires at most once per lagging sink.
+    if (m.rollbackGaps.exists(g => wm > g.afterLsn && wm <= g.toLsn))
+      return fullResync(lake, sink, newWm)
     if (newWm <= wm) return 0L
     // manifest pruning: only bucket files that can contain post-watermark
     // rows are read (a rewritten bucket file keeps its full lsn span, so

@@ -240,9 +240,11 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   /** Append rows without key reconciliation (reference S5: the technicians
     * insert has no ON CONFLICT, `queries/dim_technicians.py:14-21`). */
   /** The applied-lsn high-water + 1: the lsn a new SQL statement stamps its
-    * rows with (one definition — the DML surfaces must not drift apart). */
-  def nextLsn: Long = meta.currentSnapshot
-    .map(_.files.map(_.lsnMax).foldLeft(0L)(math.max)).getOrElse(0L) + 1
+    * rows with (one definition — the DML surfaces must not drift apart).
+    * Computed over ALL retained history, not just the current snapshot:
+    * after a rollback the visible maximum drops, but re-using a reverted lsn
+    * would violate the LWW invariant across the rollback boundary. */
+  def nextLsn: Long = meta.lsnHighWater + 1
 
   /** One row per key for a single-lsn statement: every row of one SQL
     * statement shares one lsn, and the engine's LWW invariant (same key +
@@ -476,6 +478,54 @@ class LakeTable private (val spark: SparkSession, val root: String) {
           numBuckets = newBuckets)
       }
     }
+  }
+
+  /** Roll the table's visible state back to an earlier retained snapshot in
+    * one metadata-only commit (no data is read or written — the new snapshot
+    * simply references the target's immutable file set, Iceberg
+    * `rollback_to_snapshot`-style). History is preserved: the rolled-back
+    * snapshots stay time-travelable until retention expires them, and the
+    * epoch ledger keeps their epochs committed — rolling back streamed data
+    * is an explicit decision to discard those events, not to replay them.
+    *
+    * Data-only: the CURRENT schema keeps applying (old files map by column
+    * id, like any other read); columns added after the target read null for
+    * restored rows, dropped columns stay dropped. Refused across a
+    * `rebucket` boundary — the restored files' bucket numbers were computed
+    * under the old bucket count and every merge/read since the flip would
+    * route keys wrong.
+    *
+    * Downstream contract: lsns in `(target high-water, table high-water]`
+    * become unobservable to incremental consumers, recorded as an
+    * [[LsnGap]] in metadata — the `$changes` floor feed fails loudly when
+    * its base sits inside the span, and [[graft.cdc.JdbcWarehouseSync]]
+    * full-resyncs a sink whose watermark does (mirror of the vacuum
+    * contract). A rollback that hides nothing (e.g. undoing a compaction)
+    * records no gap and feeds keep working. Returns the new snapshot id. */
+  def rollback(toSnapshotId: Long): Long = {
+    val m0 = meta
+    val target = m0.snapshotById(toSnapshotId).getOrElse(
+      sys.error(s"no snapshot $toSnapshotId (expired by retention?)"))
+    if (toSnapshotId == m0.currentSnapshotId) return m0.currentSnapshotId
+    m0.snapshots.find(s => s.snapshotId > toSnapshotId && s.operation == "rebucket")
+      .foreach(s => sys.error(
+        s"cannot roll back across rebucket snapshot ${s.snapshotId}: the " +
+          s"restored files' bucket layout predates numBuckets=${m0.numBuckets}"))
+    val targetHw = target.files.map(_.lsnMax).foldLeft(0L)(math.max)
+    val hiddenHw = m0.lsnHighWater
+    val snapshotId = m0.currentSnapshotId + 1
+    retryCommit { m =>
+      require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+      val s = Snapshot(snapshotId, m0.currentSnapshotId, -1, m.currentSchemaId,
+        "rollback", target.files, System.currentTimeMillis(),
+        rollbackOf = toSnapshotId)
+      m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
+        rollbackGaps =
+          if (hiddenHw > targetHw)
+            m.rollbackGaps :+ LsnGap(targetHw, hiddenHw, snapshotId)
+          else m.rollbackGaps)
+    }
+    snapshotId
   }
 
   /** Row-level change feed between two committed snapshots (net-changes

@@ -68,9 +68,28 @@ case class Snapshot(
     parentId: Long, // -1 for first
     epochId: Long, // -1 for non-stream commits
     schemaId: Int,
-    operation: String, // "merge" | "append" | "evolve" | "create"
+    operation: String, // "merge" | "append" | "evolve" | "create" | ...
     files: Seq[DataFileMeta],
-    wallClockMs: Long) // lineage only; never on the data path
+    wallClockMs: Long, // lineage only; never on the data path
+    // for operation == "rollback": the snapshot whose file set this commit
+    // restored — lets incremental consumers (the `$changes` floor stream)
+    // decide whether their base image predates the restored state (safe:
+    // the snapshot diff is exact) or sits inside the reverted span (unsafe:
+    // reverted keys can never emit through an lsn floor — fail loudly).
+    rollbackOf: Long = -1L)
+
+/** An lsn span `(afterLsn, toLsn]` whose changes a rollback made
+  * unobservable to lsn-watermark consumers: rows stamped inside it were
+  * reverted, so a consumer whose watermark lies IN the span has replicated
+  * state that no longer exists and must full-resync (the exact analogue of
+  * [[TableMeta.vacuumLsn]] for deletes). Recorded in table metadata — not
+  * just the snapshot — so the signal survives snapshot expiry; spans are
+  * dead (never match again) once lsn assignment passes `toLsn`, because
+  * [[graft.lake.LakeTable.nextLsn]] never re-enters a recorded span.
+  * `snapshotId` is the rollback commit that opened the span — snapshot-range
+  * consumers (the `$changes` feed) use it to tell whether a given diff range
+  * actually crosses the revert. */
+case class LsnGap(afterLsn: Long, toLsn: Long, snapshotId: Long)
 
 case class TableMeta(
     formatVersion: Int,
@@ -98,13 +117,26 @@ case class TableMeta(
     // a lagging consumer can no longer observe those deletes and must full
     // resync instead (enforced in JdbcWarehouseSync.syncOnce). -1 = never
     // vacuumed.
-    vacuumLsn: Long = -1L) {
+    vacuumLsn: Long = -1L,
+    // Lsn spans hidden by rollback commits (see [[LsnGap]]); consumers with
+    // a watermark inside any span must full-resync.
+    rollbackGaps: Seq[LsnGap] = Seq.empty) {
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)
   def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
   def committedEpochs: Set[Long] =
     (snapshots.map(_.epochId).filter(_ >= 0) ++ retiredEpochs).toSet
+  /** The highest lsn this table has EVER assigned or absorbed, across all
+    * retained snapshots (not just the current one — a rollback or replace
+    * can lower the visible maximum) plus the vacuum and rollback high-waters
+    * (which outlive snapshot expiry). New statements must stamp above this:
+    * re-using an lsn would break the engine-wide LWW invariant (same key +
+    * same lsn ⇒ identical payload) across a rollback boundary, and would
+    * re-enter a recorded [[LsnGap]], confusing gap-based resync detection. */
+  def lsnHighWater: Long =
+    (snapshots.flatMap(_.files.map(_.lsnMax)) ++
+      rollbackGaps.map(_.toLsn) :+ vacuumLsn :+ 0L).max
 }
 
 object TableMeta {

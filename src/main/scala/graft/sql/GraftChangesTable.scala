@@ -156,6 +156,20 @@ object GraftChangesScan {
       sys.error(s"tombstones up to lsn ${m.vacuumLsn} were vacuumed past this " +
         s"feed's floor ($lsnFloor): deletes in that range are unobservable — " +
         "re-bootstrap the consumer (fromSnapshot/startingSnapshot = 0)")
+    // rollback gap: a rollback commit inside (from, to] whose restored
+    // high-water sits BELOW this feed's floor reverted writes the base image
+    // already includes — those keys' un-writes can never emit through the
+    // lsn-floor discipline (the restored files carry only at-or-under-floor
+    // lsns). A rollback restoring a state AT or AFTER the base (floor <=
+    // afterLsn) is exact under the normal snapshot diff and passes through.
+    m.rollbackGaps.find(g => fromSnap.isDefined &&
+        g.snapshotId > fromSnapshotId &&
+        toSnap.forall(g.snapshotId <= _.snapshotId) && lsnFloor > g.afterLsn)
+      .foreach(g => sys.error(
+        s"rollback snapshot ${g.snapshotId} reverted lsns (${g.afterLsn}, " +
+          s"${g.toLsn}] behind this feed's floor ($lsnFloor): the revert is " +
+          "unobservable incrementally — re-bootstrap the consumer " +
+          "(fromSnapshot/startingSnapshot = 0)"))
     val added = toSnap.map(_.files).getOrElse(Seq.empty)
       .filterNot(f => fromPaths.contains(f.path))
       .filter(_.lsnMax > lsnFloor) // manifest skip: pure rewrites carry no news

@@ -39,7 +39,9 @@ object GraftMetaTables {
     StructField("total_rows", LongType, nullable = false),
     StructField("total_bytes", LongType, nullable = false),
     StructField("added_files", IntegerType, nullable = false),
-    StructField("lsn_max", LongType, nullable = false)))
+    StructField("lsn_max", LongType, nullable = false),
+    // -1 unless operation = 'rollback': the snapshot whose state was restored
+    StructField("rollback_of", LongType, nullable = false)))
 
   val filesSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -63,7 +65,7 @@ object GraftMetaTables {
         UTF8String.fromString(s.operation), s.wallClockMs * 1000L,
         s.files.size, s.files.map(_.rowCount).sum, s.files.map(_.sizeBytes).sum,
         s.files.count(f => !parentPaths.contains(f.path)),
-        s.files.map(_.lsnMax).foldLeft(0L)(math.max)))
+        s.files.map(_.lsnMax).foldLeft(0L)(math.max), s.rollbackOf))
     }
   }
 

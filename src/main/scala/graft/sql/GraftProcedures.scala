@@ -31,7 +31,8 @@ import graft.lake.{LakeCatalog, LakeTable}
 object GraftProcedures {
   val Namespace = "system"
 
-  val names: Seq[String] = Seq("compact", "vacuum", "rebucket", "expire_snapshots")
+  val names: Seq[String] =
+    Seq("compact", "vacuum", "rebucket", "expire_snapshots", "rollback")
 
   def load(warehouse: String, name: String): UnboundProcedure = name.toLowerCase match {
     case "compact" => Proc(
@@ -87,6 +88,19 @@ object GraftProcedures {
       (wh, input) => {
         val n = table(wh, input).expireSnapshots(input.getInt(1))
         new GenericInternalRow(Array[Any](n))
+      }, warehouse)
+    case "rollback" => Proc(
+      "rollback",
+      "restore the table state of an earlier retained snapshot in one " +
+        "metadata-only commit (pick the target from t$snapshots); history " +
+        "stays time-travelable and lagging lsn consumers full-resync",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("snapshot_id", LongType, None, "snapshot to restore (see t$snapshots)")),
+      new StructType().add("current_snapshot_id", LongType, nullable = false),
+      (wh, input) => {
+        val id = table(wh, input).rollback(input.getLong(1))
+        new GenericInternalRow(Array[Any](id))
       }, warehouse)
     case other =>
       throw new UnsupportedOperationException(

@@ -1,0 +1,174 @@
+package graft.lake
+
+import graft.SparkTestBase
+import graft.cdc._
+import graft.sql.GraftCatalog
+
+/** Snapshot rollback: a metadata-only commit that restores an earlier
+  * retained snapshot's file set. Must preserve history (time travel to the
+  * rolled-back state still works), never reuse reverted lsns, refuse to
+  * cross a rebucket boundary, and fail loudly / full-resync downstream
+  * lsn consumers whose base sits inside the reverted span — the exact
+  * analogue of the vacuum-gap contract. */
+class RollbackSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(buckets: Int = 4): LakeTable =
+    LakeTable.createOrReplace(spark, tmpDir("rbk"), CdcPipeline.baseTableSchema,
+      ChangeEvent.keyCols, numBuckets = buckets)
+
+  private def batch(rows: (Long, String, String, String, String, String, String)*) =
+    rows.toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+
+  private def stateSet(t: LakeTable) =
+    t.currentState().collect().map(_.toSeq).toSet
+
+  test("rollback restores an earlier state metadata-only; history and lsns survive") {
+    val t = freshTable()
+    t.merge(batch((1 to 20).map(i =>
+      (i.toLong, "I", s"r$i", "p", "c", "scala", s"v$i")): _*), 0)
+    val s1 = t.meta.currentSnapshotId
+    val state1 = stateSet(t)
+    t.merge(batch(
+      (41L, "U", "r1", "p", "c", "scala", "v1b"),
+      (42L, "I", "r99", "p", "c", "scala", "new"),
+      (43L, "D", "r2", "p", "c", "scala", null)), 1)
+    val s2 = t.meta.currentSnapshotId
+    val state2 = stateSet(t)
+    assert(state2 != state1)
+
+    // the rollback itself is pure metadata: zero Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val s3 = try {
+      val id = t.rollback(s1)
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get() == 0, "rollback must not read or write data files")
+      id
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(stateSet(t) == state1)
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.operation == "rollback" && snap.rollbackOf == s1)
+    // history preserved: the rolled-back state is still time-travelable
+    assert(t.currentState(Some(s2)).collect().map(_.toSeq).toSet == state2)
+    // the hidden span (20, 43] is recorded for downstream consumers
+    assert(t.meta.rollbackGaps == Seq(LsnGap(20L, 43L, s3)))
+    // reverted lsns are never reassigned: the next statement stamps above 43
+    assert(t.nextLsn == 44L)
+    // the epoch ledger survives: replaying epoch 1 refuses (its data stays
+    // discarded — rollback means "drop those events", not "replay them")
+    assert(t.merge(batch((41L, "U", "r1", "p", "c", "scala", "v1b")), epochId = 1).isEmpty)
+    // writes on top of the restored state behave normally
+    t.merge(batch((50L, "U", "r3", "p", "c", "scala", "v3b")), 2)
+    assert(t.currentState().filter($"repo" === "r3").head().getAs[String]("content") == "v3b")
+    // the exact join diff across the rollback is correct: r3 changed, and
+    // nothing from the reverted span resurfaces
+    val diff = t.changes(s1).collect()
+      .map(r => (r.getAs[String]("repo"), r.getAs[String]("_change_type"))).toSet
+    assert(diff == Set(("r3", "update")))
+  }
+
+  test("rollback refuses unknown targets and rebucket boundaries") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    val s1 = t.meta.currentSnapshotId
+    assert(t.rollback(s1) == s1, "rollback to current is a no-op")
+    intercept[RuntimeException](t.rollback(999L)) // unknown (incl. future) ids
+    t.merge(batch((2L, "I", "r2", "p", "c", "scala", "v2")), 1)
+    t.rebucket(8)
+    val e = intercept[RuntimeException](t.rollback(s1))
+    assert(e.getMessage.contains("rebucket"))
+  }
+
+  test("rolling back a layout-only commit records no gap; feeds keep working") {
+    val t = freshTable()
+    t.merge(batch((1 to 30).map(i =>
+      (i.toLong, "I", s"r$i", "p", "c", "scala", s"v$i")): _*), 0)
+    // appends accumulate small files per bucket (merges rewrite whole buckets)
+    (1 to 3).foreach { a =>
+      t.append(Seq((s"a$a", "p", "c", "scala", s"av$a", 30L + a))
+        .toDF("repo", "path", "commit", "lang", "content", "lsn"))
+    }
+    val preCompact = t.meta.currentSnapshotId
+    assert(t.compact(targetFileBytes = 32L << 20, minFiles = 2) > 0)
+    t.rollback(preCompact)
+    // same rows, same lsns — nothing was hidden, so no gap and no consumer
+    // disruption
+    assert(t.meta.rollbackGaps.isEmpty)
+    assert(t.changes(preCompact).isEmpty)
+    assert(t.nextLsn == 34L)
+  }
+
+  test("$changes floor feed: exact across a rollback it predates, loud when inside the revert") {
+    val wh = tmpDir("rbkwh")
+    spark.conf.set("spark.sql.catalog.rbk1", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rbk1.warehouse", wh)
+    val cat = new LakeCatalog(spark, wh)
+    val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 4)
+    t.merge(batch((1L, "I", "k1", "p", "c", "scala", "a")), 0)
+    val s1 = t.meta.currentSnapshotId
+    t.merge(batch((2L, "I", "k2", "p", "c", "scala", "b")), 1)
+    val s2 = t.meta.currentSnapshotId
+    t.merge(batch(
+      (3L, "I", "k3", "p", "c", "scala", "c"),
+      (4L, "D", "k1", "p", "c", "scala", null)), 2)
+    t.rollback(s2)
+
+    def feed(from: Long) = spark.read.option("fromSnapshot", from.toString)
+      .table("rbk1.ns.`t$changes`").collect()
+      .map(x => (x.getAs[String]("repo"), x.getAs[String]("_change_type"),
+        x.getAs[Long]("_lsn"))).toSet
+
+    // base predates the restored state: the snapshot diff is exact — only
+    // s2's insert, nothing from the reverted commit
+    assert(feed(s1) == Set(("k2", "upsert", 2L)))
+    // base IS the restored state: empty feed
+    assert(feed(s2) == Set.empty)
+    // base sits inside the reverted span (it saw k3/the delete): loud error,
+    // not a silent half-feed
+    val s3 = s2 + 1
+    val e = intercept[Exception](feed(s3))
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("rollback")), e.getMessage)
+    // bootstrap stays exact: the full restored image
+    assert(spark.read.table("rbk1.ns.`t$changes`").collect()
+      .map(_.getAs[String]("repo")).toSet == Set("k1", "k2"))
+  }
+
+  test("JDBC warehouse sync full-resyncs a sink whose watermark was rolled back") {
+    val t = freshTable()
+    val url = "jdbc:derby:memory:rbksink;create=true"
+    val sink = new JdbcUpsertSink(url, "rbk_t", Seq("repo", "path", "commit"))
+    sink.ensureTable(t.currentState().schema)
+    t.merge(batch(
+      (1L, "I", "k1", "p", "c", "scala", "a"),
+      (2L, "I", "k2", "p", "c", "scala", "b")), 0)
+    val s1 = t.meta.currentSnapshotId
+    JdbcWarehouseSync.syncOnce(t, sink)
+    t.merge(batch(
+      (3L, "I", "k3", "p", "c", "scala", "c"),
+      (4L, "U", "k2", "p", "c", "scala", "b2")), 1)
+    JdbcWarehouseSync.syncOnce(t, sink)
+    assert(sink.watermark() == 4L)
+
+    t.rollback(s1)
+    // the sink replicated k3 + the k2 update, both now reverted; the lsn path
+    // can't express that — the beat must detect the gap and push the full
+    // corrected image (k3 deleted, k2 restored)
+    JdbcWarehouseSync.syncOnce(t, sink)
+    val target = spark.read.jdbc(url, "rbk_t", new java.util.Properties)
+      .select("repo", "content").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(target == Set(("k1", "a"), ("k2", "b")))
+    // watermark settled at the restored high-water: the next beat is a no-op
+    assert(sink.watermark() == 2L)
+    assert(JdbcWarehouseSync.syncOnce(t, sink) == 0L)
+  }
+}

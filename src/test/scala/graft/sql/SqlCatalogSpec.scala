@@ -500,6 +500,35 @@ class SqlCatalogSpec extends SparkTestBase {
       e.getMessage.contains("unknown procedure"))
     assert(spark.sql("SHOW PROCEDURES IN g15.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet ==
-      Set("compact", "vacuum", "rebucket", "expire_snapshots"))
+      Set("compact", "vacuum", "rebucket", "expire_snapshots", "rollback"))
+  }
+
+  test("CALL rollback restores an earlier snapshot picked from t$snapshots") {
+    setupCatalog("g16")
+    spark.sql("CREATE NAMESPACE g16.ops")
+    spark.sql("""CREATE TABLE g16.ops.t (k STRING, v INT)
+      TBLPROPERTIES ('keys'='k', 'buckets'='4')""")
+    spark.sql("INSERT INTO g16.ops.t VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO g16.ops.t VALUES ('a', 99), ('c', 3)")
+    spark.sql("DELETE FROM g16.ops.t WHERE k = 'b'")
+    // a SQL-only operator finds the pre-mistake snapshot in the history view
+    val target = spark.sql(
+      """SELECT min(snapshot_id) FROM g16.ops.`t$snapshots`
+         WHERE operation = 'merge'""").head().getLong(0)
+    val newId = spark.sql(
+      s"CALL g16.system.rollback(table => 'ops.t', snapshot_id => $target)")
+      .head().getLong(0)
+    assert(spark.sql("SELECT k, v FROM g16.ops.t ORDER BY k")
+      .collect().map(_.toSeq).toSeq == Seq(Seq("a", 1), Seq("b", 2)))
+    // the history view shows the rollback commit and what it restored
+    val row = spark.sql(
+      s"SELECT operation, rollback_of FROM g16.ops.`t$$snapshots` " +
+        s"WHERE snapshot_id = $newId").head()
+    assert(row.getString(0) == "rollback" && row.getLong(1) == target)
+    // new SQL writes stamp above the reverted span (no lsn reuse)
+    spark.sql("INSERT INTO g16.ops.t VALUES ('d', 4)")
+    assert(spark.sql(
+      s"SELECT lsn_max FROM g16.ops.`t$$snapshots` " +
+        "ORDER BY snapshot_id DESC LIMIT 1").head().getLong(0) == 4L)
   }
 }
