@@ -393,12 +393,23 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * periodic compact is where layout is repaid, same division as
     * Delta/Iceberg OPTIMIZE. The sort rides the existing pack shuffle
     * (sortWithinPartitions; the bucket prefix also satisfies the
-    * partitionBy writer's required ordering, so no second sort is added). */
+    * partitionBy writer's required ordering, so no second sort is added).
+    *
+    * `zOrderBy` clusters by a space-filling curve instead (exclusive with
+    * `sortBy`): per-column equi-depth range buckets, bit-interleaved into
+    * one Morton key (see [[graft.functions.ZOrderHelpers]]) — row-group
+    * stats become narrow on EVERY z column at once, so predicates on any
+    * of them prune, where a lexicographic sort serves only its leading
+    * column. */
   def compact(targetFileBytes: Long = 128L << 20, minFiles: Int = 2,
-      sortBy: Seq[String] = Nil): Int = {
+      sortBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil): Int = {
     val schemaCols = meta.currentSchema.columns.map(_.name).toSet
     require(sortBy.forall(schemaCols.contains),
       s"sortBy ${sortBy.filterNot(schemaCols.contains).mkString(", ")} not in table schema")
+    require(zOrderBy.forall(schemaCols.contains),
+      s"zOrderBy ${zOrderBy.filterNot(schemaCols.contains).mkString(", ")} not in table schema")
+    require(sortBy.isEmpty || zOrderBy.isEmpty,
+      "sortBy (lexicographic) and zOrderBy (space-filling curve) are exclusive")
     val m0 = meta
     val snap = m0.currentSnapshot.getOrElse(return 0)
     // planning is pure metadata: sizes come from the manifest (recorded at
@@ -422,7 +433,10 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .withColumn(BucketCol, bucketExpr(m0)) // identical to stored bucket (cast keys)
       .repartition(buckets, col(BucketCol))
     val packed =
-      if (sortBy.isEmpty) repacked
+      if (zOrderBy.nonEmpty)
+        repacked.sortWithinPartitions(col(BucketCol),
+          zOrderKey(repacked, zOrderBy, rewritten.map(_.rowCount).sum))
+      else if (sortBy.isEmpty) repacked
       else repacked.sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
     val staging = stageWrite(packed, snapshotId)
     val newFiles = statsFromFooters(staging, m0.currentSchemaId)
@@ -435,6 +449,35 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       }
     }
     rewritten.size - newFiles.size
+  }
+
+  /** The Morton sort key for `compact(zOrderBy = ...)`: per column, up to
+    * 255 equi-depth boundaries from a bounded driver-side sample of the
+    * rows being rewritten (equi-depth so skew cannot collapse the curve;
+    * strings sort in UTF8 binary order, matching the runtime comparator),
+    * then the per-row bucket ranks bit-interleave into one BIGINT. The
+    * sample is one column-pruned pass over the SMALL files only and caps at
+    * ~64k values per column regardless of table size. */
+  private def zOrderKey(df: DataFrame, cols: Seq[String], totalRows: Long): Column = {
+    import graft.functions.ZOrderHelpers
+    val frac = math.min(1.0, 65536.0 / math.max(totalRows, 1L))
+    val buckets = cols.map { name =>
+      df.schema(name).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val sample = df.select(col(name)).na.drop.sample(frac, 42L)
+            .collect()
+            .map(r => org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+            .sortWith(_.compareTo(_) < 0)
+          ZOrderHelpers.rangeBucketS(col(name),
+            ZOrderHelpers.boundariesOf(sample.toIndexedSeq).toArray)
+        case _ =>
+          val sample = df.select(col(name).cast(DoubleType)).na.drop
+            .sample(frac, 42L).collect().map(_.getDouble(0)).sorted
+          ZOrderHelpers.rangeBucketD(col(name).cast(DoubleType),
+            ZOrderHelpers.boundariesOf(sample.toIndexedSeq).toArray)
+      }
+    }
+    ZOrderHelpers.interleave(buckets)
   }
 
   /** Re-hash the table into `newBuckets` hash buckets (bucket-count

@@ -46,12 +46,15 @@ object GraftProcedures {
         in("min_files", IntegerType, Some("2"),
           "minimum small files in a bucket before it is repacked"),
         in("sort_by", StringType, Some("''"),
-          "comma-separated data columns to cluster rewritten files by")),
+          "comma-separated data columns to cluster rewritten files by"),
+        in("z_order_by", StringType, Some("''"),
+          "comma-separated data columns to Z-order cluster by (exclusive with sort_by)")),
       new StructType().add("files_removed", IntegerType, nullable = false),
       (wh, input) => {
-        val sortBy = input.getUTF8String(3).toString
+        def csv(i: Int) = input.getUTF8String(i).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        val n = table(wh, input).compact(input.getLong(1), input.getInt(2), sortBy)
+        val n = table(wh, input)
+          .compact(input.getLong(1), input.getInt(2), csv(3), csv(4))
         new GenericInternalRow(Array[Any](n))
       }, warehouse)
     case "vacuum" => Proc(

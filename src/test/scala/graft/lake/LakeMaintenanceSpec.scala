@@ -126,6 +126,75 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(multiGroup, "expected at least one multi-row-group file to demonstrate pruning")
   }
 
+  test("z-order compact makes row-group stats prunable on BOTH dimensions") {
+    val t = freshTable(buckets = 2)
+    // a 32x32 grid of two independent dimensions, 4 rows per cell, arriving
+    // scattered — parquet cuts row groups every ~100 rows, so a z-ordered
+    // group covers a compact ~5x5 curve block instead of a full-width stripe
+    def grid(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val cell = (i * 131) % 1024 // scatter the grid walk
+      (i.toLong, "I", f"r${cell % 32}%03d", f"p${cell / 32}%03d", s"c$i", "scala", "v" * 80)
+    }
+    t.merge(batch(grid(0, 2048): _*), 0)
+    (1 to 2).foreach { k =>
+      t.append(grid(1024 * (k + 1), 1024 * (k + 2))
+        .map { case (lsn, _, repo, p, c, lang, v) => (repo, p, c, lang, v, lsn) }
+        .toDF("repo", "path", "commit", "lang", "content", "lsn"))
+    }
+    val preState = stateSet(t)
+    val preFiles = t.meta.currentSnapshot.get.files.map(_.path).toSet
+
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 4096)
+    hc.setInt("parquet.page.size", 1024)
+    val saved = try t.compact(targetFileBytes = 32L << 20, minFiles = 2,
+      zOrderBy = Seq("repo", "path"))
+    finally {
+      if (oldBlock != null) hc.set("parquet.block.size", oldBlock) else hc.unset("parquet.block.size")
+      if (oldPage != null) hc.set("parquet.page.size", oldPage) else hc.unset("parquet.page.size")
+    }
+    assert(saved > 0)
+    assert(stateSet(t) == preState, "z-ordering must not change logical state")
+    intercept[IllegalArgumentException] { // exclusive knobs
+      t.compact(sortBy = Seq("repo"), zOrderBy = Seq("path"))
+    }
+
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val newFiles = t.meta.currentSnapshot.get.files.filterNot(f => preFiles(f.path))
+    assert(newFiles.nonEmpty)
+    def groupRanges(path: String, column: String): Seq[(String, String)] = {
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.conf.Configuration())
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val c = b.getColumns.asScala.find(_.getPath.toDotString == column).get
+        (new String(c.getStatistics.getMinBytes, "UTF-8"),
+          new String(c.getStatistics.getMaxBytes, "UTF-8"))
+      } finally r.close()
+    }
+    // a mid-domain point predicate on EITHER dimension must skip most row
+    // groups: exactly what lexicographic sortBy("repo") cannot give "path"
+    var sawMultiGroup = false
+    newFiles.foreach { f =>
+      val repoRanges = groupRanges(s"${t.root}/${f.path}", "repo")
+      val pathRanges = groupRanges(s"${t.root}/${f.path}", "path")
+      if (repoRanges.size >= 8) {
+        sawMultiGroup = true
+        def hits(ranges: Seq[(String, String)], v: String) =
+          ranges.count { case (mn, mx) => mn <= v && v <= mx }
+        assert(hits(repoRanges, "r011") * 2 <= repoRanges.size,
+          s"repo point predicate must skip at least half the row groups: $repoRanges")
+        assert(hits(pathRanges, "p011") * 2 <= pathRanges.size,
+          s"path point predicate must skip at least half the row groups: $pathRanges")
+      }
+    }
+    assert(sawMultiGroup, "need >= 8 row groups per file to demonstrate pruning")
+  }
+
   test("compact with nothing to gain is a no-op commit-free pass") {
     val t = freshTable(buckets = 2)
     t.merge(batch((1L, "I", "r", "p", "c", "scala", "v")), 0)
