@@ -135,6 +135,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       s"$ident@$version", snapshotId = Some(version.toLong))
   }
 
+  /** SQL time travel by wall clock: `TIMESTAMP AS OF <ts>` resolves to the
+    * LATEST snapshot committed at or before the timestamp — Delta/Iceberg's
+    * rule. DSv2 hands the timestamp over in microseconds; snapshots record
+    * commit wall clock in millis (lineage metadata — this is its read
+    * surface, the data path itself never touches the clock). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    require(baseName(ident) == ident.name,
+      s"TIMESTAMP AS OF is not supported on metadata views ($ident); " +
+        "time-travel the base table, or use fromSnapshot/toSnapshot options on the feed")
+    val path = cat.tablePath(ident.namespace()(0), ident.name)
+    val tsMs = Math.floorDiv(timestamp, 1000L)
+    val snap = graft.lake.LakeTable.metaAt(path).snapshots
+      .filter(_.wallClockMs <= tsMs)
+      .sortBy(_.snapshotId).lastOption.getOrElse(sys.error(
+        s"no snapshot of $ident committed at or before epoch-ms $tsMs " +
+          "(before table creation, or expired by retention)"))
+    new GraftSqlTable(path, s"$ident@ts$tsMs", snapshotId = Some(snap.snapshotId))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     // reserved suffixes: a table literally named `x$changes`/`x$cdc`/

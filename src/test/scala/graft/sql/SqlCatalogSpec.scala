@@ -88,6 +88,20 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT content FROM g3.ns.t VERSION AS OF $s1")
       .head().getString(0) == "one")
     assert(spark.sql("SELECT content FROM g3.ns.t").head().getString(0) == "two")
+
+    // TIMESTAMP AS OF: latest snapshot committed at or before the instant
+    val ts1 = t.meta.snapshotById(s1).get.wallClockMs
+    assert(spark.sql(
+      s"SELECT content FROM g3.ns.t TIMESTAMP AS OF timestamp_millis($ts1)")
+      .head().getString(0) == "one")
+    val now = t.meta.currentSnapshot.get.wallClockMs + 60000L
+    assert(spark.sql(
+      s"SELECT content FROM g3.ns.t TIMESTAMP AS OF timestamp_millis($now)")
+      .head().getString(0) == "two")
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM g3.ns.t TIMESTAMP AS OF timestamp_millis(${ts1 - 100000L})")
+      .collect())
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
   }
 
   test("key-equality SQL point lookup prunes to one bucket's files") {
