@@ -235,20 +235,46 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
       val st = c.createStatement()
       st.execute(s"""CREATE TABLE $stateTable ("id" INTEGER PRIMARY KEY, "wm" BIGINT)""")
       st.execute(s"""INSERT INTO $stateTable VALUES (0, -1)""")
+      st.execute(s"""INSERT INTO $stateTable VALUES (1, -1)""")
       st.close()
       c.commit()
+    } else {
+      // row 1 (gap watermark) was added after row 0: backfill on old sinks
+      val probe = c.createStatement()
+      val r = probe.executeQuery(s"""SELECT count(*) FROM $stateTable WHERE "id" = 1""")
+      val has = try { r.next(); r.getLong(1) > 0 } finally r.close()
+      if (!has) probe.execute(s"""INSERT INTO $stateTable VALUES (1, -1)""")
+      probe.close()
     }
   }
 
-  def setWatermark(wm: Long): Unit = {
+  private def setState(id: Int, v: Long): Unit = {
     val c = connect()
     try {
       ensureState(c)
-      val st = c.prepareStatement(s"""UPDATE $stateTable SET "wm" = ? WHERE "id" = 0""")
-      st.setLong(1, wm); st.executeUpdate(); st.close()
+      val st = c.prepareStatement(s"""UPDATE $stateTable SET "wm" = ? WHERE "id" = ?""")
+      st.setLong(1, v); st.setInt(2, id); st.executeUpdate(); st.close()
       c.commit()
     } finally commitAndClose(c)
   }
+
+  def setWatermark(wm: Long): Unit = setState(0, wm)
+
+  /** High-water of excluded-lsn spans (rollbacks) this sink has already
+    * reconciled via full resync — the guard in
+    * [[JdbcWarehouseSync.syncOnce]] fires only when the lake's exclusions
+    * grow past it, so one rollback costs one resync, not a resync loop. */
+  def gapWatermark(): Long = {
+    val c = connect()
+    try {
+      ensureState(c)
+      val rs = c.createStatement().executeQuery(
+        s"""SELECT "wm" FROM $stateTable WHERE "id" = 1""")
+      try { if (rs.next()) rs.getLong(1) else -1L } finally rs.close()
+    } finally commitAndClose(c)
+  }
+
+  def setGapWatermark(v: Long): Unit = setState(1, v)
 }
 
 /** Scheduled lake→warehouse sync beat (reference lifecycle: Celery beat →
@@ -271,13 +297,20 @@ object JdbcWarehouseSync {
     // the deleted rows in the warehouse forever. Full resync instead:
     // upsert every live row and anti-diff the target's keys for deletes.
     if (wm >= 0 && wm < m.vacuumLsn) return fullResync(lake, sink, newWm)
-    // rollback gap: a watermark INSIDE a reverted lsn span means the sink
-    // replicated writes that no longer exist — the lsn path can never emit
-    // their un-write, so push the full corrected image instead. Watermarks
-    // taken after the rollback can't land in the span (nextLsn never
-    // re-enters it), so this fires at most once per lagging sink.
-    if (m.rollbackGaps.exists(g => wm > g.afterLsn && wm <= g.toLsn))
-      return fullResync(lake, sink, newWm)
+    // rollback gap: the current snapshot's lineage EXCLUDES lsn spans under
+    // this sink's watermark — the sink may have replicated writes that no
+    // longer exist (or be missing resurrected ones), and the lsn path can
+    // never emit the correction. Push the full corrected image, then record
+    // the exclusion high-water so the SAME rollback never re-fires (later
+    // beats see gapHw <= gapWatermark; a roll-forward that clears the spans
+    // lowers gapHw and is equally quiet).
+    val gapHw = snap.excludedLsns.filter(_.afterLsn < wm)
+      .map(_.toLsn).foldLeft(-1L)(math.max)
+    if (wm >= 0 && gapHw > sink.gapWatermark()) {
+      val n = fullResync(lake, sink, newWm)
+      sink.setGapWatermark(gapHw)
+      return n
+    }
     if (newWm <= wm) return 0L
     // manifest pruning: only bucket files that can contain post-watermark
     // rows are read (a rewritten bucket file keeps its full lsn span, so

@@ -84,6 +84,17 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       keyCols = keyCols)
   }
 
+  /** Child snapshot of the validated head `m`: inherits the parent's
+    * excluded-lsn spans verbatim — every commit carries its lineage's lsn
+    * coverage forward, so [[TableMeta]] consumers can read consistency off
+    * the current snapshot alone (see [[Snapshot.excludedLsns]]). All commit
+    * paths except rollback (which rebuilds the list) go through here. */
+  private def childSnapshot(m: TableMeta, snapshotId: Long, epochId: Long,
+      operation: String, files: Seq[DataFileMeta]): Snapshot =
+    Snapshot(snapshotId, m.currentSnapshotId, epochId, m.currentSchemaId,
+      operation, files, System.currentTimeMillis(),
+      excludedLsns = m.currentSnapshot.map(_.excludedLsns).getOrElse(Seq.empty))
+
   /** Optimistic commit that `f` may abort (None). Returns true iff OUR
     * commit landed — a racer that loses and then aborts on reload gets
     * false (the distinction is what makes applyMigration's return value an
@@ -229,8 +240,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId,
           s"concurrent commit detected (base ${m0.currentSnapshotId}, now ${m.currentSnapshotId})")
-        val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
-          m.currentSchemaId, "merge", kept ++ newFiles, System.currentTimeMillis())
+        val snap = childSnapshot(m, snapshotId, epochId, "merge", kept ++ newFiles)
         m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
       }
     })
@@ -275,10 +285,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       commitOrClean(staging) {
         retryCommit { m =>
           require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
-          val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
-            m.currentSchemaId, "append",
-            m.currentSnapshot.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-            System.currentTimeMillis())
+          val snap = childSnapshot(m, snapshotId, epochId, "append",
+            m.currentSnapshot.map(_.files).getOrElse(Seq.empty) ++ newFiles)
           m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
         }
       }
@@ -303,8 +311,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     commitOrClean(staging) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
-        val snap = Snapshot(snapshotId, m0.currentSnapshotId, epochId,
-          m.currentSchemaId, "replace", newFiles, System.currentTimeMillis())
+        val snap = childSnapshot(m, snapshotId, epochId, "replace", newFiles)
         m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
       }
     }
@@ -353,8 +360,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       commitOrClean(staging) {
         retryCommit { m =>
           require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
-          val s = Snapshot(snapshotId, m0.currentSnapshotId, -1,
-            m.currentSchemaId, "vacuum", kept ++ newFiles, System.currentTimeMillis())
+          val s = childSnapshot(m, snapshotId, -1, "vacuum", kept ++ newFiles)
           m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
             vacuumLsn = math.max(m.vacuumLsn, droppedHighWater))
         }
@@ -429,22 +435,25 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     if (rewritten.isEmpty) return 0
     val snapshotId = m0.currentSnapshotId + 1
     val buckets = rewritten.map(_.bucket).distinct.size
-    val repacked = readFiles(m0, rewritten, m0.currentSchemaId)
+    val packSrc = readFiles(m0, rewritten, m0.currentSchemaId)
       .withColumn(BucketCol, bucketExpr(m0)) // identical to stored bucket (cast keys)
-      .repartition(buckets, col(BucketCol))
-    val packed =
-      if (zOrderBy.nonEmpty)
-        repacked.sortWithinPartitions(col(BucketCol),
-          zOrderKey(repacked, zOrderBy, rewritten.map(_.rowCount).sum))
-      else if (sortBy.isEmpty) repacked
-      else repacked.sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
+    // the z sample reads the PRE-shuffle scan (one column-pruned pass over
+    // the small files); sampling the repartitioned side would re-run the
+    // whole pack shuffle per sampling job
+    val zKey = if (zOrderBy.isEmpty) None
+      else Some(zOrderKey(packSrc, zOrderBy, rewritten.map(_.rowCount).sum))
+    val repacked = packSrc.repartition(buckets, col(BucketCol))
+    val packed = zKey match {
+      case Some(k) => repacked.sortWithinPartitions(col(BucketCol), k)
+      case None if sortBy.isEmpty => repacked
+      case None => repacked.sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
+    }
     val staging = stageWrite(packed, snapshotId)
     val newFiles = statsFromFooters(staging, m0.currentSchemaId)
     commitOrClean(staging) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
-        val s = Snapshot(snapshotId, m0.currentSnapshotId, -1,
-          m.currentSchemaId, "compact", kept ++ newFiles, System.currentTimeMillis())
+        val s = childSnapshot(m, snapshotId, -1, "compact", kept ++ newFiles)
         m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId)
       }
     }
@@ -455,26 +464,37 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * 255 equi-depth boundaries from a bounded driver-side sample of the
     * rows being rewritten (equi-depth so skew cannot collapse the curve;
     * strings sort in UTF8 binary order, matching the runtime comparator),
-    * then the per-row bucket ranks bit-interleave into one BIGINT. The
-    * sample is one column-pruned pass over the SMALL files only and caps at
-    * ~64k values per column regardless of table size. */
+    * then the per-row bucket ranks bit-interleave into one BIGINT. ONE
+    * sampling job covers every z column (column-pruned pass over the SMALL
+    * files only, pre-shuffle) and caps at ~64k rows regardless of scale. */
   private def zOrderKey(df: DataFrame, cols: Seq[String], totalRows: Long): Column = {
     import graft.functions.ZOrderHelpers
-    val frac = math.min(1.0, 65536.0 / math.max(totalRows, 1L))
-    val buckets = cols.map { name =>
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // one orderable double/string projection per z column
+    val projected: Seq[(String, Column, Boolean)] = cols.map { name =>
       df.schema(name).dataType match {
-        case org.apache.spark.sql.types.StringType =>
-          val sample = df.select(col(name)).na.drop.sample(frac, 42L)
-            .collect()
-            .map(r => org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
-            .sortWith(_.compareTo(_) < 0)
-          ZOrderHelpers.rangeBucketS(col(name),
-            ZOrderHelpers.boundariesOf(sample.toIndexedSeq).toArray)
-        case _ =>
-          val sample = df.select(col(name).cast(DoubleType)).na.drop
-            .sample(frac, 42L).collect().map(_.getDouble(0)).sorted
-          ZOrderHelpers.rangeBucketD(col(name).cast(DoubleType),
-            ZOrderHelpers.boundariesOf(sample.toIndexedSeq).toArray)
+        case org.apache.spark.sql.types.StringType => (name, col(name), true)
+        case _: NumericType => (name, col(name).cast(DoubleType), false)
+        case TimestampType => (name, col(name).cast(DoubleType), false)
+        case DateType => (name, unix_date(col(name)).cast(DoubleType), false)
+        case other => throw new IllegalArgumentException(
+          s"zOrderBy column $name has unsupported type ${other.simpleString}: " +
+            "numeric, string, date and timestamp columns can be z-ordered")
+      }
+    }
+    val frac = math.min(1.0, 65536.0 / math.max(totalRows, 1L))
+    val sampled = df.select(projected.map { case (n, c, _) => c.as(n) }: _*)
+      .sample(frac, 42L).collect()
+    val buckets = projected.zipWithIndex.map { case ((name, c, isString), i) =>
+      if (isString) {
+        val vals = sampled.filterNot(_.isNullAt(i))
+          .map(r => UTF8String.fromString(r.getString(i)))
+          .sortWith(_.compareTo(_) < 0)
+        ZOrderHelpers.rangeBucketS(c, ZOrderHelpers.boundariesOf(vals.toIndexedSeq).toArray)
+      } else {
+        val vals = sampled.filterNot(_.isNullAt(i)).map(_.getDouble(i)).sorted
+        ZOrderHelpers.rangeBucketD(c, ZOrderHelpers.boundariesOf(vals.toIndexedSeq).toArray)
       }
     }
     ZOrderHelpers.interleave(buckets)
@@ -515,8 +535,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     commitOrClean(staging) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
-        val s = Snapshot(snapshotId, m0.currentSnapshotId, -1,
-          m.currentSchemaId, "rebucket", newFiles, System.currentTimeMillis())
+        val s = childSnapshot(m, snapshotId, -1, "rebucket", newFiles)
         m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
           numBuckets = newBuckets)
       }
@@ -539,12 +558,16 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * route keys wrong.
     *
     * Downstream contract: lsns in `(target high-water, table high-water]`
-    * become unobservable to incremental consumers, recorded as an
-    * [[LsnGap]] in metadata — the `$changes` floor feed fails loudly when
-    * its base sits inside the span, and [[graft.cdc.JdbcWarehouseSync]]
-    * full-resyncs a sink whose watermark does (mirror of the vacuum
-    * contract). A rollback that hides nothing (e.g. undoing a compaction)
-    * records no gap and feeds keep working. Returns the new snapshot id. */
+    * drop out of the restored lineage, recorded on the new snapshot as
+    * [[LsnSpan]] exclusions (the target's own exclusions plus the span
+    * this rollback reverts) — the `$changes` floor feed fails loudly when
+    * its base covered lsns the range's end excludes, and
+    * [[graft.cdc.JdbcWarehouseSync]] full-resyncs a sink whose watermark
+    * covers excluded lsns (mirror of the vacuum contract). A rollback that
+    * hides nothing (undoing a compaction) adds no span, and rolling
+    * FORWARD to a pre-rollback snapshot clears the spans it re-covers —
+    * consumers that never observed the mistake are never disturbed.
+    * Returns the new snapshot id. */
   def rollback(toSnapshotId: Long): Long = {
     val m0 = meta
     val target = m0.snapshotById(toSnapshotId).getOrElse(
@@ -561,12 +584,10 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
       val s = Snapshot(snapshotId, m0.currentSnapshotId, -1, m.currentSchemaId,
         "rollback", target.files, System.currentTimeMillis(),
-        rollbackOf = toSnapshotId)
-      m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
-        rollbackGaps =
-          if (hiddenHw > targetHw)
-            m.rollbackGaps :+ LsnGap(targetHw, hiddenHw, snapshotId)
-          else m.rollbackGaps)
+        rollbackOf = toSnapshotId,
+        excludedLsns = LsnSpan.normalize(target.excludedLsns ++
+          (if (hiddenHw > targetHw) Seq(LsnSpan(targetHw, hiddenHw)) else Nil)))
+      m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId)
     }
     snapshotId
   }

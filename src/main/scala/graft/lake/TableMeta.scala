@@ -72,24 +72,35 @@ case class Snapshot(
     files: Seq[DataFileMeta],
     wallClockMs: Long, // lineage only; never on the data path
     // for operation == "rollback": the snapshot whose file set this commit
-    // restored — lets incremental consumers (the `$changes` floor stream)
-    // decide whether their base image predates the restored state (safe:
-    // the snapshot diff is exact) or sits inside the reverted span (unsafe:
-    // reverted keys can never emit through an lsn floor — fail loudly).
-    rollbackOf: Long = -1L)
+    // restored (introspection; the consumer-facing signal is excludedLsns)
+    rollbackOf: Long = -1L,
+    // The lsn spans this snapshot's LINEAGE never applied: empty for normal
+    // history; a rollback commit inherits its TARGET's spans plus the span
+    // it reverted, and every later commit inherits its parent's verbatim.
+    // This is the snapshot's lsn coverage in closed form — state(s) is the
+    // LWW fold of exactly the writes with lsn <= its high-water MINUS these
+    // spans — which is what lets incremental consumers decide consistency:
+    // the `$changes` floor feed is exact iff from/to exclude the SAME spans
+    // below the feed's floor, and a sink watermark is stale iff the current
+    // snapshot excludes lsns under it (both guards fail loud / resync). A
+    // roll-FORWARD (rollback to a pre-rollback snapshot) naturally clears
+    // the spans it re-covers, because it inherits the TARGET's list.
+    excludedLsns: Seq[LsnSpan] = Seq.empty)
 
-/** An lsn span `(afterLsn, toLsn]` whose changes a rollback made
-  * unobservable to lsn-watermark consumers: rows stamped inside it were
-  * reverted, so a consumer whose watermark lies IN the span has replicated
-  * state that no longer exists and must full-resync (the exact analogue of
-  * [[TableMeta.vacuumLsn]] for deletes). Recorded in table metadata — not
-  * just the snapshot — so the signal survives snapshot expiry; spans are
-  * dead (never match again) once lsn assignment passes `toLsn`, because
-  * [[graft.lake.LakeTable.nextLsn]] never re-enters a recorded span.
-  * `snapshotId` is the rollback commit that opened the span — snapshot-range
-  * consumers (the `$changes` feed) use it to tell whether a given diff range
-  * actually crosses the revert. */
-case class LsnGap(afterLsn: Long, toLsn: Long, snapshotId: Long)
+/** A half-open lsn span `(afterLsn, toLsn]`. */
+case class LsnSpan(afterLsn: Long, toLsn: Long)
+
+object LsnSpan {
+  /** Sort + merge overlapping/adjacent spans, so span lists have one
+    * canonical form and list equality is span-set equality. */
+  def normalize(spans: Seq[LsnSpan]): Seq[LsnSpan] =
+    spans.filter(s => s.toLsn > s.afterLsn).sortBy(_.afterLsn)
+      .foldLeft(List.empty[LsnSpan]) {
+        case (acc @ (h :: t), s) if s.afterLsn <= h.toLsn =>
+          h.copy(toLsn = math.max(h.toLsn, s.toLsn)) :: t
+        case (acc, s) => s :: acc
+      }.reverse
+}
 
 case class TableMeta(
     formatVersion: Int,
@@ -117,10 +128,7 @@ case class TableMeta(
     // a lagging consumer can no longer observe those deletes and must full
     // resync instead (enforced in JdbcWarehouseSync.syncOnce). -1 = never
     // vacuumed.
-    vacuumLsn: Long = -1L,
-    // Lsn spans hidden by rollback commits (see [[LsnGap]]); consumers with
-    // a watermark inside any span must full-resync.
-    rollbackGaps: Seq[LsnGap] = Seq.empty) {
+    vacuumLsn: Long = -1L) {
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)
@@ -129,14 +137,15 @@ case class TableMeta(
     (snapshots.map(_.epochId).filter(_ >= 0) ++ retiredEpochs).toSet
   /** The highest lsn this table has EVER assigned or absorbed, across all
     * retained snapshots (not just the current one — a rollback or replace
-    * can lower the visible maximum) plus the vacuum and rollback high-waters
-    * (which outlive snapshot expiry). New statements must stamp above this:
-    * re-using an lsn would break the engine-wide LWW invariant (same key +
-    * same lsn ⇒ identical payload) across a rollback boundary, and would
-    * re-enter a recorded [[LsnGap]], confusing gap-based resync detection. */
+    * can lower the visible maximum) plus excluded-span and vacuum
+    * high-waters (which survive even when the snapshots carrying those lsns
+    * expire, because the current snapshot inherits its exclusion list). New
+    * statements must stamp above this: re-using an lsn would break the
+    * engine-wide LWW invariant (same key + same lsn ⇒ identical payload)
+    * across a rollback boundary, and would blur a recorded exclusion span. */
   def lsnHighWater: Long =
     (snapshots.flatMap(_.files.map(_.lsnMax)) ++
-      rollbackGaps.map(_.toLsn) :+ vacuumLsn :+ 0L).max
+      snapshots.flatMap(_.excludedLsns.map(_.toLsn)) :+ vacuumLsn :+ 0L).max
 }
 
 object TableMeta {

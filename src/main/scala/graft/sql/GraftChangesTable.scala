@@ -156,20 +156,25 @@ object GraftChangesScan {
       sys.error(s"tombstones up to lsn ${m.vacuumLsn} were vacuumed past this " +
         s"feed's floor ($lsnFloor): deletes in that range are unobservable — " +
         "re-bootstrap the consumer (fromSnapshot/startingSnapshot = 0)")
-    // rollback gap: a rollback commit inside (from, to] whose restored
-    // high-water sits BELOW this feed's floor reverted writes the base image
-    // already includes — those keys' un-writes can never emit through the
-    // lsn-floor discipline (the restored files carry only at-or-under-floor
-    // lsns). A rollback restoring a state AT or AFTER the base (floor <=
-    // afterLsn) is exact under the normal snapshot diff and passes through.
-    m.rollbackGaps.find(g => fromSnap.isDefined &&
-        g.snapshotId > fromSnapshotId &&
-        toSnap.forall(g.snapshotId <= _.snapshotId) && lsnFloor > g.afterLsn)
-      .foreach(g => sys.error(
-        s"rollback snapshot ${g.snapshotId} reverted lsns (${g.afterLsn}, " +
-          s"${g.toLsn}] behind this feed's floor ($lsnFloor): the revert is " +
-          "unobservable incrementally — re-bootstrap the consumer " +
-          "(fromSnapshot/startingSnapshot = 0)"))
+    // rollback gap: the added-files + lsn-floor discipline is exact iff the
+    // range's two endpoints cover the SAME lsns below the floor — a rollback
+    // between them that reverted writes the base already includes (or
+    // resurrected writes the base excludes) can never emit those keys' net
+    // change through the floor filter, because the restored files carry only
+    // at-or-under-floor lsns. Exclusion spans are per-snapshot lineage
+    // metadata, so this compares endpoints only: intermediate rollbacks that
+    // were rolled FORWARD again (net no-op by `to`) correctly pass.
+    def excludedBelowFloor(s: graft.lake.Snapshot): Seq[graft.lake.LsnSpan] =
+      s.excludedLsns.map(g => g.copy(toLsn = math.min(g.toLsn, lsnFloor)))
+        .filter(g => g.toLsn > g.afterLsn)
+    for (f <- fromSnap; t <- toSnap)
+      if (excludedBelowFloor(t) != excludedBelowFloor(f))
+        sys.error(s"a rollback between snapshots ${f.snapshotId} and " +
+          s"${t.snapshotId} changed which lsns at or under this feed's floor " +
+          s"($lsnFloor) are applied (excluded: ${excludedBelowFloor(f)} vs " +
+          s"${excludedBelowFloor(t)}): the revert is unobservable " +
+          "incrementally — re-bootstrap the consumer " +
+          "(fromSnapshot/startingSnapshot = 0)")
     val added = toSnap.map(_.files).getOrElse(Seq.empty)
       .filterNot(f => fromPaths.contains(f.path))
       .filter(_.lsnMax > lsnFloor) // manifest skip: pure rewrites carry no news

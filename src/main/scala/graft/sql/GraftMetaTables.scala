@@ -97,35 +97,21 @@ class GraftMetaTable(root: String, displayName: String, files: Boolean)
     Map("location" -> root, "format" -> "graft-lake-meta").asJava
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
+  /** Spark's own LocalScan: rows are computed on the driver at scan build
+    * (pinned metadata read) and planned as a LocalTableScan — no tasks, no
+    * partitions, no InternalRow serialization. Same mechanism procedure
+    * results use (GraftProcedures). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => {
-      val m = LakeTable.metaAt(root) // metadata read pinned at scan build
-      new LocalRowsScan(schema(),
-        if (files) GraftMetaTables.fileRows(m) else GraftMetaTables.snapshotRows(m))
-    }
-}
-
-/** Driver-computed rows served as a one-partition batch (metadata-only
-  * surfaces: introspection tables, pushed-aggregate answers). */
-class LocalRowsScan(schema: StructType, rows: Seq[InternalRow])
-    extends Scan with Batch {
-  override def readSchema(): StructType = schema
-  override def toBatch: Batch = this
-  override def description(): String = s"LocalRowsScan(rows=${rows.size})"
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(LocalRowsPartition(rows.toArray))
-  override def createReaderFactory(): PartitionReaderFactory = new LocalRowsReaderFactory
-}
-
-case class LocalRowsPartition(rows: Array[InternalRow]) extends InputPartition
-
-class LocalRowsReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private val rows = partition.asInstanceOf[LocalRowsPartition].rows
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = rows(i)
-      override def close(): Unit = ()
+      val m = LakeTable.metaAt(root)
+      val out = schema()
+      val data =
+        (if (files) GraftMetaTables.fileRows(m) else GraftMetaTables.snapshotRows(m))
+          .toArray
+      new LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] = data
+        override def description(): String = s"GraftMetaScan(rows=${data.length})"
+      }
     }
 }

@@ -57,8 +57,8 @@ class RollbackSpec extends SparkTestBase {
     assert(snap.operation == "rollback" && snap.rollbackOf == s1)
     // history preserved: the rolled-back state is still time-travelable
     assert(t.currentState(Some(s2)).collect().map(_.toSeq).toSet == state2)
-    // the hidden span (20, 43] is recorded for downstream consumers
-    assert(t.meta.rollbackGaps == Seq(LsnGap(20L, 43L, s3)))
+    // the hidden span (20, 43] is recorded on the restored lineage
+    assert(t.meta.currentSnapshot.get.excludedLsns == Seq(LsnSpan(20L, 43L)))
     // reverted lsns are never reassigned: the next statement stamps above 43
     assert(t.nextLsn == 44L)
     // the epoch ledger survives: replaying epoch 1 refuses (its data stays
@@ -100,7 +100,7 @@ class RollbackSpec extends SparkTestBase {
     t.rollback(preCompact)
     // same rows, same lsns — nothing was hidden, so no gap and no consumer
     // disruption
-    assert(t.meta.rollbackGaps.isEmpty)
+    assert(t.meta.currentSnapshot.get.excludedLsns.isEmpty)
     assert(t.changes(preCompact).isEmpty)
     assert(t.nextLsn == 34L)
   }
@@ -141,6 +141,54 @@ class RollbackSpec extends SparkTestBase {
     // bootstrap stays exact: the full restored image
     assert(spark.read.table("rbk1.ns.`t$changes`").collect()
       .map(_.getAs[String]("repo")).toSet == Set("k1", "k2"))
+  }
+
+  test("rolling FORWARD (undoing a rollback) clears the exclusions it re-covers") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "k1", "p", "c", "scala", "a")), 0)
+    val s1 = t.meta.currentSnapshotId
+    t.merge(batch(
+      (2L, "I", "k2", "p", "c", "scala", "b"),
+      (3L, "I", "k3", "p", "c", "scala", "c")), 1)
+    val s2 = t.meta.currentSnapshotId
+    val state2 = stateSet(t)
+
+    // sync a JDBC sink past the span that is about to be reverted
+    val url = "jdbc:derby:memory:rbkfwd;create=true"
+    val sink = new JdbcUpsertSink(url, "fwd_t", Seq("repo", "path", "commit"))
+    sink.ensureTable(t.currentState().schema)
+    JdbcWarehouseSync.syncOnce(t, sink)
+    assert(sink.watermark() == 3L)
+
+    t.rollback(s1) // mistake...
+    assert(t.meta.currentSnapshot.get.excludedLsns == Seq(LsnSpan(1L, 3L)))
+    t.rollback(s2) // ...undone: restored lineage covers (1, 3] again
+    assert(t.meta.currentSnapshot.get.excludedLsns.isEmpty,
+      "roll-forward must clear the spans the restored snapshot re-covers")
+    assert(stateSet(t) == state2)
+
+    // the sink synced state2 and state2 is back: NO resync storm, no-op beat
+    assert(JdbcWarehouseSync.syncOnce(t, sink) == 0L)
+    assert(sink.watermark() == 3L)
+    // and a feed based on s2 is exact again (endpooints cover the same lsns)
+    assert(t.changes(s2).isEmpty)
+
+    // whereas a sink that DID observe only the rolled-back state resyncs
+    // exactly once when the mistake happens, then goes quiet
+    val t2 = freshTable()
+    val sink2 = new JdbcUpsertSink(url, "fwd_t2", Seq("repo", "path", "commit"))
+    sink2.ensureTable(t2.currentState().schema)
+    t2.merge(batch((1L, "I", "k1", "p", "c", "scala", "a")), 0)
+    val u1 = t2.meta.currentSnapshotId
+    t2.merge(batch((2L, "I", "k2", "p", "c", "scala", "b")), 1)
+    JdbcWarehouseSync.syncOnce(t2, sink2)
+    t2.rollback(u1)
+    t2.merge(batch((9L, "I", "k9", "p", "c", "scala", "z")), 2) // new writes above the span
+    JdbcWarehouseSync.syncOnce(t2, sink2) // resyncs: wm 2 covered excluded (1,2]
+    val rows = spark.read.jdbc(url, "fwd_t2", new java.util.Properties)
+      .select("repo").collect().map(_.getString(0)).toSet
+    assert(rows == Set("k1", "k9"))
+    assert(JdbcWarehouseSync.syncOnce(t2, sink2) == 0L, "same rollback must not re-fire")
   }
 
   test("incremental rollup views stay exact across a rollback commit") {

@@ -6,8 +6,9 @@ import org.apache.spark.sql.types._
 
 /** `t$snapshots` / `t$files` introspection tables: commit history and the
   * current manifest served straight from table metadata on the driver —
-  * the plan must contain only a LocalRowsScan (zero parquet reads), because
-  * on a 100 TB table "how many small files per bucket" must not cost a scan. */
+  * the plan must be a LocalTableScan (zero parquet reads, zero tasks),
+  * because on a 100 TB table "how many small files per bucket" must not
+  * cost a scan. */
 class MetaTablesSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -27,7 +28,7 @@ class MetaTablesSpec extends SparkTestBase {
 
     val snaps = spark.sql(
       "SELECT * FROM meta1.ns.`t$snapshots` ORDER BY snapshot_id")
-    assert(snaps.queryExecution.executedPlan.toString.contains("LocalRowsScan"),
+    assert(snaps.queryExecution.executedPlan.toString.contains("LocalTableScan"),
       s"expected metadata-only plan:\n${snaps.queryExecution.executedPlan}")
     val sRows = snaps.collect()
     assert(sRows.map(_.getAs[String]("operation")).count(_ == "merge") == 2)
@@ -38,7 +39,7 @@ class MetaTablesSpec extends SparkTestBase {
     assert(last.getAs[Long]("parent_id") == sRows(sRows.length - 2).getAs[Long]("snapshot_id"))
 
     val files = spark.sql("SELECT * FROM meta1.ns.`t$files`")
-    assert(files.queryExecution.executedPlan.toString.contains("LocalRowsScan"))
+    assert(files.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     val fRows = files.collect()
     assert(fRows.map(_.getAs[Long]("row_count")).sum == 50L)
     assert(fRows.map(_.getAs[Int]("bucket")).toSet.subsetOf((0 until 4).toSet))
