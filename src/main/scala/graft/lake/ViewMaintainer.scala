@@ -49,6 +49,41 @@ case class RollupView(name: String, groupCols: Seq[String],
     sumCols: Seq[(String, String)] = Seq.empty, // (source column, output alias)
     countAlias: String = "n") extends ViewSpec
 
+/** Approx-distinct rollup maintained from the table's own commit history
+  * ("feed-observed" semantics): per group, one HLL sketch (Apache
+  * DataSketches via Spark's `hll_sketch_agg`/`hll_union`) of every distinct
+  * value that survived at least one commit — exactly the value set a
+  * change-feed consumer at this view's floor observes. Sketches union
+  * monotonically, so each refresh reads ONLY rows with `lsn > floor` inside
+  * files the new commits added (manifest-skipped by `lsnMax`) — work
+  * ∝ ingest, never table size, and no retraction problem: HLL cannot
+  * subtract, and feed-observed semantics never asks it to (an LWW update or
+  * delete does not un-observe the old value).
+  *
+  * Live-state distinct (retraction-exact) is deliberately NOT offered
+  * incrementally — an LWW merge physically supersedes old payloads, so exact
+  * live distinct needs a full recompute; use a [[ViewDef]] for that.
+  *
+  * Each `(source, alias)` pair yields two view columns: `alias` (BIGINT
+  * rounded estimate — the user-facing number) and `alias_hll` (the sketch
+  * BINARY, kept so refreshes stay mergeable and consumers can union across
+  * groups/views). At ≲ thousands of distinct values per group the
+  * DataSketches estimate is exact (coupon modes); beyond that the error is
+  * the published ~1.04/√2^lgK.
+  *
+  * Reset semantics (loud in lineage: the view commit after a reset is a
+  * fresh bootstrap): if the view's floor snapshot expired from metadata, a
+  * rollback changed which lsns at-or-under the floor are covered, or a
+  * replace() started a new table generation (whose rows need not carry
+  * post-floor lsns), the sketch is rebuilt from the CURRENT live state —
+  * values observed only in rolled-back or fully superseded history drop
+  * out. Vacuum needs no guard here (it removes only tombstones; upsert rows
+  * keep their lsns).
+  */
+case class DistinctSketchView(name: String, groupCols: Seq[String],
+    distinctCols: Seq[(String, String)], // (source column, output alias)
+    lgK: Int = 12) extends ViewSpec
+
 class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) {
   private val spark = base.spark
 
@@ -72,6 +107,7 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) {
     defs.map {
       case d: ViewDef => d.name -> refreshFull(d, epochId)
       case r: RollupView => r.name -> refreshRollup(r)
+      case s: DistinctSketchView => s.name -> refreshDistinct(s)
     }.toMap
 
   // ------------------------------------------------------------ full refresh
@@ -158,5 +194,93 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) {
       .filter(col(r.countAlias) > 0)
     vt.replace(merged, s.snapshotId)
     (added.size + removed.size).toLong
+  }
+
+  // ---------------------------------------------------- distinct sketch views
+
+  private def sketchCol(alias: String): String = s"${alias}_hll"
+
+  /** Per-group HLL sketches over `rows` (one sketch column per distinct
+    * spec), estimates attached. */
+  private def sketchAgg(rows: DataFrame, d: DistinctSketchView): DataFrame = {
+    val aggs = d.distinctCols.map { case (src, alias) =>
+      hll_sketch_agg(col(src), d.lgK).as(sketchCol(alias)) }
+    rows.groupBy(d.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Final view projection: per spec, the BIGINT rounded estimate (the
+    * user-facing column) next to the mergeable sketch bytes. */
+  private def withEstimates(df: DataFrame, d: DistinctSketchView): DataFrame =
+    df.select(d.groupCols.map(col) ++ d.distinctCols.flatMap { case (_, alias) =>
+      Seq(round(hll_sketch_estimate(col(sketchCol(alias)))).cast("long").as(alias),
+        col(sketchCol(alias)))
+    }: _*)
+
+  /** Apply every base snapshot the view hasn't seen. Incremental path: union
+    * sketches of rows with `lsn > floor` from files added since the view's
+    * floor snapshot (applied in ONE step — sketch union is associative, so
+    * unlike RollupView there is no need to walk snapshots one by one).
+    * Reset path (floor snapshot expired, or a rollback changed lsn coverage
+    * at-or-under the floor): rebuild from the current live state. */
+  private def refreshDistinct(d: DistinctSketchView): Long = {
+    require(d.distinctCols.nonEmpty, "DistinctSketchView needs >= 1 distinct column")
+    val m = base.meta
+    val cur = m.currentSnapshot.getOrElse(return 0L)
+    val path = s"$viewsRoot/${d.name}"
+    val applied: Long =
+      if (!LakeTable.exists(path)) -1L
+      else LakeTable.metaAt(path).committedEpochs.foldLeft(-1L)(math.max)
+    if (applied >= cur.snapshotId) return 0L // up to date
+    val from = m.snapshotById(applied)
+    val floor = from.map(_.files.map(_.lsnMax).foldLeft(-1L)(math.max)).getOrElse(-1L)
+    // same rollback discipline as the `$changes` floor feed: incremental is
+    // exact iff both endpoints cover the SAME lsns at-or-under the floor.
+    // No vacuum guard: vacuum drops only tombstones, and this view never
+    // consumes deletes.
+    def excludedBelowFloor(s: Snapshot): Seq[LsnSpan] =
+      LsnSpan.normalize(s.excludedLsns.map(g =>
+        g.copy(toLsn = math.min(g.toLsn, floor))))
+    // replace() starts a new table generation whose rows need not carry
+    // post-floor lsns (lsn defaults to 0 when the input has no lsn column) —
+    // the floor discipline cannot see them, so rebuild instead.
+    val replaceInRange = m.snapshots.exists(s =>
+      s.snapshotId > applied && s.snapshotId <= cur.snapshotId &&
+        s.operation == "replace")
+    from match {
+      case Some(f) if !replaceInRange &&
+          excludedBelowFloor(f) == excludedBelowFloor(cur) =>
+        val fromPaths = f.files.map(_.path).toSet
+        val added = cur.files.filterNot(x => fromPaths.contains(x.path))
+          .filter(_.lsnMax > floor) // manifest skip: pure rewrites carry no news
+        val vt = table(d.name)
+        if (added.isEmpty) { // metadata-only / rewrite-only: advance the ledger
+          vt.replace(vt.currentState(), cur.snapshotId)
+          return 0L
+        }
+        val srcCols = (d.groupCols ++ d.distinctCols.map(_._1)).distinct
+        val rows = base.readFileSubset(added, cur.schemaId)
+          .filter(!col(LakeTable.DeletedCol) &&
+            col(LakeTable.LsnCol) > floor) // only NEW observations
+          .select(srcCols.map(col): _*)
+        val delta = sketchAgg(rows, d)
+        val stored = vt.currentState()
+        val cond = d.groupCols.map(c => stored(c) <=> delta(c)).reduce(_ && _)
+        val merged = stored.join(delta, cond, "full_outer")
+          .select(d.groupCols.map(c => coalesce(stored(c), delta(c)).as(c)) ++
+            d.distinctCols.map { case (_, alias) =>
+              val sc = sketchCol(alias)
+              when(stored(sc).isNull, delta(sc))
+                .when(delta(sc).isNull, stored(sc))
+                .otherwise(hll_union(stored(sc), delta(sc))).as(sc)
+            }: _*)
+        vt.replace(withEstimates(merged, d), cur.snapshotId)
+        added.size.toLong
+      case _ => // bootstrap or reset: sketch the current LIVE state
+        val srcCols = (d.groupCols ++ d.distinctCols.map(_._1)).distinct
+        val out = withEstimates(
+          sketchAgg(base.currentState().select(srcCols.map(col): _*), d), d)
+        viewTableFor(d.name, out.schema, d.groupCols).replace(out, cur.snapshotId)
+        cur.files.size.toLong
+    }
   }
 }

@@ -111,5 +111,58 @@ object EventOps {
           max(col("event_id")).as("lsn_max")),
       Some("""SELECT user_id % 16 AS bucket, count(*) AS rows_applied,
              |  min(event_id) AS lsn_min, max(event_id) AS lsn_max
-             |FROM events GROUP BY 1""".stripMargin)))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // Sketch rollup — approx distinct users per event type via DataSketches
+    // HLL (the mergeable-sketch primitive behind the incrementally
+    // maintained DistinctSketchView, lake/ViewMaintainer.scala). Sketches
+    // partial-aggregate map-side and union associatively, so at 100 TB the
+    // exchange carries one ~2 KB sketch per (partition, group) instead of
+    // every distinct value — this is THE scalable distinct-count plan. At
+    // testdata cardinality (≲1.5k distinct/group) the DataSketches estimate
+    // is still in its exact coupon regime, so the rounded estimate equals
+    // DuckDB's exact COUNT(DISTINCT) and the oracle hash-matches.
+    OpQuery("q42_distinct_sketch_rollup",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(round(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)))
+          .cast("long").as("distinct_users")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS distinct_users
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // Session windows — per-user activity sessions split by ≥30 min of
+    // silence (Spark `session_window`; the streaming twin under a watermark
+    // is StreamOps.sessionizedRepoActivity). Semantics note for the oracle:
+    // a Spark session spans [first_ts, last_ts + gap), so an event exactly
+    // `gap` after its predecessor starts a NEW session — the lag-based
+    // oracle therefore flags `diff >= gap`, not `>`. Session identity is
+    // surfaced as the session's first event timestamp (formatted), which is
+    // engine-neutral; window.end (ts+gap) would be Spark-specific.
+    OpQuery("q43_sessionize",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"), col("n_types")),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), sess AS (
+             |  SELECT user_id, ts, event_type,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged
+             |)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  count(*) AS n_events,
+             |  count(DISTINCT event_type) AS n_types
+             |FROM sess GROUP BY user_id, sid""".stripMargin)))
 }

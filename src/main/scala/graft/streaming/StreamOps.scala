@@ -27,6 +27,23 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("op"), col("n_events"), col("approx_repos"), col("max_lsn"))
 
+  /** Event-time SESSION windows over the change feed: per repo, bursts of
+    * activity separated by at least `gap` of silence (session extends while
+    * each event lands within `gap` of the previous one — Spark merges
+    * overlapping per-event windows in the state store). Append-mode
+    * compatible: a session is emitted only once the watermark passes its
+    * close. Batch twin (with a DuckDB oracle): q43_sessionize. */
+  def sessionizedRepoActivity(envelope: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    envelope
+      .withWatermark("txn_ts", watermark)
+      .groupBy(col("repo"), session_window(col("txn_ts"), gap))
+      .agg(count(lit(1)).as("n_changes"), max(col("lsn")).as("max_lsn"))
+      .select(col("repo"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_changes"), col("max_lsn"))
+
   /** Running per-repo change totals with explicit keyed state
     * (mapGroupsWithState): emits (repo, totalChanges, lastLsn) each trigger.
     * The ingest path never needs this — it exists as the engine's custom-

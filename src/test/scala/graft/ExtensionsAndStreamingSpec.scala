@@ -46,6 +46,38 @@ class ExtensionsAndStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("session windows: gap-chained merge per repo, closed by the watermark (append mode)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[ChangeEvent]
+    def ev(lsn: Long, repo: String, minute: Long) = ChangeEvent(lsn,
+      new java.sql.Timestamp(minute * 60000L), "U", 1, repo, s"p$lsn", "c",
+      "scala", "x", null, null)
+    val sessions = StreamOps.sessionizedRepoActivity(
+      CdcPipeline.envelopeDf(mem.toDS()), "10 minutes", "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessout")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // r1: minutes 0,5,9 chain into ONE session (each consecutive gap
+      // < 10 min even though 0→9 exceeds nothing pairwise... the point:
+      // chaining, not total span); minute 25 starts a second session.
+      mem.addData(ev(1, "r1", 0), ev(2, "r1", 5), ev(3, "r1", 9),
+        ev(4, "r1", 25), ev(5, "r2", 3))
+      q.processAllAvailable()
+      mem.addData(ev(6, "r9", 10000)) // push the watermark: close everything prior
+      q.processAllAvailable()
+      val rows = spark.table("sessout").collect()
+        .filter(_.getString(0) != "r9")
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000L,
+          r.getTimestamp(2).getTime / 60000L, r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(rows == Set(
+        ("r1", 0L, 19L, 3L, 3L), // start 0, end = last event (9) + gap (10)
+        ("r1", 25L, 35L, 1L, 4L),
+        ("r2", 3L, 13L, 1L, 5L)))
+    } finally q.stop()
+  }
+
   test("windowed change stats under watermark (event-time aggregation)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
