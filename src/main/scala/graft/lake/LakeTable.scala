@@ -44,6 +44,48 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   def evolveSchema(changes: Seq[SchemaChange]): Unit =
     retryCommit(m => applyChanges(m, changes))
 
+  /** Record a SQL-declared maintained-view definition in table metadata
+    * (pure metadata commit — the materialization happens on refresh; see
+    * [[MaintainedViewDef]]). Validates columns against the CURRENT schema
+    * and the name against the same path-safety rule as catalog tables. */
+  def createMaintainedView(d: MaintainedViewDef): Unit = {
+    require(d.name.matches("[A-Za-z0-9_]+"),
+      s"illegal view name '${d.name}' (allowed: [A-Za-z0-9_]+)")
+    require(Set("rollup", "distinct_sketch").contains(d.kind),
+      s"unknown view kind '${d.kind}' (rollup | distinct_sketch)")
+    require(d.groupCols.nonEmpty, "view needs at least one group column")
+    require(d.kind != "distinct_sketch" || d.aggCols.nonEmpty,
+      "distinct_sketch view needs at least one distinct column")
+    require(d.lgK >= 4 && d.lgK <= 21, s"lgK ${d.lgK} outside DataSketches [4,21]")
+    retryCommit { m =>
+      val have = m.currentSchema.columns.map(_.name).toSet
+      val want = d.groupCols ++ d.aggCols.map(_.src)
+      require(want.forall(have.contains),
+        s"view '${d.name}' references missing columns: " +
+          want.filterNot(have.contains).mkString(", "))
+      val aliases = d.aggCols.map(_.alias) ++
+        (if (d.kind == "rollup") Seq(d.countAlias) else Seq.empty)
+      require((d.groupCols ++ aliases).distinct.size ==
+        d.groupCols.size + aliases.size,
+        s"view '${d.name}' has duplicate output column names")
+      require(!m.maintainedViews.exists(_.name == d.name),
+        s"maintained view '${d.name}' already defined")
+      m.copy(maintainedViews = m.maintainedViews :+ d)
+    }
+  }
+
+  /** Remove a maintained-view definition; returns false if it didn't exist.
+    * The materialized view table (a derived artifact) is the caller's to
+    * delete — the SQL procedure does both. */
+  def dropMaintainedView(name: String): Boolean = {
+    var existed = false
+    retryCommit { m =>
+      existed = m.maintainedViews.exists(_.name == name)
+      m.copy(maintainedViews = m.maintainedViews.filterNot(_.name == name))
+    }
+    existed
+  }
+
   /** Apply a named migration exactly once: the schema change and the ledger
     * entry land in one atomic metadata commit (reference: yoyo applies the
     * DDL and records the id in `_yoyo_migration` in one transaction,

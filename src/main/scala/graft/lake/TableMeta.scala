@@ -102,6 +102,25 @@ object LsnSpan {
       }.reverse
 }
 
+/** One aggregated column of a SQL-declared maintained view. */
+case class AggColDef(src: String, alias: String)
+
+/** SQL-declared maintained-view definition, persisted in the BASE table's
+  * metadata so the view travels with the table (the reference keeps its
+  * rollup-view DDL in the same migration stream as the fact tables —
+  * `migrations/20230207_01_53Bud.sql`). `kind` selects the maintainer:
+  * "rollup" → retraction-exact incremental [[RollupView]] (count + sums),
+  * "distinct_sketch" → union-only HLL [[DistinctSketchView]]. The
+  * materialized view itself is a normal lake table named `name` in the base
+  * table's namespace, refreshed by `CALL <cat>.system.refresh_views`. */
+case class MaintainedViewDef(
+    name: String,
+    kind: String, // "rollup" | "distinct_sketch"
+    groupCols: Seq[String],
+    aggCols: Seq[AggColDef] = Seq.empty,
+    countAlias: String = "n",
+    lgK: Int = 12)
+
 case class TableMeta(
     formatVersion: Int,
     tableId: String,
@@ -128,7 +147,10 @@ case class TableMeta(
     // a lagging consumer can no longer observe those deletes and must full
     // resync instead (enforced in JdbcWarehouseSync.syncOnce). -1 = never
     // vacuumed.
-    vacuumLsn: Long = -1L) {
+    vacuumLsn: Long = -1L,
+    // SQL-declared maintained views over this table (see MaintainedViewDef);
+    // empty for tables with no declared views — absent in legacy manifests.
+    maintainedViews: Seq[MaintainedViewDef] = Seq.empty) {
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)

@@ -84,6 +84,25 @@ case class DistinctSketchView(name: String, groupCols: Seq[String],
     distinctCols: Seq[(String, String)], // (source column, output alias)
     lgK: Int = 12) extends ViewSpec
 
+object ViewMaintainer {
+  /** The runtime ViewSpec for a persisted SQL-declared definition. */
+  def specOf(d: MaintainedViewDef): ViewSpec = d.kind match {
+    case "rollup" =>
+      RollupView(d.name, d.groupCols, d.aggCols.map(a => a.src -> a.alias),
+        d.countAlias)
+    case "distinct_sketch" =>
+      DistinctSketchView(d.name, d.groupCols,
+        d.aggCols.map(a => a.src -> a.alias), d.lgK)
+    case other => sys.error(s"unknown maintained-view kind '$other'")
+  }
+
+  /** Maintainer over every SQL-declared view of `base`, materializing into
+    * `viewsRoot` — for SQL views that is the base table's namespace
+    * directory, so refreshed views are directly SELECTable lake tables. */
+  def forTable(base: LakeTable, viewsRoot: String): ViewMaintainer =
+    new ViewMaintainer(base, viewsRoot, base.meta.maintainedViews.map(specOf))
+}
+
 class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) {
   private val spark = base.spark
 

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
-import graft.lake.{LakeCatalog, LakeTable}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.lake.{AggColDef, LakeCatalog, LakeTable, MaintainedViewDef, ViewMaintainer}
 
 /** SQL stored procedures for lake maintenance (Spark 4 DSv2
   * `ProcedureCatalog`), so a SQL-only operator can run the table lifecycle
@@ -18,12 +19,14 @@ import graft.lake.{LakeCatalog, LakeTable}
   * CALL graftsql.system.vacuum(table => 'ns.t', up_to_lsn => 1000)
   * CALL graftsql.system.rebucket(table => 'ns.t', num_buckets => 64)
   * CALL graftsql.system.expire_snapshots(table => 'ns.t', keep_last => 3)
+  * CALL graftsql.system.create_view(table => 'ns.t', view => 'daily', group_by => 'day')
+  * CALL graftsql.system.refresh_views(table => 'ns.t')
   * }}}
   *
   * Each procedure resolves its `'namespace.table'` argument through the
   * warehouse, runs the corresponding [[LakeTable]] maintenance operation
   * (same code path as the Scala API and the CLI — one implementation, three
-  * surfaces), and returns a single metrics row. The reference's analogue is
+  * surfaces), and returns metrics rows. The reference's analogue is
   * operational SQL against Postgres (VACUUM / CLUSTER / retention jobs);
   * here they are catalog procedures because the lake format must do its own
   * maintenance.
@@ -32,7 +35,8 @@ object GraftProcedures {
   val Namespace = "system"
 
   val names: Seq[String] =
-    Seq("compact", "vacuum", "rebucket", "expire_snapshots", "rollback")
+    Seq("compact", "vacuum", "rebucket", "expire_snapshots", "rollback",
+      "create_view", "refresh_views", "drop_view")
 
   def load(warehouse: String, name: String): UnboundProcedure = name.toLowerCase match {
     case "compact" => Proc(
@@ -55,7 +59,7 @@ object GraftProcedures {
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val n = table(wh, input)
           .compact(input.getLong(1), input.getInt(2), csv(3), csv(4))
-        new GenericInternalRow(Array[Any](n))
+        Array[InternalRow](new GenericInternalRow(Array[Any](n)))
       }, warehouse)
     case "vacuum" => Proc(
       "vacuum",
@@ -67,7 +71,7 @@ object GraftProcedures {
       new StructType().add("tombstones_removed", LongType, nullable = false),
       (wh, input) => {
         val n = table(wh, input).vacuum(input.getLong(1))
-        new GenericInternalRow(Array[Any](n))
+        Array[InternalRow](new GenericInternalRow(Array[Any](n)))
       }, warehouse)
     case "rebucket" => Proc(
       "rebucket",
@@ -79,7 +83,7 @@ object GraftProcedures {
       (wh, input) => {
         val t = table(wh, input)
         t.rebucket(input.getInt(1))
-        new GenericInternalRow(Array[Any](t.meta.numBuckets))
+        Array[InternalRow](new GenericInternalRow(Array[Any](t.meta.numBuckets)))
       }, warehouse)
     case "expire_snapshots" => Proc(
       "expire_snapshots",
@@ -90,7 +94,7 @@ object GraftProcedures {
       new StructType().add("files_deleted", LongType, nullable = false),
       (wh, input) => {
         val n = table(wh, input).expireSnapshots(input.getInt(1))
-        new GenericInternalRow(Array[Any](n))
+        Array[InternalRow](new GenericInternalRow(Array[Any](n)))
       }, warehouse)
     case "rollback" => Proc(
       "rollback",
@@ -103,11 +107,99 @@ object GraftProcedures {
       new StructType().add("current_snapshot_id", LongType, nullable = false),
       (wh, input) => {
         val id = table(wh, input).rollback(input.getLong(1))
-        new GenericInternalRow(Array[Any](id))
+        Array[InternalRow](new GenericInternalRow(Array[Any](id)))
+      }, warehouse)
+    // Maintained views, SQL-declared (reference keeps its rollup-view DDL in
+    // the migration stream next to the fact tables and refreshes on the sync
+    // cron — migrations/20230207_01_53Bud.sql + cron_tasks.py). Here the
+    // definition is table metadata, the materialization is a normal lake
+    // table in the same namespace (SELECTable), and refresh is incremental
+    // per kind: rollup = retraction-exact snapshot-diff maintenance,
+    // distinct_sketch = union-only HLL over post-floor rows.
+    case "create_view" => Proc(
+      "create_view",
+      "declare a maintained view over a lake table; 'rollup' = exact " +
+        "incremental count+sums, 'distinct_sketch' = HLL approx-distinct; " +
+        "materializes as table '<namespace>.<view>' on refresh_views",
+      Array(
+        in("table", StringType, None, "base table as 'namespace.table'"),
+        in("view", StringType, None, "view (and result table) name"),
+        in("group_by", StringType, None, "comma-separated group columns"),
+        in("kind", StringType, Some("'rollup'"), "rollup | distinct_sketch"),
+        in("agg_by", StringType, Some("''"),
+          "comma-separated src:alias pairs — sum columns for rollup, " +
+            "distinct-value columns for distinct_sketch"),
+        in("count_alias", StringType, Some("'n'"), "rollup count column name"),
+        in("lg_k", IntegerType, Some("12"), "HLL lgK (distinct_sketch only)")),
+      new StructType().add("view", StringType, nullable = false)
+        .add("kind", StringType, nullable = false),
+      (wh, input) => {
+        val (ns, _) = nsTable(input)
+        val t = table(wh, input)
+        val view = input.getUTF8String(1).toString
+        val kind = input.getUTF8String(3).toString
+        val groupBy = csv(input, 2)
+        val aggs = csv(input, 4).map { p =>
+          val parts = p.split(':')
+          require(parts.length == 2, s"agg_by entry '$p' is not 'src:alias'")
+          AggColDef(parts(0).trim, parts(1).trim)
+        }
+        // the view will materialize at <warehouse>/<ns>/<view> — refuse a
+        // name an unrelated lake table already occupies
+        val cat = new LakeCatalog(SparkSession.active, wh)
+        require(!cat.tableExists(ns, view),
+          s"'$ns.$view' already exists as a table")
+        t.createMaintainedView(MaintainedViewDef(view, kind, groupBy, aggs,
+          input.getUTF8String(5).toString, input.getInt(6)))
+        Array[InternalRow](new GenericInternalRow(Array[Any](
+          UTF8String.fromString(view), UTF8String.fromString(kind))))
+      }, warehouse)
+    case "refresh_views" => Proc(
+      "refresh_views",
+      "refresh every maintained view of the table (incremental per view " +
+        "kind); returns one row per view with the base data files read",
+      Array(in("table", StringType, None, "base table as 'namespace.table'")),
+      new StructType().add("view", StringType, nullable = false)
+        .add("files_read", LongType, nullable = false),
+      (wh, input) => {
+        val (ns, _) = nsTable(input)
+        val t = table(wh, input)
+        val viewsRoot = java.nio.file.Paths.get(wh, ns).toString
+        ViewMaintainer.forTable(t, viewsRoot).refreshAll().toSeq.sortBy(_._1)
+          .map { case (v, filesRead) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(v), filesRead)): InternalRow
+          }.toArray
+      }, warehouse)
+    case "drop_view" => Proc(
+      "drop_view",
+      "remove a maintained-view definition and delete its materialized table",
+      Array(
+        in("table", StringType, None, "base table as 'namespace.table'"),
+        in("view", StringType, None, "view name")),
+      new StructType().add("dropped", BooleanType, nullable = false),
+      (wh, input) => {
+        val (ns, _) = nsTable(input)
+        val view = input.getUTF8String(1).toString
+        val existed = table(wh, input).dropMaintainedView(view)
+        if (existed) // only a view's own artifact, never an unrelated table
+          LakeTable.deleteRecursively(
+            java.nio.file.Paths.get(wh, ns, view))
+        Array[InternalRow](new GenericInternalRow(Array[Any](existed)))
       }, warehouse)
     case other =>
       throw new UnsupportedOperationException(
         s"unknown procedure $Namespace.$other; available: ${names.mkString(", ")}")
+  }
+
+  private def csv(input: InternalRow, i: Int): Seq[String] =
+    input.getUTF8String(i).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def nsTable(input: InternalRow): (String, String) = {
+    val ref = input.getUTF8String(0).toString
+    val parts = ref.split('.')
+    require(parts.length == 2, s"table must be 'namespace.table', got '$ref'")
+    (parts(0), parts(1))
   }
 
   private def in(name: String, dt: DataType, default: Option[String],
@@ -134,7 +226,7 @@ object GraftProcedures {
       desc: String,
       params: Array[ProcedureParameter],
       outSchema: StructType,
-      run: (String, InternalRow) => InternalRow,
+      run: (String, InternalRow) => Array[InternalRow],
       warehouse: String) extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
     override def description(): String = desc
@@ -142,10 +234,10 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = params
     override def isDeterministic: Boolean = false
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val row = run(warehouse, input)
+      val out = run(warehouse, input)
       val scan: Scan = new LocalScan {
         override def readSchema(): StructType = outSchema
-        override def rows(): Array[InternalRow] = Array(row)
+        override def rows(): Array[InternalRow] = out
       }
       Collections.singletonList(scan).iterator()
     }

@@ -514,7 +514,8 @@ class SqlCatalogSpec extends SparkTestBase {
       e.getMessage.contains("unknown procedure"))
     assert(spark.sql("SHOW PROCEDURES IN g15.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet ==
-      Set("compact", "vacuum", "rebucket", "expire_snapshots", "rollback"))
+      Set("compact", "vacuum", "rebucket", "expire_snapshots", "rollback",
+        "create_view", "refresh_views", "drop_view"))
   }
 
   test("CALL rollback restores an earlier snapshot picked from t$snapshots") {

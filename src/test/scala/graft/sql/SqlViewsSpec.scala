@@ -1,0 +1,105 @@
+package graft.sql
+
+import graft.SparkTestBase
+
+/** SQL-declared maintained views: CALL create_view / refresh_views /
+  * drop_view, materializing as SELECTable lake tables in the base table's
+  * namespace (definition persisted in the base table's metadata). */
+class SqlViewsSpec extends SparkTestBase {
+
+  private def setupCatalog(name: String): String = {
+    val wh = tmpDir("sqlvwh")
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    wh
+  }
+
+  test("SQL-only lifecycle: create_view, refresh_views, SELECT, incremental semantics per kind") {
+    setupCatalog("g19")
+    spark.sql("CREATE NAMESPACE g19.org")
+    spark.sql("CREATE TABLE g19.org.files (repo STRING, path STRING, " +
+      "commit STRING, lang STRING, size BIGINT) " +
+      "TBLPROPERTIES ('keys'='repo,path,commit','buckets'='4')")
+    spark.sql("INSERT INTO g19.org.files VALUES " +
+      "('r1','p1','c','scala',10),('r2','p2','c','scala',20),('r3','p3','c','py',30)")
+
+    spark.sql("CALL g19.system.create_view(table => 'org.files', " +
+      "view => 'lang_stats', group_by => 'lang', agg_by => 'size:total_size')")
+    spark.sql("CALL g19.system.create_view(table => 'org.files', " +
+      "view => 'lang_repos', group_by => 'lang', kind => 'distinct_sketch', " +
+      "agg_by => 'repo:repos')")
+
+    val refreshed = spark.sql("CALL g19.system.refresh_views(table => 'org.files')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(refreshed.keySet == Set("lang_stats", "lang_repos"))
+
+    def rollup() = spark.sql(
+      "SELECT lang, n, total_size FROM g19.org.lang_stats")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def sketch() = spark.sql("SELECT lang, repos FROM g19.org.lang_repos")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rollup() == Map("scala" -> ((2L, 30L)), "py" -> ((1L, 30L))))
+    assert(sketch() == Map("scala" -> 2L, "py" -> 1L))
+    // views are ordinary tables in the namespace — visible to SHOW TABLES
+    val shown = spark.sql("SHOW TABLES IN g19.org")
+      .collect().map(_.getString(1)).toSet
+    assert(Set("files", "lang_stats", "lang_repos").subsetOf(shown))
+
+    // new rows + a SQL DELETE: the rollup retracts exactly, the sketch
+    // keeps every observed value (feed-observed semantics)
+    spark.sql("INSERT INTO g19.org.files VALUES ('r9','p9','c','py',5)")
+    spark.sql("DELETE FROM g19.org.files WHERE repo = 'r3'")
+    spark.sql("CALL g19.system.refresh_views(table => 'org.files')")
+    assert(rollup() == Map("scala" -> ((2L, 30L)), "py" -> ((1L, 5L))))
+    assert(sketch() == Map("scala" -> 2L, "py" -> 2L))
+
+    // idempotent: refresh with no new base commit reads zero files
+    val again = spark.sql("CALL g19.system.refresh_views(table => 'org.files')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again.values.forall(_ == 0L))
+  }
+
+  test("create_view validation and drop_view artifact cleanup") {
+    val wh = setupCatalog("g20")
+    spark.sql("CREATE NAMESPACE g20.org")
+    spark.sql("CREATE TABLE g20.org.t (k STRING, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k','buckets'='2')")
+    spark.sql("INSERT INTO g20.org.t VALUES ('a','x',1),('b','y',2)")
+    spark.sql("CALL g20.system.create_view(table => 'org.t', " +
+      "view => 'by_grp', group_by => 'grp', agg_by => 'v:total')")
+
+    // duplicate definition
+    val dup = intercept[Exception](spark.sql(
+      "CALL g20.system.create_view(table => 'org.t', view => 'by_grp', " +
+        "group_by => 'grp')"))
+    assert(dup.getMessage.contains("already defined"))
+    // unknown source column
+    val badCol = intercept[Exception](spark.sql(
+      "CALL g20.system.create_view(table => 'org.t', view => 'v2', " +
+        "group_by => 'nope')"))
+    assert(badCol.getMessage.contains("missing columns"))
+    // name taken by a real table
+    val taken = intercept[Exception](spark.sql(
+      "CALL g20.system.create_view(table => 'org.t', view => 't', " +
+        "group_by => 'grp')"))
+    assert(taken.getMessage.contains("already exists as a table"))
+    // distinct_sketch requires distinct columns
+    val noAgg = intercept[Exception](spark.sql(
+      "CALL g20.system.create_view(table => 'org.t', view => 'v3', " +
+        "group_by => 'grp', kind => 'distinct_sketch')"))
+    assert(noAgg.getMessage.contains("distinct column"))
+
+    spark.sql("CALL g20.system.refresh_views(table => 'org.t')")
+    assert(spark.sql("SELECT * FROM g20.org.by_grp").count() == 2)
+
+    assert(spark.sql("CALL g20.system.drop_view(table => 'org.t', view => 'by_grp')")
+      .head().getBoolean(0))
+    // definition gone, artifact gone, second drop reports false
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh, "org", "by_grp")))
+    assert(!spark.sql("CALL g20.system.drop_view(table => 'org.t', view => 'by_grp')")
+      .head().getBoolean(0))
+    assert(spark.sql("CALL g20.system.refresh_views(table => 'org.t')")
+      .count() == 0)
+  }
+}
