@@ -112,6 +112,29 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("q42: sketch rollup partial-aggregates map-side; scan pruned to group+value columns") {
+    val p = plan("q42_distinct_sketch_rollup")
+    // the 100 TB property: the exchange carries one sketch buffer per
+    // (partition, group), never the distinct values themselves
+    assert(p.contains("partial_hll_sketch_agg"), s"no map-side sketch partial:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"sketch agg not hash-based:\n$p")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+      .replaceAll(".*ReadSchema: ", "")
+    assert(!rs.contains("props") && !rs.contains("value") && !rs.contains("ts:"),
+      s"scan reads unused columns: $rs")
+  }
+
+  test("q43: sessionization = ONE key exchange + partition-local sort, no global sort") {
+    val p = plan("q43_sessionize")
+    assert(p.contains("UpdatingSessions"), s"expected session-window operator:\n$p")
+    // session merge needs only a per-key local sort (Sort ... false) — a
+    // global (range-partitioned) sort would be a second shuffle of the table
+    assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"sessionize + count-distinct should reuse one user_id exchange, saw $exchanges:\n$p")
+  }
+
   test("spread is a no-op when the source already plans enough splits") {
     import org.apache.spark.sql.functions._
     val wide = spark.range(0, 10000, 1,
