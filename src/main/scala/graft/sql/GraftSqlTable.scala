@@ -360,14 +360,17 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
     *     stats). Columns or files without usable stats are never pruned. */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
     prunedFiles = GraftScanBuilder.pruneFiles(meta, schemaId, prunedFiles, filters)
+    residual = filters.toSeq // also evaluated per-file against row-group stats
     filters
   }
+  private var residual: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def build(): Scan = agg match {
     case Some((schema, values)) => new GraftManifestAggScan(schema, values)
     case None =>
-      new GraftScan(root, meta, schemaId, prunedFiles, required, layoutBuckets)
+      new GraftScan(root, meta, schemaId, prunedFiles, required, layoutBuckets,
+        residual)
   }
 }
 
@@ -534,7 +537,8 @@ object GraftScanBuilder {
 
 class GraftScan(root: String, meta: TableMeta, schemaId: Int,
     files: Seq[graft.lake.DataFileMeta], required: StructType,
-    layoutBuckets: Option[Int] = None)
+    layoutBuckets: Option[Int] = None,
+    residualFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
 
@@ -646,7 +650,11 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
         c.storedName == c.outName && c.storedTypeJson == c.outTypeJson &&
           GraftScan.vectorizable(c.outTypeJson)
       }
-      GraftInputPartition(s"$root/${f.path}", cols, columnar, f.bucket)
+      // residual predicates translated to THIS file's stored names/types:
+      // parquet-mr drops row groups by stats before decoding a page, which
+      // is what makes sortBy/zOrderBy clustering effective inside a file
+      val pred = GraftParquetFilters.build(residualFilters, cols.toSeq)
+      GraftInputPartition(s"$root/${f.path}", cols, columnar, f.bucket, pred)
     }.toArray
   }
 
@@ -691,7 +699,8 @@ case class ColSpec(outName: String, outTypeJson: String,
     storedName: String, storedTypeJson: String) extends Serializable
 
 case class GraftInputPartition(filePath: String, cols: Array[ColSpec],
-    columnar: Boolean = false, bucket: Int = 0)
+    columnar: Boolean = false, bucket: Int = 0,
+    pred: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
     extends InputPartition with HasPartitionKey {
   /** The file's bucket id — the value `bucket(n, key...)` yields for every
     * row in it. Spark groups same-key splits into one task when planning a
@@ -714,12 +723,34 @@ class GraftReaderFactory(allColumnar: Boolean) extends PartitionReaderFactory {
   * on the same engine the native parquet source uses. */
 class GraftColumnarReader(p: GraftInputPartition)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedBridge, VectorizedParquetRecordReader}
 
   private val reader = new VectorizedParquetRecordReader(
     /* useOffHeap = */ false, /* capacity = */ 4096)
-  reader.initialize(p.filePath,
-    java.util.Arrays.asList(p.cols.map(_.storedName): _*))
+  p.pred match {
+    case None => // unfiltered: Spark's own one-call path
+      reader.initialize(p.filePath,
+        java.util.Arrays.asList(p.cols.map(_.storedName): _*))
+    case Some(pred) =>
+      // filtered: open the file reader OURSELVES with a record filter so
+      // parquet-mr drops row groups by statistics up front, then hand the
+      // surviving groups to the vectorized reader (GraftVectorizedBridge —
+      // the row-group hook is package-private in Spark)
+      import org.apache.parquet.HadoopReadOptions
+      import org.apache.parquet.filter2.compat.FilterCompat
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val hPath = new org.apache.hadoop.fs.Path(p.filePath)
+      val fr = new ParquetFileReader(HadoopInputFile.fromPath(hPath, conf),
+        HadoopReadOptions.builder(conf, hPath)
+          .withRecordFilter(FilterCompat.get(pred)).build())
+      val fileSchema = fr.getFooter.getFileMetaData.getSchema
+      val want = p.cols.map(_.storedName).toSet
+      val requested = new org.apache.parquet.schema.MessageType(fileSchema.getName,
+        fileSchema.getFields.asScala.filter(f => want.contains(f.getName)).asJava)
+      GraftVectorizedBridge.initFiltered(reader, requested, fileSchema, fr)
+  }
   reader.resultBatch() // allocate the batch vectors
   reader.enableReturningBatches()
 
@@ -753,7 +784,11 @@ class GraftPartitionReader(p: GraftInputPartition)
       fileSchema.getFields.asScala.filter(f => want.contains(f.getName)).asJava)
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projected.toString)
-    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
+    val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
+    // row-group stats skipping (plus record-level filtering — harmless:
+    // Spark re-applies every filter post-scan anyway)
+    p.pred.fold(b)(pr => b.withFilter(
+      org.apache.parquet.filter2.compat.FilterCompat.get(pr))).build()
   }
 
   private var current: InternalRow = _
