@@ -866,7 +866,23 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // token is path-only randomness — never on the data path (F12)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = Paths.get(root, f"data/snap-$snapshotId%012d-$token")
-    df.write.partitionBy(BucketCol).parquet(staging.toString)
+    // Parquet BLOOM FILTERS on the key columns: hash-distributed keys make
+    // min/max row-group stats useless for point lookups (every group's range
+    // spans the keyspace), but a bloom answers "key provably absent" per row
+    // group — with the scan's per-file FilterPredicates (GraftParquetFilters)
+    // a `WHERE key = x` reads 1 bucket (manifest) × ~1 row group (bloom) at
+    // any table size. Adaptive sizing right-sizes the bitmap to each
+    // group's observed NDV, so small files don't pay a fixed 1 MiB bloat.
+    // Conf-gated (default on): spark.graft.keyBlooms=false turns it off for
+    // benchmarking or ingest-only tables nobody point-queries.
+    val blooms = spark.conf.getOption("spark.graft.keyBlooms").forall(_.toBoolean)
+    val keyed =
+      if (!blooms) df.write
+      else meta.keyCols.foldLeft(
+        df.write.option("parquet.bloom.filter.adaptive.enabled", "true")) {
+        (w, k) => w.option(s"parquet.bloom.filter.enabled#$k", "true")
+      }
+    keyed.partitionBy(BucketCol).parquet(staging.toString)
     staging
   }
 

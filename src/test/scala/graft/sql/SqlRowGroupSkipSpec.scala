@@ -4,6 +4,7 @@ import graft.SparkTestBase
 import graft.lake._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Row-group statistics skipping inside data files: residual scan filters
   * translate per file (stored names/types via column IDs) into parquet
@@ -86,6 +87,53 @@ class SqlRowGroupSkipSpec extends SparkTestBase {
     // every group eliminated: both readers must come up cleanly empty
     val none = GraftParquetFilters.build(Seq(GreaterThan("v", 999999L)), cols.toSeq)
     assert(rowRead(none) == 0L && colRead(none) == 0L)
+  }
+
+  test("key-column bloom filters skip row groups where min/max stats cannot (hash-distributed keys)") {
+    import spark.implicits._
+    val t = LakeTable.createOrReplace(spark, tmpDir("bloom"), StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("pad", StringType, nullable = true))), Seq("k"), numBuckets = 1)
+    // scrambled keys: every row group's [min,max] spans ~the whole keyspace,
+    // so stats pruning is useless for equality — only the bloom can skip
+    def key(i: Int) = f"k${(i * 2654435761L) % 1000000}%07d"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val (ob, op) = (hc.get("parquet.block.size"), hc.get("parquet.page.size"))
+    hc.setInt("parquet.block.size", 4096); hc.setInt("parquet.page.size", 1024)
+    try t.append((0 until 4000).map(i => (key(i), "x" * 64)).toDF("k", "pad").coalesce(1))
+    finally {
+      if (ob != null) hc.set("parquet.block.size", ob) else hc.unset("parquet.block.size")
+      if (op != null) hc.set("parquet.page.size", op) else hc.unset("parquet.page.size")
+    }
+    val snap = t.meta.currentSnapshot.get
+    val path = s"${t.root}/${snap.files.head.path}"
+    // the footer carries a bloom for k
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.conf.Configuration()))
+    val blocks = try {
+      val bs = fr.getFooter.getBlocks
+      assert(bs.size() > 3, s"expected many row groups, got ${bs.size()}")
+      bs.asScala.foreach { b =>
+        val kCol = b.getColumns.asScala.find(_.getPath.toDotString == "k").get
+        assert(kCol.getBloomFilterOffset > 0, "no bloom filter written for key column")
+      }
+      bs.size()
+    } finally fr.close()
+    val cols = Array(cs("k", StringType, "k", StringType))
+    def colRead(p: Option[org.apache.parquet.filter2.predicate.FilterPredicate]) = {
+      val r = new GraftColumnarReader(
+        GraftInputPartition(path, cols, columnar = true, pred = p))
+      var n = 0L; while (r.next()) n += r.get().numRows(); r.close(); n
+    }
+    assert(colRead(None) == 4000L)
+    // present key: only the bloom-positive group(s) are decoded
+    val hit = colRead(GraftParquetFilters.build(Seq(EqualTo("k", key(3777))), cols.toSeq))
+    assert(hit >= 1L && hit < 4000L / 2,
+      s"bloom should skip most of the $blocks groups, read $hit rows")
+    // absent key inside every group's [min,max]: bloom proves absence
+    assert(colRead(GraftParquetFilters.build(
+      Seq(EqualTo("k", "k0500001")), cols.toSeq)) == 0L)
   }
 
   test("e2e SQL: range + equality predicates stay exact across a column rename and tombstones") {
