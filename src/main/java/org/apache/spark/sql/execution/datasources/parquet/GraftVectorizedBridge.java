@@ -30,9 +30,16 @@ public final class GraftVectorizedBridge {
       MessageType fileSchema,
       ParquetFileReader fr) throws IOException {
     fr.setRequestedSchema(requested);
+    long rows = fr.getRecordCount();
+    if (rows > Integer.MAX_VALUE) {
+      // the reader's row counter is an int — truncating would silently end
+      // the scan early; no sane file layout has 2^31 rows in one file
+      throw new IOException("data file has " + rows + " rows after row-group "
+          + "filtering — exceeds the vectorized reader's int row counter");
+    }
     // base signature is initialize(fileSchema, requestedSchema, ...)
     reader.initialize(fileSchema, requested, new FileReaderRowGroups(fr),
-        (int) fr.getRecordCount());
+        (int) rows);
   }
 
   /** Adapter over the caller's filtered ParquetFileReader. */

@@ -64,10 +64,14 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         s"view '${d.name}' references missing columns: " +
           want.filterNot(have.contains).mkString(", "))
       val aliases = d.aggCols.map(_.alias) ++
-        (if (d.kind == "rollup") Seq(d.countAlias) else Seq.empty)
+        (if (d.kind == "rollup") Seq(d.countAlias)
+         // distinct_sketch also derives '<alias>_hll' sketch columns —
+         // they collide with user aliases just as hard
+         else d.aggCols.map(a => s"${a.alias}_hll"))
       require((d.groupCols ++ aliases).distinct.size ==
         d.groupCols.size + aliases.size,
-        s"view '${d.name}' has duplicate output column names")
+        s"view '${d.name}' has duplicate output column names " +
+          "(note: each distinct alias also claims '<alias>_hll')")
       require(!m.maintainedViews.exists(_.name == d.name),
         s"maintained view '${d.name}' already defined")
       m.copy(maintainedViews = m.maintainedViews :+ d)
@@ -874,8 +878,10 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // any table size. Adaptive sizing right-sizes the bitmap to each
     // group's observed NDV, so small files don't pay a fixed 1 MiB bloat.
     // Conf-gated (default on): spark.graft.keyBlooms=false turns it off for
-    // benchmarking or ingest-only tables nobody point-queries.
-    val blooms = spark.conf.getOption("spark.graft.keyBlooms").forall(_.toBoolean)
+    // benchmarking or ingest-only tables nobody point-queries. Tolerant
+    // parse — a typo'd value must not start failing every commit.
+    val blooms = spark.conf.getOption("spark.graft.keyBlooms")
+      .forall(v => !Set("false", "0", "off", "no").contains(v.trim.toLowerCase))
     val keyed =
       if (!blooms) df.write
       else meta.keyCols.foldLeft(
@@ -968,14 +974,19 @@ object LakeTable {
 
   def create(spark: SparkSession, root: String, schema: StructType,
       keyCols: Seq[String], lsnCol: String = "lsn",
-      numBuckets: Int = 32): LakeTable = {
+      numBuckets: Int = 32,
+      tableId: Option[String] = None): LakeTable = {
     require(keyCols.forall(schema.fieldNames.contains), "key cols must be in schema")
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
     Files.createDirectories(Paths.get(root, "data"))
     val m = TableMeta(
       formatVersion = 1,
-      tableId = java.util.UUID.randomUUID().toString, // metadata-only id, not on the data path
+      // metadata-only id, not on the data path; callers may pin a
+      // deterministic id to mark DERIVED tables they own (ViewMaintainer
+      // stamps "view:<base-id>:<name>" so a refresh can never clobber an
+      // unrelated table that happens to share the name)
+      tableId = tableId.getOrElse(java.util.UUID.randomUUID().toString),
       location = root,
       keyCols = keyCols, lsnCol = lsnCol, numBuckets = numBuckets,
       schemas = Seq(TableMeta.schemaVersionOf(1, schema, 1)),

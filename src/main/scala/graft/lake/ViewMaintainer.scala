@@ -85,6 +85,11 @@ case class DistinctSketchView(name: String, groupCols: Seq[String],
     lgK: Int = 12) extends ViewSpec
 
 object ViewMaintainer {
+  /** Ownership id stamped on a base table's view materializations (see
+    * `existingViewTable` — the guard against name collisions). */
+  def viewTableId(baseTableId: String, name: String): String =
+    s"view:$baseTableId:$name"
+
   /** The runtime ViewSpec for a persisted SQL-declared definition. */
   def specOf(d: MaintainedViewDef): ViewSpec = d.kind match {
     case "rollup" =>
@@ -106,18 +111,38 @@ object ViewMaintainer {
 class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) {
   private val spark = base.spark
 
+  /** Deterministic id stamped on this base table's materializations: the
+    * ownership check that makes a name collision with a real table (or with
+    * another base's view of the same name) a loud error instead of a silent
+    * replace()/delete of someone else's data. */
+  private def viewTableId(name: String): String =
+    ViewMaintainer.viewTableId(base.meta.tableId, name)
+
+  /** The view's existing materialization, ownership-verified. */
+  private def existingViewTable(name: String): Option[LakeTable] = {
+    val path = s"$viewsRoot/$name"
+    if (!LakeTable.exists(path)) None
+    else {
+      val t = LakeTable.forPath(spark, path)
+      require(t.meta.tableId == viewTableId(name),
+        s"'$path' exists but is not view '$name' of this base table — " +
+          "a user table or another base's view holds the name; refusing to touch it")
+      Some(t)
+    }
+  }
+
   /** View tables are created lazily on first refresh (schema = transform
     * output; keyed on the group/leading columns — replace never reconciles
     * keys, the key only drives bucketing). */
-  private def viewTableFor(name: String, schema: StructType, keyCols: Seq[String]): LakeTable = {
-    val path = s"$viewsRoot/$name"
-    if (LakeTable.exists(path)) LakeTable.forPath(spark, path)
-    else LakeTable.create(spark, path, schema, keyCols,
-      numBuckets = 1) // rollups are small; one bucket, one file per refresh
-  }
+  private def viewTableFor(name: String, schema: StructType, keyCols: Seq[String]): LakeTable =
+    existingViewTable(name).getOrElse(
+      LakeTable.create(spark, s"$viewsRoot/$name", schema, keyCols,
+        numBuckets = 1, // rollups are small; one bucket, one file per refresh
+        tableId = Some(viewTableId(name))))
 
   def table(name: String): LakeTable =
-    LakeTable.forPath(spark, s"$viewsRoot/$name")
+    existingViewTable(name).getOrElse(
+      sys.error(s"view '$name' has no materialization under $viewsRoot"))
 
   /** Refresh every view. Idempotent: ViewDef per `epochId`, RollupView per
     * base snapshot id. Returns data files READ from the base table per view
@@ -151,10 +176,8 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) {
   private def refreshRollup(r: RollupView): Long = {
     val m = base.meta
     val cur = m.currentSnapshot.getOrElse(return 0L)
-    val path = s"$viewsRoot/${r.name}"
-    var applied: Long =
-      if (!LakeTable.exists(path)) -1L
-      else LakeTable.metaAt(path).committedEpochs.foldLeft(-1L)(math.max)
+    var applied: Long = existingViewTable(r.name)
+      .map(_.meta.committedEpochs.foldLeft(-1L)(math.max)).getOrElse(-1L)
     if (applied >= cur.snapshotId) return 0L // up to date
     var scanned = 0L
     m.snapshots.filter(_.snapshotId > applied).sortBy(_.snapshotId).foreach { s =>
@@ -245,10 +268,8 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) {
     require(d.distinctCols.nonEmpty, "DistinctSketchView needs >= 1 distinct column")
     val m = base.meta
     val cur = m.currentSnapshot.getOrElse(return 0L)
-    val path = s"$viewsRoot/${d.name}"
-    val applied: Long =
-      if (!LakeTable.exists(path)) -1L
-      else LakeTable.metaAt(path).committedEpochs.foldLeft(-1L)(math.max)
+    val applied: Long = existingViewTable(d.name)
+      .map(_.meta.committedEpochs.foldLeft(-1L)(math.max)).getOrElse(-1L)
     if (applied >= cur.snapshotId) return 0L // up to date
     val from = m.snapshotById(applied)
     val floor = from.map(_.files.map(_.lsnMax).foldLeft(-1L)(math.max)).getOrElse(-1L)

@@ -35,8 +35,12 @@ object GraftParquetFilters {
     filters.flatMap(translate(_, byName)).reduceOption(FilterApi.and)
   }
 
-  private def translate(f: Filter,
-      byName: Map[String, ColSpec]): Option[FilterPredicate] = f match {
+  /** `exact = true` forbids the partial-And relaxation: under a Not, a
+    * SUPERSET child predicate would negate into a SUBSET — which prunes row
+    * groups that contain matching rows. Everywhere else supersets are safe
+    * (they only weaken pruning) and propagate soundly through And and Or. */
+  private def translate(f: Filter, byName: Map[String, ColSpec],
+      exact: Boolean = false): Option[FilterPredicate] = f match {
     case EqualTo(a, v) if v != null => leaf(a, byName)("eq", v)
     case EqualNullSafe(a, v) if v != null => leaf(a, byName)("eq", v)
     case GreaterThan(a, v) if v != null => leaf(a, byName)("gt", v)
@@ -48,15 +52,17 @@ object GraftParquetFilters {
     case In(a, vs) if vs.nonEmpty && vs.length <= 20 && !vs.contains(null) =>
       val eqs = vs.toSeq.map(v => leaf(a, byName)("eq", v))
       if (eqs.forall(_.isDefined)) eqs.flatten.reduceOption(FilterApi.or) else None
-    case And(l, r) => // partial And is sound: and(a,b) ⊇ a
-      (translate(l, byName), translate(r, byName)) match {
+    case And(l, r) => // partial And is sound (superset) — unless exactness is required
+      (translate(l, byName, exact), translate(r, byName, exact)) match {
         case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case _ if exact => None
         case (a, b) => a.orElse(b)
       }
     case Or(l, r) => // partial Or is NOT sound — both sides or nothing
-      for (a <- translate(l, byName); b <- translate(r, byName))
+      for (a <- translate(l, byName, exact); b <- translate(r, byName, exact))
         yield FilterApi.or(a, b)
-    case Not(c) => translate(c, byName).map(FilterApi.not) // leaf-exact, so sound
+    case Not(c) => // negation flips super/subset — child must translate exactly
+      translate(c, byName, exact = true).map(FilterApi.not)
     case _ => None
   }
 

@@ -55,10 +55,8 @@ object GraftProcedures {
           "comma-separated data columns to Z-order cluster by (exclusive with sort_by)")),
       new StructType().add("files_removed", IntegerType, nullable = false),
       (wh, input) => {
-        def csv(i: Int) = input.getUTF8String(i).toString
-          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val n = table(wh, input)
-          .compact(input.getLong(1), input.getInt(2), csv(3), csv(4))
+          .compact(input.getLong(1), input.getInt(2), csv(input, 3), csv(input, 4))
         Array[InternalRow](new GenericInternalRow(Array[Any](n)))
       }, warehouse)
     case "vacuum" => Proc(
@@ -181,10 +179,15 @@ object GraftProcedures {
       (wh, input) => {
         val (ns, _) = nsTable(input)
         val view = input.getUTF8String(1).toString
-        val existed = table(wh, input).dropMaintainedView(view)
-        if (existed) // only a view's own artifact, never an unrelated table
-          LakeTable.deleteRecursively(
-            java.nio.file.Paths.get(wh, ns, view))
+        val t = table(wh, input)
+        val existed = t.dropMaintainedView(view)
+        // delete only the view's OWN artifact (ownership-stamped table id) —
+        // never an unrelated table that happens to hold the name
+        val path = java.nio.file.Paths.get(wh, ns, view)
+        if (existed && LakeTable.exists(path.toString) &&
+            LakeTable.metaAt(path.toString).tableId ==
+              ViewMaintainer.viewTableId(t.meta.tableId, view))
+          LakeTable.deleteRecursively(path)
         Array[InternalRow](new GenericInternalRow(Array[Any](existed)))
       }, warehouse)
     case other =>

@@ -36,6 +36,11 @@ class SqlRowGroupSkipSpec extends SparkTestBase {
     assert(GraftParquetFilters.build(Seq(IsNotNull("lang2")), cols)
       .exists(_.toString.toLowerCase.contains("noteq(lang, null)")))
     assert(GraftParquetFilters.build(Seq(EqualTo("missing", 1L)), cols).isEmpty)
+    // Not over a PARTIAL And would negate a superset into a subset — drop it;
+    // Not over an exactly-translated child stays sound
+    assert(GraftParquetFilters.build(
+      Seq(Not(And(EqualTo("n", 1L), GreaterThan("size", 5L)))), cols).isEmpty)
+    assert(GraftParquetFilters.build(Seq(Not(EqualTo("n", 1L))), cols).isDefined)
   }
 
   test("a narrow range reads only its row groups — through BOTH the row and vectorized readers") {

@@ -89,6 +89,12 @@ class SqlViewsSpec extends SparkTestBase {
         "group_by => 'grp', kind => 'distinct_sketch')"))
     assert(noAgg.getMessage.contains("distinct column"))
 
+    // distinct aliases also claim '<alias>_hll' — collisions must be rejected
+    val hllClash = intercept[Exception](spark.sql(
+      "CALL g20.system.create_view(table => 'org.t', view => 'v4', " +
+        "group_by => 'grp', kind => 'distinct_sketch', agg_by => 'k:x,v:x_hll')"))
+    assert(hllClash.getMessage.contains("duplicate output column"))
+
     spark.sql("CALL g20.system.refresh_views(table => 'org.t')")
     assert(spark.sql("SELECT * FROM g20.org.by_grp").count() == 2)
 
@@ -101,5 +107,28 @@ class SqlViewsSpec extends SparkTestBase {
       .head().getBoolean(0))
     assert(spark.sql("CALL g20.system.refresh_views(table => 'org.t')")
       .count() == 0)
+  }
+
+  test("a user table squatting a declared view's name is never overwritten or deleted") {
+    setupCatalog("g22")
+    spark.sql("CREATE NAMESPACE g22.org")
+    spark.sql("CREATE TABLE g22.org.t (k STRING, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k','buckets'='2')")
+    spark.sql("INSERT INTO g22.org.t VALUES ('a','x',1)")
+    spark.sql("CALL g22.system.create_view(table => 'org.t', " +
+      "view => 'squat', group_by => 'grp')")
+    // a REAL table lands on the view's name before the first refresh —
+    // refresh must refuse (ownership id mismatch), never replace() over it
+    spark.sql("CREATE TABLE g22.org.squat (id STRING, payload STRING) " +
+      "TBLPROPERTIES ('keys'='id','buckets'='2')")
+    spark.sql("INSERT INTO g22.org.squat VALUES ('u1','precious')")
+    val e = intercept[Exception](
+      spark.sql("CALL g22.system.refresh_views(table => 'org.t')"))
+    assert(e.getMessage.contains("refusing"), e.getMessage)
+    // drop_view removes the definition but must NOT delete the user's table
+    assert(spark.sql("CALL g22.system.drop_view(table => 'org.t', view => 'squat')")
+      .head().getBoolean(0))
+    assert(spark.sql("SELECT payload FROM g22.org.squat")
+      .head().getString(0) == "precious")
   }
 }
