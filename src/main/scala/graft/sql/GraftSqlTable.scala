@@ -562,12 +562,21 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
+  /** Runtime IN filters kept for the per-file parquet predicates: beyond
+    * whole-file pruning, the surviving files' readers get an eq-or-chain so
+    * row-group stats and the key-column BLOOM filters skip inside files —
+    * a broadcast join's build keys become point lookups down to the row
+    * group. Capped (the translator drops INs over 20 values) — dropping
+    * only costs I/O, Spark's join re-applies the semantics. */
+  private var runtimeIn: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty
+
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     predicates.foreach { p =>
       GraftScanBuilder.inPredicate(p).foreach { case (attr, values) =>
         val before = selected.size
         selected = GraftScanBuilder.pruneFilesIn(meta, schemaId, selected, attr, values)
         runtimeSkipped += before - selected.size
+        runtimeIn :+= org.apache.spark.sql.sources.In(attr, values.toArray)
       }
     }
 
@@ -650,10 +659,11 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
         c.storedName == c.outName && c.storedTypeJson == c.outTypeJson &&
           GraftScan.vectorizable(c.outTypeJson)
       }
-      // residual predicates translated to THIS file's stored names/types:
-      // parquet-mr drops row groups by stats before decoding a page, which
-      // is what makes sortBy/zOrderBy clustering effective inside a file
-      val pred = GraftParquetFilters.build(residualFilters, cols.toSeq)
+      // residual + runtime-join predicates translated to THIS file's stored
+      // names/types: parquet-mr drops row groups by stats/blooms before
+      // decoding a page, which is what makes sortBy/zOrderBy clustering
+      // effective inside a file
+      val pred = GraftParquetFilters.build(residualFilters ++ runtimeIn, cols.toSeq)
       GraftInputPartition(s"$root/${f.path}", cols, columnar, f.bucket, pred)
     }.toArray
   }

@@ -128,4 +128,24 @@ class RuntimeFilterSpec extends SparkTestBase {
     val and = new Predicate("AND", Array[Expression](in, eq))
     assert(GraftScanBuilder.inPredicate(and).isEmpty)
   }
+
+  test("runtime IN keys land in the per-file parquet predicates (row-group/bloom point lookups)") {
+    val cat = setupCatalog("rtf3")
+    val t = cat.createTable("ns", "t", factSchema, Seq("id"), numBuckets = 4)
+    import org.apache.spark.sql.functions._
+    t.merge((0L until 40L).toDF("id").withColumn("payload", lit("p"))
+      .withColumn("lsn", col("id")).withColumn("op", lit("I")))
+    val m = t.meta
+    val scan = new GraftScan(t.root, m, m.currentSchemaId,
+      m.currentSnapshot.get.files, StructType(factSchema.fields), None, Seq.empty)
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    scan.filter(Array(new Predicate("IN", Array[Expression](
+      Expressions.column("id"),
+      Expressions.literal(5L), Expressions.literal(9L)))))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[GraftInputPartition])
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.pred.exists(_.toString.contains("id"))),
+      s"runtime IN keys missing from partition predicates: ${parts.map(_.pred).toSeq}")
+  }
 }
