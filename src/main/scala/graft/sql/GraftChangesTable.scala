@@ -365,7 +365,19 @@ class GraftChangesPartitionReader(p: GraftChangesPartition)
       fileSchema.getFields.asScala.filter(f => want.contains(f.getName)).asJava)
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projected.toString)
-    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
+    // lsn > floor as a parquet filter: append-path files are lsn-ordered, so
+    // their row groups carry narrow lsn stats — a catch-up feed over a big
+    // mixed file (lsnMin ≤ floor < lsnMax) decodes only the post-floor
+    // groups instead of scanning carry-over history. Merge-rewritten files
+    // interleave lsns (broad stats) and simply don't skip; the reader's own
+    // per-row floor check below stays as the exactness backstop either way.
+    val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
+    val floorPred = org.apache.parquet.filter2.predicate.FilterApi.gt(
+      org.apache.parquet.filter2.predicate.FilterApi.longColumn(LakeTable.LsnCol),
+      java.lang.Long.valueOf(p.lsnFloor))
+    (if (p.lsnFloor >= 0)
+       b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(floorPred))
+     else b).build()
   }
 
   private val upsert = UTF8String.fromString("upsert")

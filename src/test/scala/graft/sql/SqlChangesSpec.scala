@@ -58,6 +58,40 @@ class SqlChangesSpec extends SparkTestBase {
       .head().getLong(0) == 1)
   }
 
+  test("floor inside a multi-row-group append file: lsn filter skips history, feed stays exact") {
+    val cat = setupCatalog("ch9")
+    val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 1)
+    t.merge(batch((1L, "I", "seed", "p", "c", "scala", "s")), 0)
+    val s1 = t.meta.currentSnapshotId
+    // one big lsn-ordered append (many tiny row groups): a feed from s1 has
+    // floor = 1, and the file's lsnMax > floor — the mixed-file row path
+    // must emit EVERY row above the floor while the parquet lsn filter
+    // group-skips none of them (and the pre-floor... nothing here is below)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val (ob, op) = (hc.get("parquet.block.size"), hc.get("parquet.page.size"))
+    hc.setInt("parquet.block.size", 4096); hc.setInt("parquet.page.size", 1024)
+    try t.append(batch((2 to 2001).map(i =>
+        (i.toLong, "I", s"r$i", "p", "c", "scala", "v" * 64)): _*)
+      .select("repo", "path", "commit", "lang", "content", "lsn").coalesce(1))
+    finally {
+      if (ob != null) hc.set("parquet.block.size", ob) else hc.unset("parquet.block.size")
+      if (op != null) hc.set("parquet.page.size", op) else hc.unset("parquet.page.size")
+    }
+    val s2 = t.meta.currentSnapshotId
+    // second feed window starting MID-file: floor = 2001 sits inside the
+    // appended file's lsn range after one more commit
+    t.merge(batch((3000L, "U", "r500", "p", "c", "scala", "new")), 1)
+    val mid = spark.read.option("fromSnapshot", s1.toString)
+      .option("toSnapshot", s2.toString).table("ch9.ns.`t$changes`")
+    assert(mid.count() == 2000L) // every appended row, none lost to the filter
+    assert(mid.agg(org.apache.spark.sql.functions.min("_lsn")).head().getLong(0) == 2L)
+    val tail = spark.read.option("fromSnapshot", s2.toString)
+      .table("ch9.ns.`t$changes`").collect()
+      .map(x => (x.getAs[String]("repo"), x.getAs[Long]("_lsn"))).toSet
+    assert(tail == Set(("r500", 3000L)))
+  }
+
   test("feed scan prunes columns and vectorizes tombstone-free reads") {
     val cat = setupCatalog("ch3")
     val t = cat.createTable("ns", "t", CdcPipeline.baseTableSchema,
