@@ -77,6 +77,28 @@ object TextOps {
              |    list_filter(string_split(lower(text), ' '), x -> x <> ''))), ',')) AS token_set_digest
              |FROM documents""".stripMargin)),
 
+    // Deterministic stratified sampling — the training-data curation
+    // primitive: a stable arithmetic-hash threshold on the document id keeps
+    // an exact, REPRODUCIBLE ~10% of every stratum (re-running the pipeline,
+    // or running it on a different cluster, selects the same documents — a
+    // rand() sample can't be audited or diffed). Pure int arithmetic so the
+    // predicate is engine-neutral: the same expression IS the DuckDB oracle.
+    // The modulus bounds the product (100003 × 2654435761 ≪ 2^63): no
+    // overflow divergence between Spark's wrapping and DuckDB's checked
+    // multiplication at any doc_id.
+    OpQuery("q44_stratified_sample",
+      (s, d) => t(s, d, "documents")
+        .filter(pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L),
+          lit(1000000L)) < lit(100000L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("chars_sampled")),
+      Some("""SELECT lang, count(*) AS n_sampled,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+             |FROM documents
+             |WHERE ((doc_id % 100003) * 2654435761) % 1000000 < 100000
+             |GROUP BY 1""".stripMargin)),
+
     // A3 — ordered distinct string_agg per group (reference:
     // string_agg(DISTINCT ... ORDER BY ...), queries/dim_technicians.py:4-11).
     OpQuery("q12_string_agg_sorted",
