@@ -123,6 +123,28 @@ class SketchViewSpec extends SparkTestBase {
       "rollback must force a live-state rebuild, not keep the rolled-back value")
   }
 
+  test("floor snapshot expiry forces a live-state rebuild, then incremental resumes") {
+    val t = LakeTable.createOrReplace(spark, tmpDir("dsv7"), baseTableSchema,
+      ChangeEvent.keyCols, numBuckets = 4)
+    val vm = new ViewMaintainer(t, tmpDir("dsviews7"), Seq(
+      DistinctSketchView("repos_by_lang", Seq("lang"), Seq("repo" -> "repos"))))
+    mergeBatch(t, Seq(
+      (1L, "I", "r1", "p1", "c", "scala", "a"),
+      (2L, "I", "r2", "p2", "c", "scala", "b")), 0L)
+    vm.refreshAll()
+    mergeBatch(t, Seq((10L, "I", "r3", "p3", "c", "scala", "x")), 1L)
+    mergeBatch(t, Seq((11L, "I", "r4", "p4", "c", "scala", "y")), 2L)
+    t.expireSnapshots(keepLast = 1) // the view's floor snapshot is gone
+    vm.refreshAll() // must fall back to a full live-state rebuild
+    assert(estimates(vm, "repos_by_lang") == Map("scala" -> 4L))
+    // and incremental maintenance resumes from the rebuilt floor
+    mergeBatch(t, Seq((12L, "I", "r5", "p5", "c", "py", "z")), 3L)
+    val scanned = vm.refreshAll()("repos_by_lang")
+    assert(scanned < t.meta.currentSnapshot.get.files.size,
+      s"post-reset refresh should be incremental again, read $scanned files")
+    assert(estimates(vm, "repos_by_lang") == Map("scala" -> 4L, "py" -> 1L))
+  }
+
   test("replace() forces a rebuild: new-generation values observed despite sub-floor lsns") {
     import spark.implicits._
     val t = LakeTable.createOrReplace(spark, tmpDir("dsv6"), baseTableSchema,
