@@ -81,10 +81,23 @@ object CdcCli {
       }
       if (beat.isDefined) println(s"[stream] scheduled mode: beat=${beat.get}s (ctrl-c to stop)")
       val t0 = System.nanoTime()
+      // declared maintained views (CALL <cat>.system.create_view / the Scala
+      // API) refresh on every ingest commit — the reference runs its rollup
+      // refresh on the same cron beat as the sync. Materializations land as
+      // sibling lake tables of the target (= the namespace dir under a SQL
+      // warehouse).
+      val declaredViews = Option(table.meta.maintainedViews).filter(_.nonEmpty)
+        .map { defs =>
+          println(s"[stream] maintaining ${defs.size} declared view(s): " +
+            defs.map(_.name).mkString(", "))
+          graft.lake.ViewMaintainer.forTable(table,
+            java.nio.file.Paths.get(tableDir).toAbsolutePath.getParent.toString)
+        }
       CdcPipeline.run(spark, logDir, table, ckpt,
         lineageDir = Some(s"$tableDir/_lineage"),
         maxFilesPerTrigger = rest.drop(1).headOption.map(_.toInt),
         trigger = trigger,
+        views = declaredViews,
         compactEvery = rest.drop(3).headOption.map(_.toInt).getOrElse(0))
       val sec = (System.nanoTime() - t0) / 1e9
       val m = table.meta

@@ -159,6 +159,40 @@ class ViewsAndRepairSpec extends SparkTestBase {
     } finally { q.stop(); log.unpersist() }
   }
 
+  test("SQL-declared views refresh on the streaming ingest beat (forTable wiring)") {
+    val dir = tmpDir("declviews")
+    val t = LakeTable.createOrReplace(spark, s"$dir/t", baseTableSchema,
+      ChangeEvent.keyCols, numBuckets = 8)
+    t.createMaintainedView(MaintainedViewDef("by_lang", "rollup", Seq("lang")))
+    t.createMaintainedView(MaintainedViewDef("repos_by_lang", "distinct_sketch",
+      Seq("lang"), Seq(AggColDef("repo", "repos"))))
+    val cfg = GenConfig(numEvents = 2000, numRepos = 10, pathsPerRepo = 4,
+      commitsPerFile = 2, schemaBumps = Seq.empty)
+    val logDir = s"$dir/log"
+    CdcPipeline.envelopeDf(ChangeLogGen.generate(spark, cfg))
+      .write.parquet(logDir)
+    // the CLI `stream` wiring: declared views → ViewMaintainer.forTable on
+    // the table's parent dir, refreshed inside every foreachBatch commit
+    val vm = ViewMaintainer.forTable(t, dir)
+    CdcPipeline.run(spark, logDir, t, s"$dir/ckpt", views = Some(vm))
+    // rollup is retraction-exact vs a live recompute
+    val got = vm.table("by_lang").currentState()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = t.currentState().groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // the sketch view materialized too; feed-observed ⊇ live per lang
+    val sketch = vm.table("repos_by_lang").currentState()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val liveDistinct = t.currentState().groupBy(col("lang"))
+      .agg(countDistinct(col("repo")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(liveDistinct.keySet.subsetOf(sketch.keySet))
+    liveDistinct.foreach { case (lang, d) =>
+      assert(sketch(lang) >= d, s"$lang: observed ${sketch(lang)} < live $d")
+    }
+  }
+
   test("id-targeted repair re-syncs an explicit pending-key list") {
     val cfg = GenConfig(numEvents = 2000, numRepos = 8, pathsPerRepo = 4,
       commitsPerFile = 2, schemaBumps = Seq.empty)
