@@ -103,12 +103,22 @@ object ViewMaintainer {
 
   /** Maintainer over every SQL-declared view of `base`, materializing into
     * `viewsRoot` — for SQL views that is the base table's namespace
-    * directory, so refreshed views are directly SELECTable lake tables. */
+    * directory, so refreshed views are directly SELECTable lake tables.
+    * DYNAMIC: the declared set is re-read from table metadata on every
+    * refresh, so a long-running ingest stream sees `create_view` /
+    * `drop_view` issued while it runs (a snapshot taken at stream start
+    * would silently ignore new views and RESURRECT dropped ones — the
+    * bootstrap path recreates a missing materialization). */
   def forTable(base: LakeTable, viewsRoot: String): ViewMaintainer =
-    new ViewMaintainer(base, viewsRoot, base.meta.maintainedViews.map(specOf))
+    new ViewMaintainer(base, viewsRoot,
+      () => base.meta.maintainedViews.map(specOf))
 }
 
-class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) {
+class ViewMaintainer(base: LakeTable, viewsRoot: String,
+    defsFn: () => Seq[ViewSpec]) {
+  def this(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) =
+    this(base, viewsRoot, () => defs)
+
   private val spark = base.spark
 
   /** Deterministic id stamped on this base table's materializations: the
@@ -148,7 +158,7 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String, defs: Seq[ViewSpec]) {
     * base snapshot id. Returns data files READ from the base table per view
     * (the incremental-maintenance cost metric — ∝ batch for RollupView). */
   def refreshAll(epochId: Long = -1L): Map[String, Long] =
-    defs.map {
+    defsFn().map {
       case d: ViewDef => d.name -> refreshFull(d, epochId)
       case r: RollupView => r.name -> refreshRollup(r)
       case s: DistinctSketchView => s.name -> refreshDistinct(s)

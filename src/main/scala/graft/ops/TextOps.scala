@@ -82,10 +82,12 @@ object TextOps {
     // an exact, REPRODUCIBLE ~10% of every stratum (re-running the pipeline,
     // or running it on a different cluster, selects the same documents — a
     // rand() sample can't be audited or diffed). Pure int arithmetic so the
-    // predicate is engine-neutral: the same expression IS the DuckDB oracle.
-    // The modulus bounds the product (100003 × 2654435761 ≪ 2^63): no
-    // overflow divergence between Spark's wrapping and DuckDB's checked
-    // multiplication at any doc_id.
+    // predicate is engine-neutral — with BOTH divergence traps closed: the
+    // inner modulus bounds the product (100003 × 2654435761 ≪ 2^63, so
+    // Spark's wrapping and DuckDB's checked multiplication agree), and the
+    // oracle spells pmod as ((x % m) + m) % m because SQL's % keeps the
+    // dividend's sign while Spark's pmod is always non-negative — a bare %
+    // would sample EVERY negative doc_id on the DuckDB side.
     OpQuery("q44_stratified_sample",
       (s, d) => t(s, d, "documents")
         .filter(pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L),
@@ -96,7 +98,7 @@ object TextOps {
       Some("""SELECT lang, count(*) AS n_sampled,
              |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled
              |FROM documents
-             |WHERE ((doc_id % 100003) * 2654435761) % 1000000 < 100000
+             |WHERE (((doc_id % 100003) + 100003) % 100003 * 2654435761) % 1000000 < 100000
              |GROUP BY 1""".stripMargin)),
 
     // A3 — ordered distinct string_agg per group (reference:

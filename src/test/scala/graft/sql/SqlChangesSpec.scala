@@ -79,17 +79,30 @@ class SqlChangesSpec extends SparkTestBase {
       if (op != null) hc.set("parquet.page.size", op) else hc.unset("parquet.page.size")
     }
     val s2 = t.meta.currentSnapshotId
-    // second feed window starting MID-file: floor = 2001 sits inside the
-    // appended file's lsn range after one more commit
-    t.merge(batch((3000L, "U", "r500", "p", "c", "scala", "new")), 1)
     val mid = spark.read.option("fromSnapshot", s1.toString)
       .option("toSnapshot", s2.toString).table("ch9.ns.`t$changes`")
     assert(mid.count() == 2000L) // every appended row, none lost to the filter
     assert(mid.agg(org.apache.spark.sql.functions.min("_lsn")).head().getLong(0) == 2L)
+
+    // the scenario the lsn group-skip exists for: an overlap-REDELIVERY
+    // append (ST3) whose single lsn-ordered multi-group file STRADDLES the
+    // feed's floor (2001) — groups wholly at-or-under the floor are
+    // stats-skippable, the straddling group must survive, and the feed must
+    // emit exactly the post-floor rows
+    val (ob2, op2) = (hc.get("parquet.block.size"), hc.get("parquet.page.size"))
+    hc.setInt("parquet.block.size", 4096); hc.setInt("parquet.page.size", 1024)
+    try t.append(batch((1800 to 2801).map(i => // 1800..2001 redelivered
+        (i.toLong, "I", s"r$i", "p", "c", "scala", "v" * 64)): _*)
+      .select("repo", "path", "commit", "lang", "content", "lsn").coalesce(1))
+    finally {
+      if (ob2 != null) hc.set("parquet.block.size", ob2) else hc.unset("parquet.block.size")
+      if (op2 != null) hc.set("parquet.page.size", op2) else hc.unset("parquet.page.size")
+    }
     val tail = spark.read.option("fromSnapshot", s2.toString)
-      .table("ch9.ns.`t$changes`").collect()
-      .map(x => (x.getAs[String]("repo"), x.getAs[Long]("_lsn"))).toSet
-    assert(tail == Set(("r500", 3000L)))
+      .table("ch9.ns.`t$changes`")
+    assert(tail.count() == 800L) // 2002..2801 — boundary group kept exactly
+    assert(tail.agg(org.apache.spark.sql.functions.min("_lsn")).head().getLong(0) == 2002L)
+    assert(tail.agg(org.apache.spark.sql.functions.max("_lsn")).head().getLong(0) == 2801L)
   }
 
   test("feed scan prunes columns and vectorizes tombstone-free reads") {
