@@ -65,7 +65,15 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long],
     else None
   override def properties(): util.Map[String, String] =
     Map("location" -> root, "format" -> "graft-lake",
-      "snapshot-id" -> snap.map(_.snapshotId.toString).getOrElse("-")).asJava
+      "snapshot-id" -> snap.map(_.snapshotId.toString).getOrElse("-"),
+      // the operational facts a SQL-only operator needs from
+      // SHOW TBLPROPERTIES / DESCRIBE EXTENDED, no Scala API required
+      "keys" -> meta.keyCols.mkString(","),
+      "buckets" -> meta.numBuckets.toString,
+      "lsn-high-water" -> meta.lsnHighWater.toString,
+      "vacuum-lsn" -> meta.vacuumLsn.toString,
+      "maintained-views" -> meta.maintainedViews
+        .map(v => s"${v.name}(${v.kind})").mkString(",")).asJava
   override def capabilities(): util.Set[TableCapability] =
     if (cdcWrite)
       // the `t$cdc` write view accepts feed-shaped rows (data columns +

@@ -29,6 +29,14 @@ class SqlViewsSpec extends SparkTestBase {
       "view => 'lang_repos', group_by => 'lang', kind => 'distinct_sketch', " +
       "agg_by => 'repo:repos')")
 
+    // declared views (and the table's operational facts) surface through
+    // plain SHOW TBLPROPERTIES — no Scala API needed to inspect a table
+    val props = spark.sql("SHOW TBLPROPERTIES g19.org.files")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("keys") == "repo,path,commit" && props("buckets") == "4")
+    assert(props("maintained-views") ==
+      "lang_stats(rollup),lang_repos(distinct_sketch)")
+
     val refreshed = spark.sql("CALL g19.system.refresh_views(table => 'org.files')")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(refreshed.keySet == Set("lang_stats", "lang_repos"))
