@@ -103,7 +103,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * (Iceberg-style suffix addressing; backquote in SQL:
     * FROM graftsql.ns.`t$changes`, toTable("graftsql.ns.`t$cdc`")). */
   private val metaSuffixes = Seq(GraftChangesTable.Suffix, GraftSqlTable.CdcSuffix,
-    GraftMetaTables.SnapshotsSuffix, GraftMetaTables.FilesSuffix)
+    GraftMetaTables.SnapshotsSuffix, GraftMetaTables.FilesSuffix,
+    GraftMetaTables.ViewsSuffix)
 
   private def baseName(ident: Identifier): String =
     metaSuffixes.foldLeft(ident.name)(_ stripSuffix _)
@@ -116,9 +117,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else if (ident.name.endsWith(GraftSqlTable.CdcSuffix))
       new GraftSqlTable(path, ident.toString, snapshotId = None, cdcWrite = true)
     else if (ident.name.endsWith(GraftMetaTables.SnapshotsSuffix))
-      new GraftMetaTable(path, ident.toString, files = false)
+      new GraftMetaTable(path, ident.toString, kind = "snapshots")
     else if (ident.name.endsWith(GraftMetaTables.FilesSuffix))
-      new GraftMetaTable(path, ident.toString, files = true)
+      new GraftMetaTable(path, ident.toString, kind = "files")
+    else if (ident.name.endsWith(GraftMetaTables.ViewsSuffix))
+      new GraftMetaTable(path, ident.toString, kind = "views")
     else new GraftSqlTable(path, ident.toString, snapshotId = None)
   }
 

@@ -27,6 +27,7 @@ import graft.lake.{LakeTable, TableMeta}
 object GraftMetaTables {
   val SnapshotsSuffix = "$snapshots"
   val FilesSuffix = "$files"
+  val ViewsSuffix = "$views"
 
   val snapshotsSchema: StructType = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -54,6 +55,41 @@ object GraftMetaTables {
     StructField("has_tombstones", BooleanType, nullable = false),
     StructField("col_mins", MapType(StringType, StringType), nullable = false),
     StructField("col_maxs", MapType(StringType, StringType), nullable = false)))
+
+  /** `t$views`: the table's declared maintained views with their refresh
+    * state — definition columns straight from metadata, `materialized` /
+    * `refreshed_to_snapshot` from the (ownership-verified) view table's own
+    * ledger. `refreshed_to_snapshot < current_snapshot` = the view is stale
+    * and the next `refresh_views` will catch it up. */
+  val viewsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("group_cols", StringType, nullable = false),
+    StructField("agg_cols", StringType, nullable = false), // src:alias csv
+    StructField("count_alias", StringType, nullable = false),
+    StructField("lg_k", IntegerType, nullable = false),
+    StructField("materialized", BooleanType, nullable = false),
+    StructField("refreshed_to_snapshot", LongType, nullable = false), // -1 = never
+    StructField("current_snapshot", LongType, nullable = false)))
+
+  def viewRows(m: TableMeta, root: String): Seq[InternalRow] = {
+    val parent = java.nio.file.Paths.get(root).toAbsolutePath.getParent
+    m.maintainedViews.map { v =>
+      val path = parent.resolve(v.name).toString
+      val owned = LakeTable.exists(path) &&
+        LakeTable.metaAt(path).tableId ==
+          graft.lake.ViewMaintainer.viewTableId(m.tableId, v.name)
+      val refreshedTo =
+        if (owned) LakeTable.metaAt(path).committedEpochs.foldLeft(-1L)(math.max)
+        else -1L
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(v.name), UTF8String.fromString(v.kind),
+        UTF8String.fromString(v.groupCols.mkString(",")),
+        UTF8String.fromString(v.aggCols.map(a => s"${a.src}:${a.alias}").mkString(",")),
+        UTF8String.fromString(v.countAlias), v.lgK,
+        owned, refreshedTo, m.currentSnapshotId))
+    }
+  }
 
   def snapshotRows(m: TableMeta): Seq[InternalRow] = {
     val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
@@ -87,11 +123,14 @@ object GraftMetaTables {
     }
 }
 
-class GraftMetaTable(root: String, displayName: String, files: Boolean)
+class GraftMetaTable(root: String, displayName: String, kind: String)
     extends Table with SupportsRead {
   override def name(): String = displayName
-  override def schema(): StructType =
-    if (files) GraftMetaTables.filesSchema else GraftMetaTables.snapshotsSchema
+  override def schema(): StructType = kind match {
+    case "files" => GraftMetaTables.filesSchema
+    case "views" => GraftMetaTables.viewsSchema
+    case _ => GraftMetaTables.snapshotsSchema
+  }
   override def partitioning(): Array[Transform] = Array.empty
   override def properties(): util.Map[String, String] =
     Map("location" -> root, "format" -> "graft-lake-meta").asJava
@@ -105,9 +144,11 @@ class GraftMetaTable(root: String, displayName: String, files: Boolean)
     () => {
       val m = LakeTable.metaAt(root)
       val out = schema()
-      val data =
-        (if (files) GraftMetaTables.fileRows(m) else GraftMetaTables.snapshotRows(m))
-          .toArray
+      val data = (kind match {
+        case "files" => GraftMetaTables.fileRows(m)
+        case "views" => GraftMetaTables.viewRows(m, root)
+        case _ => GraftMetaTables.snapshotRows(m)
+      }).toArray
       new LocalScan {
         override def readSchema(): StructType = out
         override def rows(): Array[InternalRow] = data

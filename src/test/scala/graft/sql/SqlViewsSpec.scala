@@ -37,9 +37,23 @@ class SqlViewsSpec extends SparkTestBase {
     assert(props("maintained-views") ==
       "lang_stats(rollup),lang_repos(distinct_sketch)")
 
+    // $views metadata table: definitions visible, nothing materialized yet
+    def viewsMeta() = spark.sql("SELECT * FROM g19.org.`files$views`")
+      .collect().map(r => r.getAs[String]("name") ->
+        ((r.getAs[String]("kind"), r.getAs[Boolean]("materialized"),
+          r.getAs[Long]("refreshed_to_snapshot"), r.getAs[Long]("current_snapshot"))))
+      .toMap
+    val before = viewsMeta()
+    assert(before("lang_stats") == (("rollup", false, -1L, before("lang_stats")._4)))
+    assert(before("lang_repos")._1 == "distinct_sketch" && !before("lang_repos")._2)
+
     val refreshed = spark.sql("CALL g19.system.refresh_views(table => 'org.files')")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(refreshed.keySet == Set("lang_stats", "lang_repos"))
+    // ...and fully caught up afterwards
+    viewsMeta().foreach { case (n, (_, mat, to, cur)) =>
+      assert(mat && to == cur, s"$n not caught up: refreshed_to=$to current=$cur")
+    }
 
     def rollup() = spark.sql(
       "SELECT lang, n, total_size FROM g19.org.lang_stats")
