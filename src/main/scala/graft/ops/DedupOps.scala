@@ -82,36 +82,9 @@ object DedupOps {
     // the scale path is q27's MinHash+LSH whose recall is measured against
     // this in DedupSpec).
     OpQuery("q21_dedup_jaccard_pairs",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"),
-            array_distinct(tokens(col("text"))).as("toks"))
-          .withColumn("n", size(col("toks")).cast("long"))
-        assertReferenceScale(docs, "q21_dedup_jaccard_pairs (all-pairs exact)",
-          "q27_dedup_minhash_lsh")
-        // The corpus side is broadcast (a reference-scale corpus is by
-        // definition small); the probe side is SPREAD to the cluster's
-        // parallelism first — the source is typically one small file = one
-        // scan split, and a lang-keyed shuffle join would cap the all-pairs
-        // probe at |langs| busy tasks either way. With the broadcast +
-        // spread probe, every core verifies a slice of pairs in one
-        // codegen'd stage.
-        val a = spread(docs)
-          .select(col("lang"), col("doc_id").as("id_a"),
-            col("toks").as("toks_a"), col("n").as("n_a"))
-        val b = docs.select(col("lang"), col("doc_id").as("id_b"),
-          col("toks").as("toks_b"), col("n").as("n_b"))
-        a.join(broadcast(b), Seq("lang")).filter(col("id_a") < col("id_b"))
-          // size-ratio prefilter, result-preserving: J = |∩|/|∪| ≤ min/max,
-          // so J(rounded to 6dp) ≥ 0.8 forces min/max ≥ 0.7999995 — the
-          // cheap integer compare skips the hash-set Jaccard for the bulk
-          // of pairs (799999/1e6 leaves slack for the rounding)
-          .filter(least(col("n_a"), col("n_b")) * 1000000L >=
-            greatest(col("n_a"), col("n_b")) * 799999L)
-          .withColumn("jac", round(jaccard(col("toks_a"), col("toks_b")), 6))
-          .filter(col("jac") >= 0.8)
-          .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
-      },
+      (s, d) => exactJaccardPairs(t(s, d, "documents"), threshold = 0.8,
+        name = "q21_dedup_jaccard_pairs (all-pairs exact)",
+        scalePath = "q27_dedup_minhash_lsh"),
       Some("""SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
              |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
              |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jac
@@ -156,7 +129,153 @@ object DedupOps {
     // for hamming ≤ 3 (pigeonhole: ≤3 flipped blocks leave ≥1 key intact).
     OpQuery("q28_dedup_simhash",
       (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),
-      None))
+      None),
+
+    // Cluster resolution: near-dup PAIRS → dedup GROUPS. Pairwise similarity
+    // is not transitive, so a production dedup keeps one document per
+    // CONNECTED COMPONENT of the pair graph (the MinHashLSH→CC shape every
+    // web-scale corpus dedup ships). Edges here are q21's exact Jaccard
+    // pairs (deterministic in both engines → full oracle; at corpus scale
+    // the edge feed is q27/q40's LSH pairs — same downstream CC). Canonical
+    // survivor = min doc_id of the component. Singleton documents (no pair)
+    // are not emitted: the keep-set is `docs ∖ {non-canonical members}`.
+    OpQuery("q45_dedup_clusters",
+      (s, d) => {
+        val pairs = exactJaccardPairs(t(s, d, "documents"), threshold = 0.8,
+          name = "q45_dedup_clusters (exact edge reference)",
+          scalePath = "q27_dedup_minhash_lsh + connectedComponents")
+        val cc = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        // cluster cardinality: tiny #clusters-sized agg, AQE broadcasts it
+        val sizes = cc.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, Seq("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, lang,
+             |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |        UNION SELECT id_b, id_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM und
+             |  UNION
+             |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a),
+             |labels AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+             |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+             |  l.doc_id = l.cluster_id AS is_canonical
+             |FROM labels l
+             |JOIN (SELECT cluster_id, count(*) AS cluster_size
+             |      FROM labels GROUP BY 1) s USING (cluster_id)""".stripMargin)))
+
+  /** Exact all-pairs unigram-set Jaccard near-dup pairs within a language —
+    * the small-scale reference (q21) and the deterministic edge feed for
+    * cluster resolution (q45).
+    *
+    * The corpus side is broadcast (a reference-scale corpus is by definition
+    * small); the probe side is SPREAD to the cluster's parallelism first —
+    * the source is typically one small file = one scan split, and a
+    * lang-keyed shuffle join would cap the all-pairs probe at |langs| busy
+    * tasks either way. With the broadcast + spread probe, every core
+    * verifies a slice of pairs in one codegen'd stage. Guarded by
+    * [[Tables.assertReferenceScale]]: beyond oracle scale the caller wants
+    * the bucketed LSH path. */
+  def exactJaccardPairs(docsIn: DataFrame, threshold: Double,
+      name: String, scalePath: String): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), col("lang"),
+        array_distinct(tokens(col("text"))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    assertReferenceScale(docs, name, scalePath)
+    val a = spread(docs)
+      .select(col("lang"), col("doc_id").as("id_a"),
+        col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = docs.select(col("lang"), col("doc_id").as("id_b"),
+      col("toks").as("toks_b"), col("n").as("n_b"))
+    // size-ratio prefilter, result-preserving: J = |∩|/|∪| ≤ min/max, so
+    // J(rounded to 6dp) ≥ t forces min/max ≥ t − 5e-7 — the cheap integer
+    // compare skips the hash-set Jaccard for the bulk of pairs (the −1
+    // leaves slack for the rounding)
+    val thrMicros = math.round(threshold * 1000000L) - 1L
+    a.join(broadcast(b), Seq("lang")).filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")) * 1000000L >=
+        greatest(col("n_a"), col("n_b")) * thrMicros)
+      .withColumn("jac", round(jaccard(col("toks_a"), col("toks_b")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Connected components over an undirected edge list — the cluster-
+    * resolution step that turns near-dup pairs into dedup groups. Returns
+    * `(id, component)` for every node that appears in an edge, where
+    * `component` = the minimum node id in that node's component.
+    *
+    * Algorithm: distributed min-label propagation with POINTER JUMPING.
+    * Each round, a node's label drops to the minimum of its own and its
+    * neighbors' labels (one shuffle join + one partial-agg'd groupBy), then
+    * labels are path-compressed through the label table itself
+    * (`label := label(label)`, one more join) — the compression is what
+    * turns O(diameter) rounds into O(log diameter), so a degenerate chain
+    * of length 10⁶ needs ~20 rounds, not 10⁶. Per-round lineage is
+    * truncated with an eager localCheckpoint (the standard iterative-
+    * DataFrame discipline; swap for reliable checkpoint() on a cluster) and
+    * the loop's only carried state is the nodes-sized (id, label) table —
+    * never the corpus.
+    *
+    * Convergence/correctness: labels start at `id` and never increase
+    * (min() only lowers them; the jump substitutes `label(label) ≤ label`),
+    * and every label is always the id of a node in the same component — so
+    * the label sum strictly decreases until fixpoint, and an unchanged sum
+    * IS the fixpoint. At fixpoint each edge's endpoints agree (the label is
+    * ≤ every neighbor's label in both directions), so labels are constant
+    * per component, and for the component minimum m: label(m) ≤ m and
+    * label(m) ∈ component ⇒ label(m) = m — the constant is the minimum. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    require(edges.columns.length == 2,
+      s"edges must have exactly two columns (src, dst), got ${edges.columns.mkString(",")}")
+    val e = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true) // probed every round
+    var cur = und.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    // exact fixpoint detector: decimal(38,0) sum cannot overflow or round
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var prevSum = labelSum(cur)
+    var it = 0
+    var converged = prevSum.signum == 0 && cur.isEmpty
+    while (!converged && it < maxIter) {
+      // the .as re-aliases mint fresh attribute ids: unioning a plan with a
+      // plan derived from itself must not share expression ids across the
+      // union's children (Catalyst constraint rewriting rejects it)
+      val nbr = und.join(cur, und("a") === cur("id"))
+        .select(col("b").as("id"), col("component").as("component"))
+      val merged = cur.select(col("id").as("id"), col("component").as("component"))
+        .unionByName(nbr)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+      val jumped = merged.as("m")
+        .join(merged.select(col("id").as("cid"), col("component").as("ccomp")).as("c"),
+          col("m.component") === col("c.cid"), "left")
+        .select(col("m.id").as("id"),
+          coalesce(col("ccomp"), col("m.component")).as("component"))
+      val next = jumped.localCheckpoint(true)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      cur = next; prevSum = nextSum; it += 1
+    }
+    require(converged || it < maxIter,
+      s"connectedComponents did not converge in $maxIter rounds")
+    cur
+  }
 
   /** MinHash+LSH pipeline (reused by queries and DedupSpec).
     *

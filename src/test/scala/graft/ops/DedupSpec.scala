@@ -121,4 +121,63 @@ class DedupSpec extends SparkTestBase {
   }
 
   private def SparkEntry_queriesHelper(name: String) = graft.SparkEntry.queries(name)
+
+  /** Local union-find — the ground-truth oracle for connectedComponents. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents ≡ local union-find on a mixed synthetic graph") {
+    // deterministic mix: two chains, a clique, a star, bridged pairs, self-loop
+    val edges: Seq[(Long, Long)] =
+      (0L until 9L).map(i => (i, i + 1)) ++                    // chain 0..9
+      (20L until 24L).flatMap(a => (a + 1 to 24L).map((a, _))) ++ // clique 20..24
+      Seq((30L, 31L), (30L, 32L), (30L, 33L)) ++               // star at 30
+      Seq((40L, 41L), (41L, 9L)) ++                            // bridge into chain
+      Seq((50L, 50L))                                          // self-loop only
+    val df = edges.toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(edges.filter(e => e._1 != e._2))
+    assert(got == want, s"CC mismatch: got $got want $want")
+    // self-loop-only node is dropped (no real edge), chain+bridge is one component
+    assert(!got.contains(50L) && got(41L) == 0L && got(24L) == 20L)
+  }
+
+  test("connectedComponents: pointer jumping converges on a 512-node chain") {
+    // diameter 511 — pure label propagation needs 511 rounds; pointer
+    // jumping must close it within the default budget (~log2 rounds)
+    val chain = (0L until 511L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = DedupOps.connectedComponents(chain, maxIter = 20)
+    assert(got.agg(max(col("component"))).head.getLong(0) == 0L,
+      "chain did not collapse to the single min-labeled component")
+    assert(got.count() == 512)
+  }
+
+  test("q45 clusters: members pair-connected, canonical = min id, sizes consistent") {
+    val out = SparkEntry_queriesHelper("q45_dedup_clusters")(spark, dir).collect()
+    assert(out.nonEmpty, "no near-dup clusters at sf0.001 — recalibrate")
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_.getLong(0)).min == cid, s"canonical of $cid is not the min id")
+      assert(rows.forall(_.getLong(2) == rows.length), s"cluster_size wrong for $cid")
+      assert(rows.count(_.getBoolean(3)) == 1, s"exactly one canonical in $cid")
+    }
+    // every q21 pair landed in the same cluster (edges ⊆ components)
+    val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SparkEntry_queriesHelper("q21_dedup_jaccard_pairs")(spark, dir)
+      .select("id_a", "id_b").collect().foreach { r =>
+        assert(label(r.getLong(0)) == label(r.getLong(1)),
+          s"pair (${r.getLong(0)},${r.getLong(1)}) split across clusters")
+      }
+  }
 }
