@@ -157,5 +157,98 @@ object TextOps {
         LangId.predict(col("text")).as("predicted_lang")),
       Some(s"""SELECT doc_id, lang AS labeled_lang,
               |  ${LangId.predictSql("text")} AS predicted_lang
-              |FROM documents""".stripMargin)))
+              |FROM documents""".stripMargin)),
+
+    // Benchmark DECONTAMINATION — the eval-leak scan every training-data
+    // pipeline runs before a corpus ships: flag training documents sharing
+    // any word 8-gram with a held-out benchmark set. The benchmark here is
+    // a deterministic slice (doc_id % 97 = 0) and contamination is INJECTED
+    // (one synthetic doc per benchmark doc quoting its first 12 tokens
+    // under id+2,000,000), so the detector has planted positives in both
+    // engines. Scale shape: the benchmark n-gram table is tiny by
+    // definition → broadcast hash join against the corpus n-gram explode,
+    // counts partial-agg'd per doc — corpus-sized scan, no corpus shuffle
+    // beyond the per-doc count.
+    OpQuery("q46_decontamination",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        val quotes = bench.select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("text")).unionByName(quotes)
+        def grams(df: org.apache.spark.sql.DataFrame, idAs: String) = df.select(
+          col("doc_id").as(idAs),
+          explode(array_distinct(DedupOps.shingles(col("text"), 8))).as("gram"))
+        grams(corpus, "doc_id")
+          .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("gram")).as("n_hit_ngrams"),
+            count_distinct(col("bench_id")).as("n_bench_docs"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, array_to_string(string_split(text, ' ')[1:12], ' ')
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |cg AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_transform(generate_series(1, len(tk) - 7),
+             |                i -> array_to_string(tk[i:i+7], ' ')) END)) AS gram
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             |        FROM corpus)),
+             |bg AS (
+             |  SELECT doc_id AS bench_id, unnest(list_distinct(
+             |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_transform(generate_series(1, len(tk) - 7),
+             |                i -> array_to_string(tk[i:i+7], ' ')) END)) AS gram
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             |        FROM documents WHERE doc_id % 97 = 0))
+             |SELECT cg.doc_id, count(DISTINCT cg.gram) AS n_hit_ngrams,
+             |  count(DISTINCT bg.bench_id) AS n_bench_docs
+             |FROM cg JOIN bg USING (gram) GROUP BY 1""".stripMargin)),
+
+    // Repetition-quality metrics (the Gopher-style repetition filters):
+    // duplicate-token fraction and duplicate-trigram fraction per document,
+    // plus the keep/drop flag. Pure Column over per-row arrays — zero
+    // shuffle, corpus-scan cost, embarrassingly parallel at 100 TB.
+    OpQuery("q47_repetition_quality",
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        val tris = DedupOps.shingles(col("text"), 3)
+        val nTok = size(toks).cast("long")
+        val nDTok = size(array_distinct(toks)).cast("long")
+        val nTri = size(tris).cast("long")
+        val nDTri = size(array_distinct(tris)).cast("long")
+        val dupTokFrac = round(lit(1.0) - nDTok / nTok, 6)
+        val dupTriFrac = round(lit(1.0) - nDTri / nTri, 6)
+        t(s, d, "documents").select(
+          col("doc_id"),
+          nTok.as("n_tokens"), nDTok.as("n_distinct_tokens"),
+          dupTokFrac.as("dup_token_frac"),
+          nTri.as("n_trigrams"), nDTri.as("n_distinct_trigrams"),
+          dupTriFrac.as("dup_trigram_frac"),
+          (dupTriFrac < 0.05).as("passes_repetition"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, len(tk) AS n_tokens,
+             |    len(list_distinct(tk)) AS n_distinct_tokens,
+             |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_transform(generate_series(1, len(tk) - 2),
+             |                i -> array_to_string(tk[i:i+2], ' ')) END AS tris
+             |  FROM g)
+             |SELECT doc_id, n_tokens, n_distinct_tokens,
+             |  round(1.0 - n_distinct_tokens / n_tokens, 6) AS dup_token_frac,
+             |  len(tris) AS n_trigrams, len(list_distinct(tris)) AS n_distinct_trigrams,
+             |  round(1.0 - len(list_distinct(tris)) / len(tris), 6) AS dup_trigram_frac,
+             |  round(1.0 - len(list_distinct(tris)) / len(tris), 6) < 0.05 AS passes_repetition
+             |FROM m""".stripMargin)))
 }

@@ -29,6 +29,38 @@ class OpsSmokeSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("decontamination flags every planted benchmark quote") {
+    import org.apache.spark.sql.functions._
+    val hits = SparkEntry.queries("q46_decontamination")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val benchIds = Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 97 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(benchIds.nonEmpty)
+    benchIds.foreach { b =>
+      val quote = b + 2000000L
+      assert(hits.contains(quote), s"planted quote doc $quote not flagged")
+      val (grams, docs) = hits(quote)
+      assert(grams >= 1 && grams <= 5, s"quote $quote: expected 1..5 shared 8-grams, got $grams")
+      assert(docs >= 1, s"quote $quote matched no benchmark doc")
+    }
+  }
+
+  test("repetition metrics: fractions bounded, flag consistent with threshold") {
+    val rows = SparkEntry.queries("q47_repetition_quality")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nDTok) = (r.getLong(1), r.getLong(2))
+      val dupTok = r.getDouble(3); val dupTri = r.getDouble(6)
+      assert(nDTok <= nTok && nDTok > 0)
+      assert(dupTok >= 0.0 && dupTok <= 1.0 && dupTri >= 0.0 && dupTri <= 1.0)
+      assert(r.getBoolean(7) == (dupTri < 0.05), s"flag/threshold mismatch at ${r.getLong(0)}")
+    }
+    // the metric must discriminate: the synthetic corpus is low-vocab, so
+    // duplicate tokens must exist somewhere without saturating everywhere
+    assert(rows.exists(_.getDouble(3) > 0.0) && rows.exists(_.getDouble(6) < 1.0))
+  }
+
   test("batched decode plumbing: per-partition codec, typed output, deterministic") {
     import org.apache.spark.sql.functions._
     val assets = Tables.t(spark, dir, "documents")
