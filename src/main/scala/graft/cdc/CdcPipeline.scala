@@ -106,11 +106,13 @@ object CdcPipeline {
   case class BatchStats(
       perBucket: Map[Int, (Long, Long, Long)], // bucket -> (rows, lsnMin, lsnMax)
       hist: KeyHistogram,
-      maxSchemaVersion: Int) {
+      maxSchemaVersion: Int,
+      invalidRows: Long = 0L) {
     def isEmpty: Boolean = perBucket.isEmpty
   }
 
-  def batchStats(batch: DataFrame, bucket: Column): BatchStats = {
+  def batchStats(batch: DataFrame, bucket: Column,
+      invalid: Column = lit(false)): BatchStats = {
     val sv = if (batch.columns.contains("schema_version")) col("schema_version")
       else lit(1)
     // Two-level aggregation: per (bucket, key) first — its partial (map-side)
@@ -118,24 +120,42 @@ object CdcPipeline {
     // is a 64-bit hash, NOT the string triple: the histogram is advisory
     // (salt sizing + skew metrics), a ~zero probability of hash collision is
     // fine, and fixed-width group keys shuffle ~4× fewer bytes and compare
-    // without string equality.
+    // without string equality. Malformed rows (per `invalid`) are routed to
+    // pseudo-bucket −1 IN THE SAME PASS — a valid batch pays nothing for
+    // quarantine detection, and the per-bucket stats that feed merge's
+    // precomputed plan never count rows that will be filtered out.
     val perKey = batch
-      .groupBy(bucket.as("__b"), xxhash64(ChangeEvent.keyCols.map(col): _*).as("__kh"))
-      .agg(count(lit(1)).as("c"), min(col("lsn")).as("mn"),
-        max(col("lsn")).as("mx"), max(sv).as("sv"))
+      .groupBy(when(invalid, lit(-1)).otherwise(bucket).as("__b"),
+        xxhash64(ChangeEvent.keyCols.map(col): _*).as("__kh"))
+      .agg(count(lit(1)).as("c"), min(coalesce(col("lsn"), lit(-1L))).as("mn"),
+        max(coalesce(col("lsn"), lit(-1L))).as("mx"), max(sv).as("sv"))
     val rows = perKey.groupBy(col("__b"))
       .agg(sum(col("c")).as("cnt"), count(lit(1)).as("keys"),
         max(col("c")).as("maxk"), min(col("mn")).as("mn"),
         max(col("mx")).as("mx"), max(col("sv")).as("sv"))
       .collect()
-    if (rows.isEmpty) return BatchStats(Map.empty, KeyHistogram(0, 0, 0), 1)
-    val perBucket = rows.map(r =>
+    val (bad, good) = rows.partition(_.getInt(0) == -1)
+    val invalidRows = bad.map(_.getLong(1)).sum
+    if (good.isEmpty)
+      return BatchStats(Map.empty, KeyHistogram(0, 0, 0), 1, invalidRows)
+    val perBucket = good.map(r =>
       r.getInt(0) -> (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
     val hist = KeyHistogram(
-      distinctKeys = rows.map(_.getLong(2)).sum, // each key lives in exactly one bucket
-      maxKeyCount = rows.map(_.getLong(3)).max,
-      totalRows = rows.map(_.getLong(1)).sum)
-    BatchStats(perBucket, hist, rows.map(_.getInt(6)).max)
+      distinctKeys = good.map(_.getLong(2)).sum, // each key lives in exactly one bucket
+      maxKeyCount = good.map(_.getLong(3)).max,
+      totalRows = good.map(_.getLong(1)).sum)
+    BatchStats(perBucket, hist, good.map(_.getInt(6)).max, invalidRows)
+  }
+
+  /** Why a change envelope cannot be applied (null = valid): a null lsn has
+    * no place in the LWW order, an unknown op has no merge action, a null
+    * key column cannot address a row. The predicate is cheap enough to ride
+    * the stats probe — see [[batchStats]]. */
+  def quarantineReason(keyCols: Seq[String] = ChangeEvent.keyCols): Column = {
+    val nullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+    when(col("lsn").isNull, "null_lsn")
+      .when(col("op").isNull || !col("op").isin("I", "U", "D"), "bad_op")
+      .when(nullKey, "null_key")
   }
 
   /** One micro-batch: evolve schema if the batch crosses a version bump →
@@ -148,7 +168,8 @@ object CdcPipeline {
       lineageDir: Option[String], salts: Int = 0,
       autoSaltThreshold: Long = 500000L,
       views: Option[ViewMaintainer] = None,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0,
+      quarantineDir: Option[String] = None): Unit = {
     val t0 = System.nanoTime()
     val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
     def phase[A](name: String)(f: => A): A = {
@@ -158,9 +179,27 @@ object CdcPipeline {
     }
     // ONE column-pruned probe pass per batch (was three in round 1: emptiness
     // + max schema_version, key histogram, per-bucket applied-stats inside
-    // merge). Everything driver-side decisions need comes out of it.
+    // merge). Everything driver-side decisions need comes out of it —
+    // including the malformed-row count (pseudo-bucket −1), so the common
+    // all-valid batch detects quarantine for free.
     val keyColsBefore = table.meta.keyCols
-    val stats = phase("stats")(batchStats(batch, table.bucketExpr(table.meta)))
+    val reason = quarantineReason()
+    val stats = phase("stats")(
+      batchStats(batch, table.bucketExpr(table.meta), invalid = reason.isNotNull))
+    // Dead-letter path: malformed envelopes either land in the quarantine
+    // sink (one idempotent overwrite per epoch — crash-replay safe) or fail
+    // the batch loudly. They are NEVER silently merged: a null key would
+    // address no row and a null lsn would corrupt the LWW order.
+    if (stats.invalidRows > 0) quarantineDir match {
+      case Some(dir) => phase("quarantine") {
+        batch.withColumn("q_reason", reason).filter(col("q_reason").isNotNull)
+          .write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
+      }
+      case None => throw new IllegalStateException(
+        s"${stats.invalidRows} malformed change event(s) in epoch $epochId " +
+          "and no quarantine sink configured (pass quarantineDir to dead-letter them)")
+    }
+    val cleanBatch = if (stats.invalidRows > 0) batch.filter(reason.isNull) else batch
     if (stats.isEmpty) return
     val versionBefore = versions.get(table.root)
     val planExhausted = evolution.isEmpty || versionBefore >= evolution.keys.max
@@ -180,8 +219,8 @@ object CdcPipeline {
       if (salts > 1) salts
       else hist.saltsFor(stormThreshold = autoSaltThreshold, targetPerSalt = autoSaltThreshold / 4)
     val deduped = if (effectiveSalts > 1)
-      Dedup.lwwDf(batch, ChangeEvent.keyCols, effectiveSalts)
-    else batch
+      Dedup.lwwDf(cleanBatch, ChangeEvent.keyCols, effectiveSalts)
+    else cleanBatch
 
     // lineage row counts are change events routed to the bucket (pre-dedup):
     // the number the source delivered, which is what throughput reports mean
@@ -211,6 +250,7 @@ object CdcPipeline {
           .withColumn("distinct_keys", lit(hist.distinctKeys))
           .withColumn("max_key_count", lit(hist.maxKeyCount))
           .withColumn("salts_used", lit(effectiveSalts))
+          .withColumn("rows_quarantined", lit(stats.invalidRows))
         rows.coalesce(1).write.mode("append").parquet(dir)
       }
     }
@@ -230,7 +270,8 @@ object CdcPipeline {
       maxFilesPerTrigger: Option[Int] = None, salts: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
       views: Option[ViewMaintainer] = None,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      quarantineDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val versions = new TableVersions
     val reader = spark.readStream.schema(envelopeSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -240,7 +281,8 @@ object CdcPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         processBatch(batch, epochId, table, evolution, versions, lineageDir,
-          salts, views = views, compactEvery = compactEvery)
+          salts, views = views, compactEvery = compactEvery,
+          quarantineDir = quarantineDir)
       }
       .start()
   }
@@ -252,15 +294,19 @@ object CdcPipeline {
       maxFilesPerTrigger: Option[Int] = None, salts: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
       views: Option[ViewMaintainer] = None,
-      compactEvery: Int = 0): Unit =
+      compactEvery: Int = 0,
+      quarantineDir: Option[String] = None): Unit =
     start(spark, logDir, table, checkpoint, lineageDir, evolution,
-      maxFilesPerTrigger, salts, trigger, views, compactEvery).awaitTermination()
+      maxFilesPerTrigger, salts, trigger, views, compactEvery, quarantineDir)
+      .awaitTermination()
 
   /** Batch replay of a bounded log (same code path as one giant micro-batch). */
   def replayBatch(spark: SparkSession, log: DataFrame, table: LakeTable,
-      evolution: Map[Int, Seq[SchemaChange]] = defaultEvolution, salts: Int = 0): Unit = {
+      evolution: Map[Int, Seq[SchemaChange]] = defaultEvolution, salts: Int = 0,
+      quarantineDir: Option[String] = None): Unit = {
     val versions = new TableVersions
-    processBatch(log, -1L, table, evolution, versions, None, salts)
+    processBatch(log, -1L, table, evolution, versions, None, salts,
+      quarantineDir = quarantineDir)
   }
 }
 

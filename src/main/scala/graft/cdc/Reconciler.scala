@@ -19,9 +19,15 @@ import graft.lake.LakeTable
 object Reconciler {
 
   /** Expected final state derived from the raw log via the *window-function*
-    * spec (independent code path from the Aggregator + MERGE pipeline). */
-  def expectedFromLog(log: DataFrame, keyCols: Seq[String]): DataFrame =
-    Dedup.lwwWindowSpec(log, keyCols, "lsn", "op").filter(col("op") =!= "D")
+    * spec (independent code path from the Aggregator + MERGE pipeline).
+    * Applies the same validity contract as ingest: malformed envelopes
+    * (null key/lsn, unknown op) are dead-lettered by the pipeline, so the
+    * expected state must exclude them too — otherwise every quarantined
+    * event would read as a (false) miss forever. */
+  def expectedFromLog(log: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val valid = log.filter(CdcPipeline.quarantineReason(keyCols).isNull)
+    Dedup.lwwWindowSpec(valid, keyCols, "lsn", "op").filter(col("op") =!= "D")
+  }
 
   /** Keys present in the log's expected state but absent from the table. */
   def missing(log: DataFrame, table: LakeTable): DataFrame = {

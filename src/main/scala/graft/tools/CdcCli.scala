@@ -98,11 +98,17 @@ object CdcCli {
         maxFilesPerTrigger = rest.drop(1).headOption.map(_.toInt),
         trigger = trigger,
         views = declaredViews,
-        compactEvery = rest.drop(3).headOption.map(_.toInt).getOrElse(0))
+        compactEvery = rest.drop(3).headOption.map(_.toInt).getOrElse(0),
+        // dead-letter sink: malformed envelopes land here with a reason
+        // instead of failing the stream (a real feed always has a few)
+        quarantineDir = Some(s"$tableDir/_quarantine"))
       val sec = (System.nanoTime() - t0) / 1e9
       val m = table.meta
+      val nq = if (new java.io.File(s"$tableDir/_quarantine").exists())
+        spark.read.parquet(s"$tableDir/_quarantine").count() else 0L
       println(f"[stream] done in $sec%.1f s; snapshots=${m.snapshots.size} " +
-        f"currentSnapshot=${m.currentSnapshotId} epochs=${m.committedEpochs.size}")
+        f"currentSnapshot=${m.currentSnapshotId} epochs=${m.committedEpochs.size}" +
+        (if (nq > 0) s" quarantined=$nq" else ""))
 
     case "show" :: tableDir :: Nil =>
       val table = LakeTable.forPath(spark, tableDir)

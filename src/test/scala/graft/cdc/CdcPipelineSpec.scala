@@ -140,4 +140,51 @@ class CdcPipelineSpec extends SparkTestBase {
         s"final-state digest drifted: got $hex, golden $expected")
     }
   }
+
+  test("quarantine: malformed envelopes dead-letter with reasons; state unaffected") {
+    val dir = tmpDir("quarantine")
+    val clean = CdcPipeline.envelopeDf(ChangeLogGen.generate(spark, cfg))
+    // malform three envelopes: null key, null lsn, unknown op — ids pushed
+    // past the generator's lsn range so they collide with nothing
+    val bad = clean.limit(3).collect().zipWithIndex.map { case (r, i) =>
+      val s = r.toSeq.toArray
+      i match {
+        case 0 => s(4) = null                    // repo (key) null
+        case 1 => s(0) = null                    // lsn null
+        case 2 => s(2) = "X"                     // op garbage
+      }
+      org.apache.spark.sql.Row.fromSeq(s.toSeq)
+    }
+    import scala.jdk.CollectionConverters._
+    // all-nullable copy of the envelope schema: the malformed rows carry
+    // nulls exactly where the contract says they must not
+    val loose = org.apache.spark.sql.types.StructType(
+      clean.schema.map(_.copy(nullable = true)))
+    val badDf = spark.createDataFrame(bad.toSeq.asJava, loose)
+    val dirty = clean.unionByName(badDf)
+
+    // with a quarantine sink: state == clean-only replay, bad rows captured
+    val t1 = freshTable(s"$dir/t1")
+    CdcPipeline.replayBatch(spark, dirty, t1, evolution,
+      quarantineDir = Some(s"$dir/q"))
+    val t2 = freshTable(s"$dir/t2")
+    CdcPipeline.replayBatch(spark, clean, t2, evolution)
+    assert(stateSha(t1) == stateSha(t2),
+      "malformed rows leaked into the merged state")
+    // reconciliation applies the same validity contract: a dirty log with a
+    // quarantined tail must still reconcile clean against the table
+    assert(Reconciler.missing(dirty, t1).isEmpty && Reconciler.stale(dirty, t1).isEmpty,
+      "reconciler counts quarantined envelopes as misses")
+    val q = spark.read.parquet(s"$dir/q")
+    val reasons = q.select("q_reason").collect().map(_.getString(0)).sorted
+    assert(reasons.toSeq == Seq("bad_op", "null_key", "null_lsn"), reasons.mkString(","))
+    assert(q.select("epoch").distinct().collect().map(_.get(0).toString).toSeq == Seq("-1"))
+
+    // without a sink: the batch fails loudly instead of corrupting state
+    val t3 = freshTable(s"$dir/t3")
+    val ex = intercept[IllegalStateException](
+      CdcPipeline.replayBatch(spark, dirty, t3, evolution))
+    assert(ex.getMessage.contains("3 malformed"))
+    assert(t3.currentState().isEmpty, "failed batch must not commit")
+  }
 }
