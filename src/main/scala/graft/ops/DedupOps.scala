@@ -244,12 +244,22 @@ object DedupOps {
     val e = edges.toDF("a", "b").filter(col("a") =!= col("b"))
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true) // probed every round
-    var cur = und.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(true)
+    // seed = min(id, min neighbor): one shuffle that IS the first
+    // propagation round (dense near-dup components converge a round earlier)
+    var cur = und.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a").as("id"), least(col("a"), col("mn")).as("component"))
+      .localCheckpoint(true)
     // exact fixpoint detector: decimal(38,0) sum cannot overflow or round
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    val ccLog = sys.env.contains("GRAFT_CC_LOG")
+    var tRound = System.nanoTime()
+    def logRound(tag: String): Unit = if (ccLog) {
+      println(f"[cc] $tag%-8s ${(System.nanoTime() - tRound) / 1e9}%6.2f s")
+      tRound = System.nanoTime()
+    }
+    logRound("init")
     var prevSum = labelSum(cur)
     var it = 0
     var converged = prevSum.signum == 0 && cur.isEmpty
@@ -271,6 +281,7 @@ object DedupOps {
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       cur = next; prevSum = nextSum; it += 1
+      logRound(s"round $it")
     }
     require(converged || it < maxIter,
       s"connectedComponents did not converge in $maxIter rounds")
