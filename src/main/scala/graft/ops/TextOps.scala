@@ -212,6 +212,50 @@ object TextOps {
              |  count(DISTINCT bg.bench_id) AS n_bench_docs
              |FROM cg JOIN bg USING (gram) GROUP BY 1""".stripMargin)),
 
+    // Training-chunk preparation: split every document into fixed-size
+    // token windows with overlap (32-token chunks, stride 24 = 8-token
+    // overlap) — the step that turns a curated corpus into model-ready
+    // sequences. Pure per-row generate-and-explode: no shuffle, output ∝
+    // corpus tokens, embarrassingly parallel at 100 TB.
+    OpQuery("q48_chunking",
+      (s, d) => {
+        val chunkSize = 32; val stride = 24
+        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        val chunks = transform(
+          sequence(lit(0), floor((size(toks) - 1) / stride).cast("int")),
+          k => slice(toks, k * stride + 1, lit(chunkSize)))
+        t(s, d, "documents")
+          .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+          .select(col("doc_id"), col("chunk_idx"),
+            array_join(col("c"), " ").as("chunk_text"),
+            size(col("c")).cast("long").as("n_chunk_tokens"))
+      },
+      Some("""SELECT doc_id,
+             |  unnest(list_transform(generate_series(0, (len(tk) - 1) // 24),
+             |    k -> {'chunk_idx': CAST(k AS INT),
+             |          'chunk_text': array_to_string(tk[k*24+1 : k*24+32], ' '),
+             |          'n_chunk_tokens': len(tk[k*24+1 : k*24+32])}),
+             |    recursive := true)
+             |FROM (SELECT doc_id,
+             |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             |      FROM documents)""".stripMargin)),
+
+    // Exact interpolated percentiles per group (the reference-shaped
+    // "distribution health" rollup): Spark's percentile aggregate and
+    // DuckDB's quantile_cont share the linear-interpolation definition, so
+    // the oracle is exact. At scale percentile is a sort-free
+    // partial-aggregable sketch in Spark's ObjectHashAggregate.
+    OpQuery("q49_percentile_rollup",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.95)"), 6).as("p95_chars")),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+             |  round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // Repetition-quality metrics (the Gopher-style repetition filters):
     // duplicate-token fraction and duplicate-trigram fraction per document,
     // plus the keep/drop flag. Pure Column over per-row arrays — zero
