@@ -9,8 +9,9 @@ import graft.lake._
   * `sbt "runMain graft.tools.CdcCli ..."` in local mode).
   *
   * Subcommands:
-  *   gen <logDir> <numEvents> [numRepos] [files]   — write a synthetic change log
+  *   gen <logDir> <numEvents> [numRepos] [files] [multi] — write a synthetic change log
   *   stream <logDir> <tableDir> <checkpointDir>    — tail the log into the table (AvailableNow)
+  *   route <logDir> <outDir> <ckpt> <t1,t2,..>     — multi-table feed → one lake table per name
   *   show <tableDir>                               — table state summary
   *   reconcile <logDir> <tableDir>                 — anti-join verification (must be 0/0)
   *   vacuum <tableDir> [upToLsn]                   — drop old tombstones
@@ -60,10 +61,40 @@ object CdcCli {
       val cfg = GenConfig(numEvents = n.toLong,
         numRepos = rest.headOption.map(_.toInt).getOrElse(200))
       val files = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
-      CdcPipeline.envelopeDf(ChangeLogGen.generate(spark, cfg))
-        .repartitionByRange(files, col("lsn")) // file order ~ lsn order, like a real log
+      val base = CdcPipeline.envelopeDf(ChangeLogGen.generate(spark, cfg))
+      // optional trailing `multi`: stamp a table discriminator (Debezium-
+      // style multi-table feed) for the `route` subcommand
+      val log = if (rest.contains("multi"))
+        base.withColumn("table",
+          when(pmod(xxhash64(col("repo")), lit(2)) === 0, lit("code"))
+            .otherwise(lit("docs")))
+      else base
+      log.repartitionByRange(files, col("lsn")) // file order ~ lsn order, like a real log
         .write.mode("overwrite").parquet(logDir)
-      println(s"[gen] wrote ${n} events to $logDir in $files files")
+      println(s"[gen] wrote ${n} events to $logDir in $files files" +
+        (if (rest.contains("multi")) " (multi-table)" else ""))
+
+    case "route" :: logDir :: outDir :: ckpt :: namesCsv :: Nil =>
+      // multi-table ingest: one checkpointed feed fans out to one lake table
+      // per routed name under <outDir>/<name>; unrouted/malformed events
+      // dead-letter under <outDir>/_quarantine
+      val routes = namesCsv.split(",").map { nm =>
+        val dir = s"$outDir/$nm"
+        nm -> CdcRouter.RouteTarget(
+          if (LakeTable.exists(dir)) LakeTable.forPath(spark, dir)
+          else LakeTable.create(spark, dir, CdcPipeline.baseTableSchema,
+            ChangeEvent.keyCols, numBuckets = 16),
+          evolution = CdcPipeline.defaultEvolution)
+      }.toMap
+      val schema = org.apache.spark.sql.types.StructType(
+        CdcPipeline.envelopeSchema :+ org.apache.spark.sql.types.StructField(
+          "table", org.apache.spark.sql.types.StringType, nullable = true))
+      CdcRouter.run(spark, logDir, schema, routes, ckpt,
+        quarantineDir = Some(s"$outDir/_quarantine"))
+      routes.toSeq.sortBy(_._1).foreach { case (nm, rt) =>
+        println(s"[route] $nm liveRows=${rt.table.currentState().count()} " +
+          s"snapshots=${rt.table.meta.snapshots.size}")
+      }
 
     case "stream" :: logDir :: tableDir :: ckpt :: rest =>
       val table =
@@ -202,7 +233,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] [multi] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }
