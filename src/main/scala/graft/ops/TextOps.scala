@@ -256,6 +256,46 @@ object TextOps {
              |  round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // Multi-level aggregation (ROLLUP): per-(lang, source) counts plus the
+    // lang subtotals and the grand total in ONE pass — Spark expands the
+    // grouping sets map-side, so the exchange still carries partial
+    // aggregates (not input rows) for every level at once. grouping_id
+    // disambiguates "null because rolled up" from a null group value.
+    OpQuery("q50_rollup",
+      (s, d) => t(s, d, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          grouping_id().as("gid")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars,
+             |  GROUPING(lang, source) AS gid
+             |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin)),
+
+    // PIVOT: language-by-quintile-source matrix (docs counted into one
+    // column per source bucket). Explicit pivot values keep the plan fully
+    // aggregated before every exchange: partial count per (lang, bucket),
+    // then partial pivotfirst per lang — both shuffles carry one partial
+    // row per group, never input rows. The oracle spells the same matrix
+    // as FILTERed counts.
+    OpQuery("q51_pivot",
+      (s, d) => {
+        val bucket = regexp_replace(col("source"), "[^0-9]", "").cast("int") % 5
+        t(s, d, "documents")
+          .groupBy(col("lang"))
+          .pivot(bucket.cast("string").as("srcb"), Seq("0", "1", "2", "3", "4"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("lang"), col("0").as("b0"), col("1").as("b1"),
+            col("2").as("b2"), col("3").as("b3"), col("4").as("b4"))
+      },
+      Some("""SELECT lang,
+             |  count(*) FILTER (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 5 = 0) AS b0,
+             |  count(*) FILTER (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 5 = 1) AS b1,
+             |  count(*) FILTER (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 5 = 2) AS b2,
+             |  count(*) FILTER (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 5 = 3) AS b3,
+             |  count(*) FILTER (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 5 = 4) AS b4
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // Repetition-quality metrics (the Gopher-style repetition filters):
     // duplicate-token fraction and duplicate-trigram fraction per document,
     // plus the keep/drop flag. Pure Column over per-row arrays — zero

@@ -135,6 +135,28 @@ class PlanSpec extends SparkTestBase {
       s"sessionize + count-distinct should reuse one user_id exchange, saw $exchanges:\n$p")
   }
 
+  test("q50: rollup expands grouping sets BEFORE the partial agg — one exchange of partials") {
+    val p = plan("q50_rollup")
+    assert(p.contains("Expand"), s"rollup lost its grouping-set Expand:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"rollup should need exactly one exchange, saw $exchanges:\n$p")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("content") && !rs.contains("doc_id"),
+      s"scan reads unused columns: $rs")
+  }
+
+  test("q51: pivot partial-aggregates before BOTH exchanges; scan pruned to lang+source") {
+    val p = plan("q51_pivot")
+    // shuffles must carry partial rows per group, never input rows
+    assert(p.contains("partial_count") && p.contains("partial_pivotfirst"),
+      s"pivot shuffle carries unaggregated rows:\n$p")
+    assert(!p.contains("Sort "), s"pivot plan grew a sort:\n$p")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs.contains("lang") && rs.contains("source") && !rs.contains("content"),
+      s"scan reads unused columns: $rs")
+  }
+
   test("spread is a no-op when the source already plans enough splits") {
     import org.apache.spark.sql.functions._
     val wide = spark.range(0, 10000, 1,
