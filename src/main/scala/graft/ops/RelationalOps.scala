@@ -200,5 +200,31 @@ object RelationalOps {
              |  CAST(isodow(dt) AS INT) AS iso_dow,
              |  isodow(dt) >= 6 AS is_weekend,
              |  strftime(dt, '%Y-%m-%d') AS date_str
-             |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)""".stripMargin)))
+             |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)""".stripMargin)),
+
+    // As-of (point-in-time) LEFT join: each event labeled with the latest
+    // order its user had placed by the event's timestamp — AsOfJoin's
+    // union + carry-forward plan: one |events|+|orders| exchange, never a
+    // per-key cartesian. Ties (same customer, same order timestamp) are
+    // pre-aggregated to max orderkey so the as-of pick is deterministic;
+    // the % 3 key subset keeps genuine no-match (null) rows in the result.
+    OpQuery("q52_asof_join",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_custkey") % 3 === 0)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("asof_orderkey"))
+        AsOfJoin.asOf(
+          t(s, d, "events").select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts",
+          ord, "o_custkey", "o_orderdate",
+          Seq("asof_orderkey"))
+          .select(col("event_id"), col("user_id"), col("asof_orderkey"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS asof_orderkey
+             |  FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, o.asof_orderkey
+             |FROM events e ASOF LEFT JOIN ord o
+             |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin)))
 }

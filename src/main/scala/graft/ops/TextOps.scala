@@ -296,6 +296,27 @@ object TextOps {
              |  count(*) FILTER (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 5 = 4) AS b4
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // UNPIVOT (melt): per-document metric columns reshaped to long-form
+    // (doc_id, metric, value) rows — the shape metric stores and quality
+    // dashboards ingest. Spark's unpivot plans an Expand (row generation
+    // inside the scan stage): zero shuffle, 3× rows out of one pass. The
+    // oracle spells the same reshape as UNION ALL.
+    OpQuery("q53_unpivot",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").as("chars"),
+          (length(col("text")) - length(regexp_replace(col("text"), "\n", "")) +
+            lit(1L)).cast("long").as("lines"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("digits"))
+        .unpivot(Array(col("doc_id")),
+          Array(col("chars"), col("lines"), col("digits")), "metric", "value"),
+      Some("""WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+             |  CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS lines,
+             |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digits
+             |  FROM documents)
+             |SELECT doc_id, 'chars' AS metric, chars AS value FROM m
+             |UNION ALL SELECT doc_id, 'lines', lines FROM m
+             |UNION ALL SELECT doc_id, 'digits', digits FROM m""".stripMargin)),
+
     // Repetition-quality metrics (the Gopher-style repetition filters):
     // duplicate-token fraction and duplicate-trigram fraction per document,
     // plus the keep/drop flag. Pure Column over per-row arrays — zero
