@@ -638,6 +638,58 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     snapshotId
   }
 
+  /** Tag a retained snapshot with a stable name (Iceberg-style ref): the
+    * snapshot becomes retention-pinned (expireSnapshots keeps it and its
+    * files) and addressable by name in time travel (`VERSION AS OF 'tag'`,
+    * CLI/`resolveRef`). Idempotent re-tag of the same snapshot; re-pointing
+    * an existing tag requires `replace = true` — audit pins should not move
+    * silently. */
+  def createTag(name: String, snapshotId: Option[Long] = None,
+      replace: Boolean = false): Long = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name '$name' must be non-empty and not purely numeric (ambiguous with snapshot ids)")
+    var tagged = -1L
+    retryCommit { m =>
+      val id = snapshotId.getOrElse(m.currentSnapshotId)
+      require(m.snapshotById(id).isDefined, s"no snapshot $id (expired by retention?)")
+      m.tags.get(name).foreach { existing =>
+        require(existing == id || replace,
+          s"tag '$name' already points at snapshot $existing; pass replace=true to move it")
+      }
+      tagged = id
+      m.copy(tags = m.tags + (name -> id))
+    }
+    tagged
+  }
+
+  /** Drop a tag (the snapshot becomes expirable again). Returns false if
+    * the tag did not exist. */
+  def dropTag(name: String): Boolean = {
+    var existed = false
+    retryCommit { m =>
+      existed = m.tags.contains(name)
+      m.copy(tags = m.tags - name)
+    }
+    existed
+  }
+
+  /** Resolve a snapshot REF — a numeric snapshot id or a tag name — to the
+    * snapshot id, for every surface that time-travels by user input. */
+  def resolveRef(ref: String): Long =
+    if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toLong
+    else meta.tags.getOrElse(ref,
+      sys.error(s"no tag '$ref' on table (tags: ${meta.tags.keys.toSeq.sorted.mkString(", ")})"))
+
+  /** Set (value nonEmpty) or unset (None) one free-form table property in a
+    * metadata-only commit. */
+  def setProperty(key: String, value: Option[String]): Unit =
+    retryCommit { m =>
+      m.copy(properties = value match {
+        case Some(v) => m.properties + (key -> v)
+        case None => m.properties - key
+      })
+    }
+
   /** Row-level change feed between two committed snapshots (net-changes
     * semantics, like Iceberg's changelog scan / Delta CDF): every key whose
     * LIVE value differs between `fromSnapshotId` and `toSnapshotId` (default
@@ -716,9 +768,13 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     var dead: Set[String] = Set.empty
     retryCommit { m =>
       val ordered = m.snapshots.sortBy(_.snapshotId)
-      if (ordered.size <= keepLast) return 0L
-      val keep = ordered.takeRight(keepLast)
-      val expired = ordered.dropRight(keepLast)
+      // tagged snapshots are retention-pinned: an audit tag must keep both
+      // the metadata entry (time travel) and the files it references
+      val pinned = m.tags.values.toSet
+      val (keepTail, older) = (ordered.takeRight(keepLast), ordered.dropRight(keepLast))
+      val keep = older.filter(s => pinned.contains(s.snapshotId)) ++ keepTail
+      val expired = older.filterNot(s => pinned.contains(s.snapshotId))
+      if (expired.isEmpty) return 0L
       val live = keep.flatMap(_.files.map(_.path)).toSet
       dead = expired.flatMap(_.files.map(_.path)).toSet -- live
       // fold expired snapshots' epoch ids into the durable ledger: retention

@@ -150,7 +150,17 @@ case class TableMeta(
     vacuumLsn: Long = -1L,
     // SQL-declared maintained views over this table (see MaintainedViewDef);
     // empty for tables with no declared views — absent in legacy manifests.
-    maintainedViews: Seq[MaintainedViewDef] = Seq.empty) {
+    maintainedViews: Seq[MaintainedViewDef] = Seq.empty,
+    // Named snapshot refs (Iceberg-style tags): audit pins that survive
+    // retention — expireSnapshots keeps every tagged snapshot and the files
+    // it references, and time travel accepts the tag name wherever it
+    // accepts a snapshot id. Metadata-only; never on the data path.
+    tags: Map[String, Long] = Map.empty,
+    // Free-form table properties (metadata-only): consumer state that must
+    // travel WITH the table rather than beside it — e.g. TableMirror's
+    // source watermark — plus anything an operator pins via SQL. Engine
+    // behavior never keys off unknown properties.
+    properties: Map[String, String] = Map.empty) {
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)

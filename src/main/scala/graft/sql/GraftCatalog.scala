@@ -125,17 +125,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else new GraftSqlTable(path, ident.toString, snapshotId = None)
   }
 
-  /** SQL time travel: `VERSION AS OF <snapshotId>`. Metadata views
-    * (`$changes`, `$cdc`) are themselves range/write surfaces — version-
-    * pinning them has no meaning, so reject instead of resolving the raw
-    * suffixed name into a nonexistent path. */
+  /** SQL time travel: `VERSION AS OF <snapshotId | 'tag'>`. Non-numeric
+    * versions resolve through the table's named tags (retention-pinned
+    * refs), so an audit query can say `VERSION AS OF 'q3-close'` instead of
+    * carrying a raw snapshot id. Metadata views (`$changes`, `$cdc`) are
+    * themselves range/write surfaces — version-pinning them has no meaning,
+    * so reject instead of resolving the raw suffixed name into a
+    * nonexistent path. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     require(baseName(ident) == ident.name,
       s"VERSION AS OF is not supported on metadata views ($ident); " +
         "time-travel the base table, or use fromSnapshot/toSnapshot options on the feed")
-    new GraftSqlTable(cat.tablePath(ident.namespace()(0), ident.name),
-      s"$ident@$version", snapshotId = Some(version.toLong))
+    val path = cat.tablePath(ident.namespace()(0), ident.name)
+    val id = graft.lake.LakeTable.forPath(spark, path).resolveRef(version)
+    new GraftSqlTable(path, s"$ident@$version", snapshotId = Some(id))
   }
 
   /** SQL time travel by wall clock: `TIMESTAMP AS OF <ts>` resolves to the

@@ -36,7 +36,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "rebucket", "expire_snapshots", "rollback",
-      "create_view", "refresh_views", "drop_view")
+      "create_view", "refresh_views", "drop_view", "create_tag", "drop_tag")
 
   def load(warehouse: String, name: String): UnboundProcedure = name.toLowerCase match {
     case "compact" => Proc(
@@ -93,6 +93,35 @@ object GraftProcedures {
       (wh, input) => {
         val n = table(wh, input).expireSnapshots(input.getInt(1))
         Array[InternalRow](new GenericInternalRow(Array[Any](n)))
+      }, warehouse)
+    case "create_tag" => Proc(
+      "create_tag",
+      "pin a retained snapshot under a stable name: expire_snapshots keeps " +
+        "it, and VERSION AS OF 'name' time-travels to it",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("tag", StringType, None, "tag name (non-numeric)"),
+        in("snapshot_id", LongType, Some("-1"),
+          "snapshot to pin; default -1 = current"),
+        in("replace", BooleanType, Some("false"),
+          "allow re-pointing an existing tag")),
+      new StructType().add("tagged_snapshot_id", LongType, nullable = false),
+      (wh, input) => {
+        val snapId = input.getLong(2)
+        val id = table(wh, input).createTag(input.getUTF8String(1).toString,
+          if (snapId < 0) None else Some(snapId), input.getBoolean(3))
+        Array[InternalRow](new GenericInternalRow(Array[Any](id)))
+      }, warehouse)
+    case "drop_tag" => Proc(
+      "drop_tag",
+      "drop a named snapshot tag (the snapshot becomes expirable again)",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("tag", StringType, None, "tag name")),
+      new StructType().add("existed", BooleanType, nullable = false),
+      (wh, input) => {
+        val existed = table(wh, input).dropTag(input.getUTF8String(1).toString)
+        Array[InternalRow](new GenericInternalRow(Array[Any](existed)))
       }, warehouse)
     case "rollback" => Proc(
       "rollback",

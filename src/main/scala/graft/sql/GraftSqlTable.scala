@@ -64,16 +64,20 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long],
       Some(meta.numBuckets)
     else None
   override def properties(): util.Map[String, String] =
-    Map("location" -> root, "format" -> "graft-lake",
+    // free-form table properties first, then the engine facts a SQL-only
+    // operator needs from SHOW TBLPROPERTIES / DESCRIBE EXTENDED (engine
+    // keys win a name collision)
+    (meta.properties ++ Map(
+      "location" -> root, "format" -> "graft-lake",
       "snapshot-id" -> snap.map(_.snapshotId.toString).getOrElse("-"),
-      // the operational facts a SQL-only operator needs from
-      // SHOW TBLPROPERTIES / DESCRIBE EXTENDED, no Scala API required
       "keys" -> meta.keyCols.mkString(","),
       "buckets" -> meta.numBuckets.toString,
       "lsn-high-water" -> meta.lsnHighWater.toString,
       "vacuum-lsn" -> meta.vacuumLsn.toString,
       "maintained-views" -> meta.maintainedViews
-        .map(v => s"${v.name}(${v.kind})").mkString(",")).asJava
+        .map(v => s"${v.name}(${v.kind})").mkString(","),
+      "tags" -> meta.tags.toSeq.sortBy(_._1)
+        .map { case (n, id) => s"$n=$id" }.mkString(","))).asJava
   override def capabilities(): util.Set[TableCapability] =
     if (cdcWrite)
       // the `t$cdc` write view accepts feed-shaped rows (data columns +

@@ -18,6 +18,8 @@ import graft.lake._
   *   compact <tableDir> [targetMB] [minFiles] [sortCols] — bin-pack (and cluster) small data files
   *   rebucket <tableDir> <n>                       — re-hash into n buckets
   *   changes <tableDir> <fromSnap> [toSnap]        — row-level change feed between snapshots
+  *   mirror <srcTableDir> <destTableDir>           — one lake-to-lake replication beat
+  *   tag <tableDir> <name> [snapshotId]            — retention-pinned named snapshot ref
   *   sql <warehouseDir> <query>                    — ad hoc SQL against the graftsql catalog
   */
 object CdcCli {
@@ -196,6 +198,18 @@ object CdcCli {
       println(s"[expire] removed=$removed unreferenced data files; " +
         s"snapshots=${table.meta.snapshots.size}")
 
+    case "mirror" :: srcDir :: destDir :: Nil =>
+      // one replication beat: dest := src live state, reading only the
+      // buckets that changed since the last beat (see lake.TableMirror)
+      val r = graft.lake.TableMirror.syncOnce(LakeTable.forPath(spark, srcDir), destDir)
+      println(s"[mirror] mode=${r.mode} from=${r.fromSnapshot} " +
+        s"to=${r.toSnapshot} rows=${r.rowsApplied}")
+
+    case "tag" :: tableDir :: name :: rest =>
+      val table = LakeTable.forPath(spark, tableDir)
+      val id = table.createTag(name, rest.headOption.map(_.toLong))
+      println(s"[tag] $name -> snapshot $id (retention-pinned)")
+
     case "sql" :: warehouse :: query :: Nil =>
       // ad hoc SQL (incl. CALL graftsql.system.<proc>) against a warehouse:
       //   sql <warehouseDir> "SELECT ... FROM graftsql.ns.t"
@@ -233,7 +247,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] [multi] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] [multi] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] | mirror <srcTableDir> <destTableDir> | tag <tableDir> <name> [snapshotId] | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }

@@ -1,0 +1,184 @@
+package graft.lake
+
+import graft.SparkTestBase
+import graft.cdc._
+import org.apache.spark.sql.types.LongType
+
+/** TableMirror (lake-to-lake incremental replication) and named snapshot
+  * tags (retention-pinned refs). */
+class MirrorAndTagsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(buckets: Int = 4): LakeTable =
+    LakeTable.createOrReplace(spark, tmpDir("mir"), CdcPipeline.baseTableSchema,
+      ChangeEvent.keyCols, numBuckets = buckets)
+
+  private def batch(rows: (Long, String, String, String, String, String, String)*) =
+    rows.toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+
+  private def liveSet(t: LakeTable) =
+    t.currentState().collect().map(_.toSeq).toSet
+
+  // ------------------------------------------------------------ mirror
+
+  test("mirror: bootstrap equality, incremental delta beats, delete propagation, idempotence") {
+    val src = freshTable()
+    src.merge(batch((1 to 30).map(i =>
+      (i.toLong, "I", s"r${i % 5}", s"p$i", "c", "scala", s"v$i")): _*), 0)
+    val destRoot = tmpDir("mirdst") + "/dst"
+
+    val boot = TableMirror.syncOnce(src, destRoot)
+    val dest = LakeTable.forPath(spark, destRoot)
+    assert(boot.mode == "bootstrap" && boot.rowsApplied == 30)
+    assert(liveSet(dest) == liveSet(src))
+
+    // incremental beat: update + delete + insert; lsn values must replicate
+    src.merge(batch(
+      (41L, "U", "r1", "p1", "c", "scala", "v1b"),
+      (42L, "D", "r2", "p2", "c", "scala", null),
+      (43L, "I", "r9", "pX", "c", "go", "new")), 1)
+    val inc = TableMirror.syncOnce(src, destRoot)
+    assert(inc.mode == "incremental", s"got $inc")
+    assert(liveSet(dest) == liveSet(src))
+    assert(dest.currentState().count() == 30L) // +1 insert, -1 delete
+    // deleted key really gone on the mirror
+    assert(dest.currentState().filter($"repo" === "r2" && $"path" === "p2").isEmpty)
+    // source lsns carried through (not re-stamped)
+    val lsn = dest.read().filter($"repo" === "r1" && $"path" === "p1")
+      .select("_lsn").head().getLong(0)
+    assert(lsn == 41L)
+
+    // re-running the drained beat is a no-op
+    val again = TableMirror.syncOnce(src, destRoot)
+    assert(again.mode == "noop" && again.rowsApplied == 0)
+    assert(liveSet(dest) == liveSet(src))
+  }
+
+  test("mirror: incremental beat reads only touched buckets, not the table") {
+    val src = freshTable(buckets = 8)
+    src.merge(batch((1 to 400).map(i =>
+      (i.toLong, "I", s"r$i", s"p$i", "c", "scala", s"v$i" * 10)): _*), 0)
+    val destRoot = tmpDir("mirdst2") + "/dst"
+    TableMirror.syncOnce(src, destRoot)
+    // touch exactly one key → COW rewrites that key's bucket only
+    src.merge(batch((500L, "U", "r7", "p7", "c", "scala", "v7b")), 1)
+
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead); ()
+      }
+    }
+    val totalBytes = src.meta.currentSnapshot.get.files.map(_.sizeBytes).sum
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = TableMirror.syncOnce(src, destRoot)
+      assert(r.mode == "incremental")
+      Thread.sleep(500) // listener bus is async
+      // the beat reads the changed bucket from BOTH snapshots of the source
+      // diff plus the destination's matching bucket — far below 3 table scans
+      assert(bytes.get() < totalBytes,
+        s"mirror beat read ${bytes.get()} bytes >= source table size $totalBytes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(liveSet(LakeTable.forPath(spark, destRoot)) == liveSet(src))
+  }
+
+  test("mirror: expired diff base degrades to resync exactly once, state stays equal") {
+    val src = freshTable()
+    src.merge(batch((1 to 10).map(i =>
+      (i.toLong, "I", s"r$i", "p", "c", "scala", s"v$i")): _*), 0)
+    val destRoot = tmpDir("mirdst3") + "/dst"
+    TableMirror.syncOnce(src, destRoot)
+    src.merge(batch((21L, "D", "r3", "p", "c", "scala", null)), 1)
+    src.merge(batch((22L, "U", "r4", "p", "c", "scala", "v4b")), 2)
+    src.expireSnapshots(keepLast = 1) // the mirror's watermark snapshot is gone
+    val r = TableMirror.syncOnce(src, destRoot)
+    assert(r.mode == "resync", s"got $r")
+    val dest = LakeTable.forPath(spark, destRoot)
+    assert(liveSet(dest) == liveSet(src))
+    // the vacuumed delete propagated via replace (key absent)
+    assert(dest.currentState().filter($"repo" === "r3").isEmpty)
+    assert(TableMirror.syncOnce(src, destRoot).mode == "noop")
+  }
+
+  test("mirror: source schema evolution is mirrored by name before the beat") {
+    val src = freshTable()
+    src.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    val destRoot = tmpDir("mirdst4") + "/dst"
+    TableMirror.syncOnce(src, destRoot)
+    src.evolveSchema(Seq(AddColumn("stars", LongType)))
+    val rows = Seq((2L, "U", "r1", "p", "c", "scala", "v1b", 7L))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "stars")
+    src.merge(rows, 1)
+    val r = TableMirror.syncOnce(src, destRoot)
+    assert(r.mode == "incremental")
+    val dest = LakeTable.forPath(spark, destRoot)
+    assert(dest.schema.fieldNames.contains("stars"))
+    assert(dest.currentState().select("stars").head().getLong(0) == 7L)
+    assert(liveSet(dest) == liveSet(src))
+  }
+
+  test("mirror refuses to clobber an unrelated table at the destination") {
+    val src = freshTable()
+    src.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    val other = freshTable() // unrelated table with its own tableId
+    val e = intercept[IllegalArgumentException] {
+      TableMirror.syncOnce(src, other.root)
+    }
+    assert(e.getMessage.contains("not a mirror"))
+  }
+
+  // ------------------------------------------------------------ tags
+
+  test("tags pin retention, resolve in time travel, and unpin on drop") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    val pinned = t.meta.currentSnapshotId
+    val pinnedState = liveSet(t)
+    t.createTag("audit-q3")
+    t.merge(batch((2L, "U", "r1", "p", "c", "scala", "v2")), 1)
+    t.merge(batch((3L, "U", "r1", "p", "c", "scala", "v3")), 2)
+
+    // expiry keeps the tagged snapshot (and its files) alive
+    t.expireSnapshots(keepLast = 1)
+    assert(t.meta.snapshotById(pinned).isDefined, "tagged snapshot expired")
+    assert(t.currentState(Some(t.resolveRef("audit-q3"))).collect()
+      .map(_.toSeq).toSet == pinnedState)
+    // numeric refs still resolve as ids; unknown tags fail loudly
+    assert(t.resolveRef(pinned.toString) == pinned)
+    assert(intercept[RuntimeException](t.resolveRef("nope"))
+      .getMessage.contains("no tag"))
+    // re-pointing needs replace=true
+    intercept[IllegalArgumentException](t.createTag("audit-q3"))
+    t.createTag("audit-q3", replace = true)
+    assert(t.meta.tags("audit-q3") == t.meta.currentSnapshotId)
+
+    t.dropTag("audit-q3")
+    t.expireSnapshots(keepLast = 1)
+    assert(t.meta.snapshotById(pinned).isEmpty, "untagged snapshot must expire")
+  }
+
+  test("SQL surface: VERSION AS OF 'tag', create_tag/drop_tag procedures, properties") {
+    val wh = tmpDir("tagwh")
+    spark.conf.set("spark.sql.catalog.tagcat", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tagcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tagcat.ns")
+    spark.sql("CREATE TABLE tagcat.ns.t (k STRING, v INT) " +
+      "TBLPROPERTIES ('keys'='k', 'buckets'='2')")
+    spark.sql("INSERT INTO tagcat.ns.t VALUES ('a', 1)")
+    val tagged = spark.sql(
+      "CALL tagcat.system.create_tag(table => 'ns.t', tag => 'v1')")
+      .head().getLong(0)
+    spark.sql("INSERT INTO tagcat.ns.t VALUES ('a', 2)")
+    assert(spark.sql("SELECT v FROM tagcat.ns.t VERSION AS OF 'v1'")
+      .head().getInt(0) == 1)
+    assert(spark.sql("SELECT v FROM tagcat.ns.t").head().getInt(0) == 2)
+    val props = spark.sql("SHOW TBLPROPERTIES tagcat.ns.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("tags") == s"v1=$tagged")
+    assert(spark.sql("CALL tagcat.system.drop_tag(table => 'ns.t', tag => 'v1')")
+      .head().getBoolean(0))
+    intercept[Exception](
+      spark.sql("SELECT v FROM tagcat.ns.t VERSION AS OF 'v1'").collect())
+  }
+}
