@@ -164,5 +164,27 @@ object EventOps {
              |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
              |  count(*) AS n_events,
              |  count(DISTINCT event_type) AS n_types
-             |FROM sess GROUP BY user_id, sid""".stripMargin)))
+             |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
+    // Window frames beyond top-1: per-user previous value (lag) and a
+    // 3-row moving sum (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). Both
+    // specs share one (partition, order) pair, so Spark plans a SINGLE
+    // exchange + partition-local sort serving both frames — the order
+    // includes event_id so frames are total-ordered (replay-deterministic)
+    // even when timestamps tie. Sum goes through DECIMAL for engine-exact
+    // float parity (frame addition order is otherwise engine-defined).
+    OpQuery("q54_window_frames",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events").select(col("user_id"), col("event_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          sum(col("value").cast("decimal(18,6)"))
+            .over(w.rowsBetween(-2, 0)).cast("double").as("mov_sum"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  lag(value, 1) OVER w AS prev_value,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6)))
+             |       OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)))
 }

@@ -181,22 +181,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = cat.loadTable(ident.namespace()(0), ident.name)
-    val ops: Seq[SchemaChange] = changes.map {
+    // property changes (ALTER TABLE SET/UNSET TBLPROPERTIES) are metadata
+    // commits on the free-form properties map; engine-reserved keys stay
+    // read-only (they are derived facts, not settings)
+    val reserved = Set("location", "format", "snapshot-id", "keys", "buckets",
+      "lsn-high-water", "vacuum-lsn", "maintained-views", "tags")
+    val ops: Seq[SchemaChange] = changes.flatMap {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested columns unsupported")
-        AddColumn(a.fieldNames()(0), a.dataType, a.isNullable)
+        Some(AddColumn(a.fieldNames()(0), a.dataType, a.isNullable))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested columns unsupported")
-        RenameColumn(r.fieldNames()(0), r.newName)
+        Some(RenameColumn(r.fieldNames()(0), r.newName))
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames.length == 1, "nested columns unsupported")
-        WidenType(u.fieldNames()(0), u.newDataType)
+        Some(WidenType(u.fieldNames()(0), u.newDataType))
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1, "nested columns unsupported")
-        DropColumn(d.fieldNames()(0))
+        Some(DropColumn(d.fieldNames()(0)))
+      case p: TableChange.SetProperty =>
+        require(!reserved.contains(p.property),
+          s"table property '${p.property}' is engine-managed and read-only")
+        t.setProperty(p.property, Some(p.value)); None
+      case p: TableChange.RemoveProperty =>
+        require(!reserved.contains(p.property),
+          s"table property '${p.property}' is engine-managed and read-only")
+        t.setProperty(p.property, None); None
       case other => throw new UnsupportedOperationException(s"table change $other")
     }
-    t.evolveSchema(ops)
+    if (ops.nonEmpty) t.evolveSchema(ops)
     loadTable(ident)
   }
 

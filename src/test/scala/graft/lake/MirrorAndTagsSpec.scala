@@ -180,5 +180,18 @@ class MirrorAndTagsSpec extends SparkTestBase {
       .head().getBoolean(0))
     intercept[Exception](
       spark.sql("SELECT v FROM tagcat.ns.t VERSION AS OF 'v1'").collect())
+
+    // free-form properties: SET / UNSET TBLPROPERTIES round-trip; engine
+    // facts are read-only
+    spark.sql("ALTER TABLE tagcat.ns.t SET TBLPROPERTIES ('team'='data-eng')")
+    def prop(k: String): Option[String] =
+      spark.sql("SHOW TBLPROPERTIES tagcat.ns.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap.get(k)
+    assert(prop("team").contains("data-eng"))
+    spark.sql("ALTER TABLE tagcat.ns.t UNSET TBLPROPERTIES ('team')")
+    assert(prop("team").isEmpty)
+    val err = intercept[Exception](spark.sql(
+      "ALTER TABLE tagcat.ns.t SET TBLPROPERTIES ('buckets'='64')"))
+    assert(err.getMessage.contains("engine-managed"))
   }
 }

@@ -157,6 +157,15 @@ class PlanSpec extends SparkTestBase {
       s"scan reads unused columns: $rs")
   }
 
+  test("q54: lag + moving-sum frames share ONE exchange and one sort") {
+    val p = plan("q54_window_frames")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"both frames share (partition, order): expected 1 exchange, saw $exchanges:\n$p")
+    val sorts = p.linesIterator.count(_.contains("Sort ["))
+    assert(sorts <= 1, s"frames re-sorted:\n$p")
+  }
+
   test("spread is a no-op when the source already plans enough splits") {
     import org.apache.spark.sql.functions._
     val wide = spark.range(0, 10000, 1,
