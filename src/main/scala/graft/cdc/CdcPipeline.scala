@@ -183,7 +183,14 @@ object CdcPipeline {
     // including the malformed-row count (pseudo-bucket −1), so the common
     // all-valid batch detects quarantine for free.
     val keyColsBefore = table.meta.keyCols
-    val reason = quarantineReason()
+    // envelope validity first (null lsn/key, bad op), then the table's
+    // declared constraints — violating events dead-letter with
+    // constraint:<name> instead of failing the stream, riding the SAME
+    // stats probe (zero extra cost for clean batches; deletes exempt)
+    val reason = table.applicableConstraints(batch.columns.toSeq)
+      .foldLeft(quarantineReason()) { case (r, (cond, name)) =>
+        r.when(col("op") =!= "D" && cond, s"constraint:$name")
+      }
     val stats = phase("stats")(
       batchStats(batch, table.bucketExpr(table.meta), invalid = reason.isNotNull))
     // Dead-letter path: malformed envelopes either land in the quarantine

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
@@ -226,6 +227,12 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         col("op"))): _*)
       .withColumn(BucketCol, bucketExpr(m0))
 
+    // Declared constraints: direct merges fail loudly on a violating batch
+    // (one extra agg pass, constrained tables only). The CDC pipeline path
+    // (precomputedStats) enforces upstream instead — violations dead-letter
+    // to its quarantine with reason constraint:<name> and never reach here.
+    if (precomputedStats.isEmpty) enforceConstraints(m0, incoming, opAware = true)
+
     // Per-bucket applied-row counts and lsn bounds: touched-bucket discovery
     // for manifest-level partition pruning, and the lineage record. The CDC
     // pipeline precomputes this inside its single batch-probe pass
@@ -326,6 +333,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .withColumn(BucketCol, bucketExpr(m0)) // bucket from cast keys (see merge)
     val withMeta = withMeta0.withColumn(DeletedCol, lit(false)).persist()
     try {
+      enforceConstraints(m0, withMeta, opAware = false)
       val staging = stageWrite(withMeta, snapshotId)
       val newFiles = statsFromFooters(staging, m0.currentSchemaId)
       commitOrClean(staging) {
@@ -352,6 +360,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
        else lit(0L).as(LsnCol))): _*)
       .withColumn(BucketCol, bucketExpr(m0)) // bucket from cast keys (see merge)
       .withColumn(DeletedCol, lit(false))
+    enforceConstraints(m0, withMeta, opAware = false)
     val staging = stageWrite(withMeta, snapshotId)
     val newFiles = statsFromFooters(staging, m0.currentSchemaId)
     commitOrClean(staging) {
@@ -689,6 +698,98 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         case None => m.properties - key
       })
     }
+
+  // ---------------------------------------------------------- constraints
+
+  /** Declare a row constraint (reference analogue: the destination DDL's
+    * NOT NULL / CHECK, which Postgres enforces for the reference — a lake
+    * table must enforce its own). `kind` = "not_null" (expr = column name)
+    * or "check" (expr = boolean SQL over data columns; ANSI semantics, NULL
+    * passes). Existing LIVE rows are validated first (one scan) so a
+    * constraint can never be born already violated; writes then enforce it
+    * forever: direct merge/append/replace fail loudly, the CDC pipeline
+    * dead-letters violating events to its quarantine. Deletes are exempt. */
+  def addConstraint(name: String, kind: String, expr: String): Unit = {
+    require(kind == "not_null" || kind == "check", s"unknown constraint kind '$kind'")
+    val m0 = meta
+    require(!m0.constraints.exists(_.name == name), s"constraint '$name' already exists")
+    val dataCols = m0.currentSchema.columns.map(_.name)
+    val refs = kind match {
+      case "not_null" =>
+        require(dataCols.contains(expr), s"not_null column '$expr' not in schema")
+        Seq(expr)
+      case "check" =>
+        // resolve against the current schema: catches typos and captures the
+        // referenced columns so enforcement can skip old-schema batches that
+        // do not carry them yet
+        val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m0.currentSchema.toStruct)
+        val checked = probe.select(F.expr(expr).as("__c"))
+        require(checked.schema.head.dataType == org.apache.spark.sql.types.BooleanType,
+          s"check expression '$expr' is not boolean")
+        checked.queryExecution.analyzed.expressions
+          .flatMap(_.references.map(_.name)).distinct.toSeq
+    }
+    val d = ConstraintDef(name, kind, expr, refs)
+    if (m0.currentSnapshot.exists(_.files.nonEmpty)) {
+      val cond = violationCond(d)
+      val bad = currentState().filter(cond).count()
+      require(bad == 0L, s"cannot add constraint '$name': $bad existing live row(s) violate it")
+    }
+    retryCommit { m =>
+      require(!m.constraints.exists(_.name == name), s"constraint '$name' already exists")
+      m.copy(constraints = m.constraints :+ d)
+    }
+  }
+
+  /** Drop a constraint. Returns false if it did not exist. */
+  def dropConstraint(name: String): Boolean = {
+    var existed = false
+    retryCommit { m =>
+      existed = m.constraints.exists(_.name == name)
+      m.copy(constraints = m.constraints.filterNot(_.name == name))
+    }
+    existed
+  }
+
+  private def violationCond(c: ConstraintDef): Column = c.kind match {
+    case "not_null" => col(c.expr).isNull
+    // ANSI CHECK: NULL result passes; only an explicit false violates
+    case _ => !coalesce(F.expr(c.expr), lit(true))
+  }
+
+  /** (violation condition, constraint name) for every declared constraint a
+    * batch with these columns can evaluate — a constraint referencing a
+    * column an old-schema batch does not carry yet is skipped (it will bind
+    * from the first schema version that has the column). Callers must
+    * exempt op = "D" rows themselves (tombstone payloads are not rows). */
+  def applicableConstraints(batchCols: Seq[String]): Seq[(Column, String)] = {
+    val cols = batchCols.toSet
+    meta.constraints.filter(_.cols.forall(cols.contains))
+      .map(c => violationCond(c) -> c.name)
+  }
+
+  /** Count violations per constraint with ONE aggregate over `rows` (only
+    * called on paths that did not already probe the batch) and fail loudly
+    * when any constraint is violated. */
+  private def enforceConstraints(m: TableMeta, rows: DataFrame,
+      opAware: Boolean): Unit = {
+    if (m.constraints.isEmpty) return
+    val checks = applicableConstraints(rows.columns.toSeq)
+    if (checks.isEmpty) return
+    val aggs = checks.map { case (cond, name) =>
+      val c = if (opAware) cond && col("op") =!= "D" else cond
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    }
+    val counts = rows.agg(aggs.head, aggs.tail: _*).head()
+    val violated = checks.zipWithIndex.collect {
+      case ((_, name), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+        s"$name=${counts.getLong(i)}"
+    }
+    if (violated.nonEmpty) throw new IllegalStateException(
+      s"constraint violation(s) in write to $root: ${violated.mkString(", ")} " +
+        "(fix the rows, route them through a CdcPipeline quarantine, or drop the constraint)")
+  }
 
   /** Row-level change feed between two committed snapshots (net-changes
     * semantics, like Iceberg's changelog scan / Delta CDF): every key whose

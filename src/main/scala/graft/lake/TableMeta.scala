@@ -102,6 +102,17 @@ object LsnSpan {
       }.reverse
 }
 
+/** A declared row constraint (reference analogue: the destination DDL's
+  * NOT NULL / CHECK constraints, `migrations/20221214_01_9Jm6L.sql` — there
+  * Postgres enforces them; a lake table must enforce its own). `kind` is
+  * "not_null" (expr = column name) or "check" (expr = boolean SQL over data
+  * columns, ANSI semantics: NULL passes). `cols` caches the referenced
+  * columns (resolved at add time) so enforcement can skip a constraint when
+  * an old-schema batch does not carry them yet. Deletes are exempt — a
+  * tombstone's payload is not a row. */
+case class ConstraintDef(name: String, kind: String, expr: String,
+    cols: Seq[String])
+
 /** One aggregated column of a SQL-declared maintained view. */
 case class AggColDef(src: String, alias: String)
 
@@ -160,7 +171,10 @@ case class TableMeta(
     // travel WITH the table rather than beside it — e.g. TableMirror's
     // source watermark — plus anything an operator pins via SQL. Engine
     // behavior never keys off unknown properties.
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    // Declared row constraints, enforced on every write path (see
+    // ConstraintDef). Empty for unconstrained tables — zero write cost.
+    constraints: Seq[ConstraintDef] = Seq.empty) {
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)

@@ -36,7 +36,8 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "rebucket", "expire_snapshots", "rollback",
-      "create_view", "refresh_views", "drop_view", "create_tag", "drop_tag")
+      "create_view", "refresh_views", "drop_view", "create_tag", "drop_tag",
+      "add_constraint", "drop_constraint")
 
   def load(warehouse: String, name: String): UnboundProcedure = name.toLowerCase match {
     case "compact" => Proc(
@@ -93,6 +94,37 @@ object GraftProcedures {
       (wh, input) => {
         val n = table(wh, input).expireSnapshots(input.getInt(1))
         Array[InternalRow](new GenericInternalRow(Array[Any](n)))
+      }, warehouse)
+    case "add_constraint" => Proc(
+      "add_constraint",
+      "declare a NOT NULL / CHECK row constraint: existing rows are " +
+        "validated first, then every write enforces it (direct writes fail " +
+        "loudly, the CDC pipeline dead-letters violations)",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("name", StringType, None, "constraint name"),
+        in("expr", StringType, None,
+          "column name (not_null) or boolean SQL over data columns (check)"),
+        in("kind", StringType, Some("'check'"), "not_null | check")),
+      new StructType().add("name", StringType, nullable = false),
+      (wh, input) => {
+        val name = input.getUTF8String(1).toString
+        table(wh, input).addConstraint(name,
+          input.getUTF8String(3).toString, input.getUTF8String(2).toString)
+        Array[InternalRow](new GenericInternalRow(Array[Any](
+          UTF8String.fromString(name))))
+      }, warehouse)
+    case "drop_constraint" => Proc(
+      "drop_constraint",
+      "drop a declared row constraint",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("name", StringType, None, "constraint name")),
+      new StructType().add("existed", BooleanType, nullable = false),
+      (wh, input) => {
+        val existed = table(wh, input)
+          .dropConstraint(input.getUTF8String(1).toString)
+        Array[InternalRow](new GenericInternalRow(Array[Any](existed)))
       }, warehouse)
     case "create_tag" => Proc(
       "create_tag",

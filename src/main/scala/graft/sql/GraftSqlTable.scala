@@ -77,7 +77,9 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long],
       "maintained-views" -> meta.maintainedViews
         .map(v => s"${v.name}(${v.kind})").mkString(","),
       "tags" -> meta.tags.toSeq.sortBy(_._1)
-        .map { case (n, id) => s"$n=$id" }.mkString(","))).asJava
+        .map { case (n, id) => s"$n=$id" }.mkString(","),
+      "constraints" -> meta.constraints
+        .map(c => s"${c.name}:${c.kind}(${c.expr})").mkString(","))).asJava
   override def capabilities(): util.Set[TableCapability] =
     if (cdcWrite)
       // the `t$cdc` write view accepts feed-shaped rows (data columns +

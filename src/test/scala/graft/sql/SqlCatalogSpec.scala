@@ -515,7 +515,8 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(spark.sql("SHOW PROCEDURES IN g15.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet ==
       Set("compact", "vacuum", "rebucket", "expire_snapshots", "rollback",
-        "create_view", "refresh_views", "drop_view", "create_tag", "drop_tag"))
+        "create_view", "refresh_views", "drop_view", "create_tag", "drop_tag",
+        "add_constraint", "drop_constraint"))
   }
 
   test("CALL rollback restores an earlier snapshot picked from t$snapshots") {
