@@ -18,7 +18,7 @@ import graft.lake._
   *   compact <tableDir> [targetMB] [minFiles] [sortCols] — bin-pack (and cluster) small data files
   *   rebucket <tableDir> <n>                       — re-hash into n buckets
   *   changes <tableDir> <fromSnap> [toSnap]        — row-level change feed between snapshots
-  *   mirror <srcTableDir> <destTableDir>           — one lake-to-lake replication beat
+  *   mirror <srcTableDir> <destTableDir> [beatSec] — lake-to-lake replication beat(s)
   *   tag <tableDir> <name> [snapshotId]            — retention-pinned named snapshot ref
   *   sql <warehouseDir> <query>                    — ad hoc SQL against the graftsql catalog
   */
@@ -198,12 +198,23 @@ object CdcCli {
       println(s"[expire] removed=$removed unreferenced data files; " +
         s"snapshots=${table.meta.snapshots.size}")
 
-    case "mirror" :: srcDir :: destDir :: Nil =>
-      // one replication beat: dest := src live state, reading only the
-      // buckets that changed since the last beat (see lake.TableMirror)
-      val r = graft.lake.TableMirror.syncOnce(LakeTable.forPath(spark, srcDir), destDir)
-      println(s"[mirror] mode=${r.mode} from=${r.fromSnapshot} " +
-        s"to=${r.toSnapshot} rows=${r.rowsApplied}")
+    case "mirror" :: srcDir :: destDir :: rest =>
+      // replication beats: dest := src live state, reading only the buckets
+      // that changed since the last beat (see lake.TableMirror). Optional
+      // beatSec loops on a schedule (the reference's 10-minute sync cadence,
+      // celery_config.py:24) until killed; default is one beat.
+      val beat = rest.headOption.map(_.toInt).filter(_ > 0)
+      if (beat.isDefined) println(s"[mirror] scheduled mode: beat=${beat.get}s (ctrl-c to stop)")
+      var go = true
+      while (go) {
+        val r = graft.lake.TableMirror.syncOnce(LakeTable.forPath(spark, srcDir), destDir)
+        println(s"[mirror] mode=${r.mode} from=${r.fromSnapshot} " +
+          s"to=${r.toSnapshot} rows=${r.rowsApplied}")
+        beat match {
+          case Some(sec) => Thread.sleep(sec * 1000L)
+          case None => go = false
+        }
+      }
 
     case "tag" :: tableDir :: name :: rest =>
       val table = LakeTable.forPath(spark, tableDir)
@@ -247,7 +258,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] [multi] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] | mirror <srcTableDir> <destTableDir> | tag <tableDir> <name> [snapshotId] | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] [multi] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }
