@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Proced
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import graft.lake.{AggColDef, LakeCatalog, LakeTable, MaintainedViewDef, ViewMaintainer}
+import graft.lake.{AggColDef, LakeCatalog, LakeTable, MaintainedViewDef, TableMirror, ViewMaintainer}
 
 /** SQL stored procedures for lake maintenance (Spark 4 DSv2
   * `ProcedureCatalog`), so a SQL-only operator can run the table lifecycle
@@ -37,7 +37,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "rebucket", "expire_snapshots", "rollback",
       "create_view", "refresh_views", "drop_view", "create_tag", "drop_tag",
-      "add_constraint", "drop_constraint")
+      "add_constraint", "drop_constraint", "mirror")
 
   def load(warehouse: String, name: String): UnboundProcedure = name.toLowerCase match {
     case "compact" => Proc(
@@ -94,6 +94,28 @@ object GraftProcedures {
       (wh, input) => {
         val n = table(wh, input).expireSnapshots(input.getInt(1))
         Array[InternalRow](new GenericInternalRow(Array[Any](n)))
+      }, warehouse)
+    case "mirror" => Proc(
+      "mirror",
+      "one lake-to-lake replication beat: dest := source live state, " +
+        "reading only buckets changed since the last beat (see TableMirror); " +
+        "dest is created on first call and ownership-stamped",
+      Array(
+        in("source", StringType, None, "source table as 'namespace.table'"),
+        in("dest", StringType, None, "destination table as 'namespace.table'")),
+      new StructType().add("mode", StringType, nullable = false)
+        .add("from_snapshot", LongType, nullable = false)
+        .add("to_snapshot", LongType, nullable = false)
+        .add("rows_applied", LongType, nullable = false),
+      (wh, input) => {
+        val Array(dns, dt) = input.getUTF8String(1).toString.split('.')
+        val destRoot = java.nio.file.Paths.get(wh, dns, dt).toString
+        require(new java.io.File(java.nio.file.Paths.get(wh, dns).toString).isDirectory,
+          s"namespace $dns does not exist")
+        val r = TableMirror.syncOnce(table(wh, input), destRoot)
+        Array[InternalRow](new GenericInternalRow(Array[Any](
+          UTF8String.fromString(r.mode), r.fromSnapshot, r.toSnapshot,
+          r.rowsApplied)))
       }, warehouse)
     case "add_constraint" => Proc(
       "add_constraint",

@@ -194,4 +194,37 @@ class MirrorAndTagsSpec extends SparkTestBase {
       "ALTER TABLE tagcat.ns.t SET TBLPROPERTIES ('buckets'='64')"))
     assert(err.getMessage.contains("engine-managed"))
   }
+
+  test("CTAS / RTAS and the mirror procedure through pure SQL") {
+    val wh = tmpDir("ctaswh")
+    spark.conf.set("spark.sql.catalog.mcat", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcat.ns")
+
+    // CTAS: table born from a query, keyed via TBLPROPERTIES
+    spark.sql("CREATE TABLE mcat.ns.src TBLPROPERTIES ('keys'='k','buckets'='2') " +
+      "AS SELECT * FROM VALUES ('a', 1), ('b', 2) AS v(k, n)")
+    assert(spark.sql("SELECT sum(n) FROM mcat.ns.src").head().getLong(0) == 3)
+
+    // RTAS: full replace of schema + content
+    spark.sql("REPLACE TABLE mcat.ns.src TBLPROPERTIES ('keys'='k','buckets'='2') " +
+      "AS SELECT * FROM VALUES ('z', 9L) AS v(k, n)")
+    assert(spark.sql("SELECT k, n FROM mcat.ns.src").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("z", 9L)))
+
+    // mirror procedure: bootstrap beat creates + fills the DR copy,
+    // incremental beat ships the delta, noop when drained
+    val boot = spark.sql(
+      "CALL mcat.system.mirror(source => 'ns.src', dest => 'ns.src_dr')").head()
+    assert(boot.getString(0) == "bootstrap" && boot.getLong(3) == 1L)
+    spark.sql("INSERT INTO mcat.ns.src VALUES ('y', 8L)")
+    val inc = spark.sql(
+      "CALL mcat.system.mirror(source => 'ns.src', dest => 'ns.src_dr')").head()
+    assert(inc.getString(0) == "incremental")
+    assert(spark.sql("SELECT k FROM mcat.ns.src_dr ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("y", "z"))
+    assert(spark.sql(
+      "CALL mcat.system.mirror(source => 'ns.src', dest => 'ns.src_dr')")
+      .head().getString(0) == "noop")
+  }
 }
