@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run JVM's stdout/stderr straight through instead of
+// routing them line-by-line through sbt's logger: the logger stamps EVERY
+// line with "[info] "/"[error] " (stderr included), which breaks any
+// machine consumer of Bench's one-line JSON record. With StdoutOutput the
+// JSON line reaches the terminal raw, starting at column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -552,10 +552,11 @@ object Bench {
       val full = line(qsJson(_.toString), cdcCompact, scalingFull)
       println(compact)
       println(compact)
-      // stderr copy: under `sbt -batch "runMain graft.Bench"` every stdout
-      // line arrives prefixed with `[info] `, which a strict JSON-line parser
-      // rejects — sbt passes stderr through unprefixed, so this copy is the
-      // one a log-tail parser can always read
+      // stderr copy for redundancy. NOTE: sbt's logger used to stamp EVERY
+      // forked-JVM line — stdout AND stderr — with "[info] "/"[error] ",
+      // which is what broke machine parsers three rounds running; build.sbt
+      // now sets `run / outputStrategy := StdoutOutput` so both channels
+      // pass through raw and this line starts at column 0
       System.err.println(compact)
       System.out.flush()
       System.err.flush()
