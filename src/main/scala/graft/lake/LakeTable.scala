@@ -204,7 +204,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * (lsn, op priority); stored rows lose ties to incoming rows with the
     * same lsn (idempotent redelivery carries identical payloads). */
   def merge(changes: DataFrame, epochId: Long = -1L,
-      precomputedStats: Option[Map[Int, (Long, Long, Long)]] = None): Option[Seq[graft.cdc.PartitionLineage]] = {
+      precomputedStats: Option[Map[Int, (Long, Long, Long)]] = None,
+      branch: Option[String] = None): Option[Seq[graft.cdc.PartitionLineage]] = {
     graft.functions.LwwMaxBy.tuneSession(spark)
     val m0 = meta
     if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return None
@@ -214,7 +215,16 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       dataCols.forall(changes.columns.contains),
       s"merge input needs columns ${dataCols ++ ChangeCols}, got ${changes.columns.toSeq}")
 
-    val snapshotId = m0.currentSnapshotId + 1
+    // Write-audit-publish: a branch merge applies against the BRANCH head's
+    // state and advances the branch pointer; main is untouched until
+    // publishBranch flips it in one metadata commit.
+    val base: Option[Snapshot] = branch match {
+      case Some(b) => Some(m0.snapshotById(m0.branches.getOrElse(b,
+        sys.error(s"no branch '$b' on table (createBranch first)")))
+        .getOrElse(sys.error(s"branch '$b' head expired")))
+      case None => m0.currentSnapshot
+    }
+    val snapshotId = m0.nextSnapshotId
     // cast every data column to its declared type — guards the storage
     // format against NullType/narrower inputs from ad-hoc callers
     val typedDataCols = typedDataColsOf(m0)
@@ -245,7 +255,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     }
     if (appliedStats.isEmpty) return None // empty batch: nothing to commit
     val touched = appliedStats.keySet
-    val oldFiles = m0.currentSnapshot.map(_.files).getOrElse(Seq.empty)
+    val oldFiles = base.map(_.files).getOrElse(Seq.empty)
     val (rewritten, kept) = oldFiles.partition(f => touched.contains(f.bucket))
 
     val existing0 = if (rewritten.isEmpty) None
@@ -291,10 +301,22 @@ class LakeTable private (val spark: SparkSession, val root: String) {
 
     timed("commit")(commitOrClean(staging) {
       retryCommit { m =>
-        require(m.currentSnapshotId == m0.currentSnapshotId,
-          s"concurrent commit detected (base ${m0.currentSnapshotId}, now ${m.currentSnapshotId})")
-        val snap = childSnapshot(m, snapshotId, epochId, "merge", kept ++ newFiles)
-        m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+        val snap = Snapshot(snapshotId, base.map(_.snapshotId).getOrElse(-1L),
+          epochId, m.currentSchemaId, "merge", kept ++ newFiles,
+          System.currentTimeMillis(),
+          excludedLsns = base.map(_.excludedLsns).getOrElse(Seq.empty))
+        branch match {
+          case Some(b) =>
+            require(m.branches.get(b).contains(base.get.snapshotId),
+              s"concurrent commit on branch '$b' (base ${base.get.snapshotId}, " +
+                s"now ${m.branches.get(b)})")
+            m.copy(snapshots = m.snapshots :+ snap,
+              branches = m.branches + (b -> snapshotId))
+          case None =>
+            require(m.currentSnapshotId == m0.currentSnapshotId,
+              s"concurrent commit detected (base ${m0.currentSnapshotId}, now ${m.currentSnapshotId})")
+            m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
+        }
       }
     })
     Some(applied)
@@ -326,7 +348,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   def append(rows: DataFrame, epochId: Long = -1L): Unit = {
     val m0 = meta
     if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return
-    val snapshotId = m0.currentSnapshotId + 1
+    val snapshotId = m0.nextSnapshotId
     val withMeta0 = rows.select((typedDataColsOf(m0) :+
       (if (rows.columns.contains("lsn")) col("lsn").cast(LongType).as(LsnCol)
        else lit(0L).as(LsnCol))): _*)
@@ -354,7 +376,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   def replace(rows: DataFrame, epochId: Long = -1L): Unit = {
     val m0 = meta
     if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return
-    val snapshotId = m0.currentSnapshotId + 1
+    val snapshotId = m0.nextSnapshotId
     val withMeta = rows.select((typedDataColsOf(m0) :+
       (if (rows.columns.contains("lsn")) col("lsn").cast(LongType).as(LsnCol)
        else lit(0L).as(LsnCol))): _*)
@@ -408,7 +430,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .withColumn(BucketCol, bucketExpr(m0))
       .persist()
     try {
-      val snapshotId = m0.currentSnapshotId + 1
+      val snapshotId = m0.nextSnapshotId
       val staging = stageWrite(surviving, snapshotId)
       val newFiles = statsFromFooters(staging, m0.currentSchemaId)
       val removed = candidates.map(_.rowCount).sum - newFiles.map(_.rowCount).sum
@@ -488,7 +510,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         smallPerBucket.getOrElse(f.bucket, 0) >= minFiles
     }
     if (rewritten.isEmpty) return 0
-    val snapshotId = m0.currentSnapshotId + 1
+    val snapshotId = m0.nextSnapshotId
     val buckets = rewritten.map(_.bucket).distinct.size
     val packSrc = readFiles(m0, rewritten, m0.currentSchemaId)
       .withColumn(BucketCol, bucketExpr(m0)) // identical to stored bucket (cast keys)
@@ -580,7 +602,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       }
       return
     }
-    val snapshotId = m0.currentSnapshotId + 1
+    val snapshotId = m0.nextSnapshotId
     val keyCols = m0.keyCols.map(c => col(c))
     val rerouted = readFiles(m0, snap.files, m0.currentSchemaId)
       .withColumn(BucketCol, pmod(hash(keyCols: _*), lit(newBuckets)))
@@ -634,7 +656,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
           s"restored files' bucket layout predates numBuckets=${m0.numBuckets}"))
     val targetHw = target.files.map(_.lsnMax).foldLeft(0L)(math.max)
     val hiddenHw = m0.lsnHighWater
-    val snapshotId = m0.currentSnapshotId + 1
+    val snapshotId = m0.nextSnapshotId
     retryCommit { m =>
       require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
       val s = Snapshot(snapshotId, m0.currentSnapshotId, -1, m.currentSchemaId,
@@ -682,12 +704,70 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     existed
   }
 
-  /** Resolve a snapshot REF — a numeric snapshot id or a tag name — to the
-    * snapshot id, for every surface that time-travels by user input. */
-  def resolveRef(ref: String): Long =
-    if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toLong
-    else meta.tags.getOrElse(ref,
-      sys.error(s"no tag '$ref' on table (tags: ${meta.tags.keys.toSeq.sorted.mkString(", ")})"))
+  /** Resolve a snapshot REF — a numeric snapshot id, a tag name, or a
+    * branch name (its current head) — for every surface that time-travels
+    * by user input. Tags win a tag/branch name collision. */
+  def resolveRef(ref: String): Long = {
+    if (ref.nonEmpty && ref.forall(_.isDigit)) return ref.toLong
+    val m = meta
+    m.tags.get(ref).orElse(m.branches.get(ref)).getOrElse(
+      sys.error(s"no tag or branch '$ref' on table (tags: " +
+        s"${m.tags.keys.toSeq.sorted.mkString(", ")}; branches: " +
+        s"${m.branches.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  // -------------------------------------------------------------- branches
+
+  /** Open a write branch at the current main head (write-audit-publish,
+    * Iceberg's WAP refs): branch merges stage state out of main's sight,
+    * an audit reads the branch head (`resolveRef(name)` / `read(Some(id))` /
+    * SQL `VERSION AS OF 'name'`), and [[publishBranch]] flips main to the
+    * audited state in one metadata commit. Heads are retention-pinned. */
+  def createBranch(name: String): Long = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"branch name '$name' must be non-empty and not purely numeric")
+    var head = -1L
+    retryCommit { m =>
+      require(!m.branches.contains(name), s"branch '$name' already exists")
+      require(!m.tags.contains(name), s"'$name' is already a tag")
+      require(m.currentSnapshotId > 0, "cannot branch an empty table")
+      head = m.currentSnapshotId
+      m.copy(branches = m.branches + (name -> head))
+    }
+    head
+  }
+
+  /** Publish the branch: main fast-forwards to the branch head in ONE
+    * metadata commit (atomic, zero data movement) and the branch closes.
+    * Requires main not to have advanced since the branch forked — the
+    * branch head's parent chain must reach the CURRENT main head; anything
+    * else means concurrent main commits the audit never saw (re-stage). */
+  def publishBranch(name: String): Long = {
+    var published = -1L
+    retryCommit { m =>
+      val head = m.branches.getOrElse(name, sys.error(s"no branch '$name'"))
+      val ancestors = Iterator.iterate(m.snapshotById(head))(s =>
+        s.flatMap(x => m.snapshotById(x.parentId)))
+        .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+      require(ancestors.contains(m.currentSnapshotId),
+        s"main advanced to ${m.currentSnapshotId} after branch '$name' forked — " +
+          "the audited state does not include those commits; re-stage the branch")
+      published = head
+      m.copy(currentSnapshotId = head, branches = m.branches - name)
+    }
+    published
+  }
+
+  /** Discard a branch (staged state stays time-travelable until retention
+    * expires it). Returns false if the branch did not exist. */
+  def dropBranch(name: String): Boolean = {
+    var existed = false
+    retryCommit { m =>
+      existed = m.branches.contains(name)
+      m.copy(branches = m.branches - name)
+    }
+    existed
+  }
 
   /** Set (value nonEmpty) or unset (None) one free-form table property in a
     * metadata-only commit. */
@@ -869,9 +949,11 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     var dead: Set[String] = Set.empty
     retryCommit { m =>
       val ordered = m.snapshots.sortBy(_.snapshotId)
-      // tagged snapshots are retention-pinned: an audit tag must keep both
-      // the metadata entry (time travel) and the files it references
-      val pinned = m.tags.values.toSet
+      // retention pins: tagged snapshots (audit refs), open branch heads
+      // (staged WAP state), and main's current head — with branches, the
+      // newest ids can all sit on a branch, so "keep the last K" alone
+      // could otherwise expire the CURRENT main snapshot
+      val pinned = m.tags.values.toSet ++ m.branches.values + m.currentSnapshotId
       val (keepTail, older) = (ordered.takeRight(keepLast), ordered.dropRight(keepLast))
       val keep = older.filter(s => pinned.contains(s.snapshotId)) ++ keepTail
       val expired = older.filterNot(s => pinned.contains(s.snapshotId))

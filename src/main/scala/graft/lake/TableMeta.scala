@@ -174,7 +174,19 @@ case class TableMeta(
     properties: Map[String, String] = Map.empty,
     // Declared row constraints, enforced on every write path (see
     // ConstraintDef). Empty for unconstrained tables — zero write cost.
-    constraints: Seq[ConstraintDef] = Seq.empty) {
+    constraints: Seq[ConstraintDef] = Seq.empty,
+    // Named write branches (Iceberg-style refs) for write-audit-publish:
+    // name → branch head snapshot id. Branch commits append to `snapshots`
+    // like any commit but advance the branch pointer instead of
+    // currentSnapshotId; `publishBranch` flips the table to the audited
+    // head in one metadata commit. Heads are retention-pinned like tags.
+    branches: Map[String, Long] = Map.empty) {
+  /** Next snapshot id: ids must be unique across ALL retained snapshots —
+    * with write branches, the max id can sit on a branch, not on main, so
+    * `currentSnapshotId + 1` would collide. */
+  def nextSnapshotId: Long =
+    snapshots.foldLeft(currentSnapshotId)((a, s) => math.max(a, s.snapshotId)) + 1
+
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)

@@ -185,7 +185,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // commits on the free-form properties map; engine-reserved keys stay
     // read-only (they are derived facts, not settings)
     val reserved = Set("location", "format", "snapshot-id", "keys", "buckets",
-      "lsn-high-water", "vacuum-lsn", "maintained-views", "tags", "constraints")
+      "lsn-high-water", "vacuum-lsn", "maintained-views", "tags", "constraints",
+      "branches")
     val ops: Seq[SchemaChange] = changes.flatMap {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested columns unsupported")

@@ -37,7 +37,8 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "rebucket", "expire_snapshots", "rollback",
       "create_view", "refresh_views", "drop_view", "create_tag", "drop_tag",
-      "add_constraint", "drop_constraint", "mirror")
+      "add_constraint", "drop_constraint", "mirror",
+      "create_branch", "publish_branch", "drop_branch")
 
   def load(warehouse: String, name: String): UnboundProcedure = name.toLowerCase match {
     case "compact" => Proc(
@@ -94,6 +95,41 @@ object GraftProcedures {
       (wh, input) => {
         val n = table(wh, input).expireSnapshots(input.getInt(1))
         Array[InternalRow](new GenericInternalRow(Array[Any](n)))
+      }, warehouse)
+    case "create_branch" => Proc(
+      "create_branch",
+      "open a write-audit-publish branch at the current main head: stage " +
+        "merges on it, audit via VERSION AS OF '<branch>', then publish",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("branch", StringType, None, "branch name (non-numeric)")),
+      new StructType().add("forked_at_snapshot", LongType, nullable = false),
+      (wh, input) => {
+        val head = table(wh, input).createBranch(input.getUTF8String(1).toString)
+        Array[InternalRow](new GenericInternalRow(Array[Any](head)))
+      }, warehouse)
+    case "publish_branch" => Proc(
+      "publish_branch",
+      "fast-forward main to the audited branch head in ONE metadata commit " +
+        "and close the branch; refuses if main advanced past the fork",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("branch", StringType, None, "branch name")),
+      new StructType().add("published_snapshot", LongType, nullable = false),
+      (wh, input) => {
+        val id = table(wh, input).publishBranch(input.getUTF8String(1).toString)
+        Array[InternalRow](new GenericInternalRow(Array[Any](id)))
+      }, warehouse)
+    case "drop_branch" => Proc(
+      "drop_branch",
+      "discard a branch (staged state stays time-travelable until retention)",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'"),
+        in("branch", StringType, None, "branch name")),
+      new StructType().add("existed", BooleanType, nullable = false),
+      (wh, input) => {
+        val existed = table(wh, input).dropBranch(input.getUTF8String(1).toString)
+        Array[InternalRow](new GenericInternalRow(Array[Any](existed)))
       }, warehouse)
     case "mirror" => Proc(
       "mirror",

@@ -79,7 +79,9 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long],
       "tags" -> meta.tags.toSeq.sortBy(_._1)
         .map { case (n, id) => s"$n=$id" }.mkString(","),
       "constraints" -> meta.constraints
-        .map(c => s"${c.name}:${c.kind}(${c.expr})").mkString(","))).asJava
+        .map(c => s"${c.name}:${c.kind}(${c.expr})").mkString(","),
+      "branches" -> meta.branches.toSeq.sortBy(_._1)
+        .map { case (n, id) => s"$n=$id" }.mkString(","))).asJava
   override def capabilities(): util.Set[TableCapability] =
     if (cdcWrite)
       // the `t$cdc` write view accepts feed-shaped rows (data columns +

@@ -516,7 +516,8 @@ class SqlCatalogSpec extends SparkTestBase {
       .map(_.getAs[String]("procedure_name")).toSet ==
       Set("compact", "vacuum", "rebucket", "expire_snapshots", "rollback",
         "create_view", "refresh_views", "drop_view", "create_tag", "drop_tag",
-        "add_constraint", "drop_constraint", "mirror"))
+        "add_constraint", "drop_constraint", "mirror",
+        "create_branch", "publish_branch", "drop_branch"))
   }
 
   test("CALL rollback restores an earlier snapshot picked from t$snapshots") {
