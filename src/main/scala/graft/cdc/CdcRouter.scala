@@ -55,23 +55,42 @@ object CdcRouter {
     require(routes.nonEmpty, "router needs at least one route")
     require(batch.columns.contains(discriminator),
       s"batch has no discriminator column '$discriminator'")
-    val known = routes.keys.toSeq
-    val unknown = batch.filter(col(discriminator).isNull ||
-      !col(discriminator).isin(known: _*))
-    if (!unknown.isEmpty) quarantineDir match {
+    // ONE column-pruned pass over the discriminator tells us everything the
+    // routing plan needs: which routes this batch actually touches (absent
+    // tables skip their filtered pass entirely — a batch hitting 2 of 20
+    // routes runs 2 slice scans, not 20) and whether any events are
+    // unrouted. (The previous `unknown.isEmpty` probe was worse than it
+    // looked: limit-1 can't short-circuit when there ARE no unknowns, so
+    // the common clean batch paid a full scan for a boolean.)
+    val present: Map[Option[String], Long] = batch
+      .groupBy(col(discriminator).cast("string").as("_t"))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val unknownTables = present.keySet.filter(_.forall(k => !routes.contains(k)))
+    if (unknownTables.nonEmpty) quarantineDir match {
       case Some(dir) =>
-        unknown.withColumn("q_reason", lit("unknown_table"))
+        // the discriminator folds into q_reason and leaves the data columns:
+        // keeping it as a column would collide with the `table=` partition
+        // directory and make the quarantine root unreadable as one dataset
+        batch.filter(col(discriminator).isNull ||
+            !col(discriminator).isin(routes.keys.toSeq: _*))
+          .withColumn("q_reason", concat(lit("unknown_table:"),
+            coalesce(col(discriminator).cast("string"), lit("null"))))
+          .drop(discriminator)
           .write.mode("overwrite").parquet(s"$dir/table=__unknown/epoch=$epochId")
       case None => throw new IllegalStateException(
         s"epoch $epochId carries events for unrouted table(s) " +
+          s"${unknownTables.map(_.getOrElse("null")).toSeq.sorted.mkString(", ")} " +
           "and no quarantine sink is configured")
     }
-    routes.toSeq.sortBy(_._1).foreach { case (name, rt) =>
-      val slice = batch.filter(col(discriminator) === name).drop(discriminator)
-      CdcPipeline.processBatch(slice, epochId, rt.table, rt.evolution,
-        rt.versions, rt.lineageDir, salts = salts,
-        quarantineDir = quarantineDir.map(d => s"$d/table=$name"))
-    }
+    routes.toSeq.sortBy(_._1)
+      .filter { case (name, _) => present.contains(Some(name)) }
+      .foreach { case (name, rt) =>
+        val slice = batch.filter(col(discriminator) === name).drop(discriminator)
+        CdcPipeline.processBatch(slice, epochId, rt.table, rt.evolution,
+          rt.versions, rt.lineageDir, salts = salts,
+          quarantineDir = quarantineDir.map(d => s"$d/table=$name"))
+      }
   }
 
   /** Stream a multi-table change log into its targets (non-blocking).

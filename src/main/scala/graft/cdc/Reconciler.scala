@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.lake.LakeTable
 
@@ -21,18 +21,31 @@ object Reconciler {
   /** Expected final state derived from the raw log via the *window-function*
     * spec (independent code path from the Aggregator + MERGE pipeline).
     * Applies the same validity contract as ingest: malformed envelopes
-    * (null key/lsn, unknown op) are dead-lettered by the pipeline, so the
-    * expected state must exclude them too — otherwise every quarantined
-    * event would read as a (false) miss forever. */
-  def expectedFromLog(log: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val valid = log.filter(CdcPipeline.quarantineReason(keyCols).isNull)
+    * (null key/lsn, unknown op) AND rows violating the table's declared
+    * constraints (`constraints`, from [[LakeTable.applicableConstraints]])
+    * are dead-lettered by the pipeline, so the expected state must exclude
+    * both too — otherwise every quarantined event would read as a (false)
+    * miss forever, and repair() would crash re-merging rows the table's own
+    * constraint enforcement rejects. */
+  def expectedFromLog(log: DataFrame, keyCols: Seq[String],
+      constraints: Seq[(Column, String)] = Seq.empty): DataFrame = {
+    val reason = constraints.foldLeft(CdcPipeline.quarantineReason(keyCols)) {
+      // same op-exemption as ingest: tombstone payloads are not rows
+      case (r, (cond, name)) => r.when(col("op") =!= "D" && cond, s"constraint:$name")
+    }
+    val valid = log.filter(reason.isNull)
     Dedup.lwwWindowSpec(valid, keyCols, "lsn", "op").filter(col("op") =!= "D")
   }
+
+  /** The ingest validity contract for `table` applied to a log with these
+    * columns — what [[expectedFromLog]] must mirror. */
+  private def contractOf(log: DataFrame, table: LakeTable): Seq[(Column, String)] =
+    table.applicableConstraints(log.columns.toSeq)
 
   /** Keys present in the log's expected state but absent from the table. */
   def missing(log: DataFrame, table: LakeTable): DataFrame = {
     val keyCols = table.meta.keyCols
-    expectedFromLog(log, keyCols).select(keyCols.map(col): _*)
+    expectedFromLog(log, keyCols, contractOf(log, table)).select(keyCols.map(col): _*)
       .join(table.currentState().select(keyCols.map(col): _*), keyCols, "left_anti")
   }
 
@@ -40,7 +53,7 @@ object Reconciler {
     * compared by sha-256, the per-row invariant from BASELINE.json). */
   def stale(log: DataFrame, table: LakeTable): DataFrame = {
     val keyCols = table.meta.keyCols
-    val exp = expectedFromLog(log, keyCols)
+    val exp = expectedFromLog(log, keyCols, contractOf(log, table))
       .select((keyCols.map(col) :+ sha2(coalesce(col("content"), lit("")), 256).as("h")): _*)
     val got = table.currentState()
       .select((keyCols.map(col) :+ sha2(coalesce(col("content"), lit("")), 256).as("h")): _*)
@@ -54,7 +67,7 @@ object Reconciler {
   def repair(log: DataFrame, table: LakeTable, lsnLo: Long, lsnHi: Long): Long = {
     val keyCols = table.meta.keyCols
     val windowed = log.filter(col("lsn").between(lsnLo, lsnHi))
-    val exp = expectedFromLog(windowed, keyCols)
+    val exp = expectedFromLog(windowed, keyCols, contractOf(windowed, table))
     val miss = exp.join(table.currentState().select(keyCols.map(col): _*), keyCols, "left_anti")
     val n = miss.count()
     if (n > 0) table.merge(CdcPipeline.toMergeInput(miss, table))
@@ -69,7 +82,7 @@ object Reconciler {
     * never a driver-side NOT IN). Returns rows re-synced. */
   def repairIds(log: DataFrame, table: LakeTable, ids: DataFrame): Long = {
     val keyCols = table.meta.keyCols
-    val exp = expectedFromLog(log, keyCols)
+    val exp = expectedFromLog(log, keyCols, contractOf(log, table))
       .join(broadcast(ids.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
     val n = exp.count()
     if (n > 0) table.merge(CdcPipeline.toMergeInput(exp, table))

@@ -161,6 +161,19 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     false
   }
 
+  /** Commit-time guard for every path that allocates its snapshot id from a
+    * pre-commit `meta` read: with write branches, a concurrent BRANCH commit
+    * allocates from the same id space without moving `currentSnapshotId`, so
+    * the per-ref pointer checks alone would let two snapshots land with the
+    * SAME id (corrupting snapshotById / branch refs / time travel). Abort
+    * loudly instead — `commitOrClean` then removes the staged files.
+    * (`<=` rather than `==`: dropBranch can retract ids, which leaves a
+    * pre-allocated higher id unused but still unique.) */
+  private def requireSnapshotIdFree(m: TableMeta, id: Long): Unit =
+    require(m.nextSnapshotId <= id,
+      s"concurrent commit allocated snapshot ids past $id " +
+        s"(next free is now ${m.nextSnapshotId}) — retry against the new head")
+
   // ---------------------------------------------------------------- reads
 
   /** Current (or time-travel) table state as a DataFrame in the current
@@ -301,6 +314,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
 
     timed("commit")(commitOrClean(staging) {
       retryCommit { m =>
+        requireSnapshotIdFree(m, snapshotId)
         val snap = Snapshot(snapshotId, base.map(_.snapshotId).getOrElse(-1L),
           epochId, m.currentSchemaId, "merge", kept ++ newFiles,
           System.currentTimeMillis(),
@@ -361,6 +375,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       commitOrClean(staging) {
         retryCommit { m =>
           require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+          requireSnapshotIdFree(m, snapshotId)
           val snap = childSnapshot(m, snapshotId, epochId, "append",
             m.currentSnapshot.map(_.files).getOrElse(Seq.empty) ++ newFiles)
           m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
@@ -388,6 +403,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     commitOrClean(staging) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+        requireSnapshotIdFree(m, snapshotId)
         val snap = childSnapshot(m, snapshotId, epochId, "replace", newFiles)
         m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapshotId)
       }
@@ -437,6 +453,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       commitOrClean(staging) {
         retryCommit { m =>
           require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+          requireSnapshotIdFree(m, snapshotId)
           val s = childSnapshot(m, snapshotId, -1, "vacuum", kept ++ newFiles)
           m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
             vacuumLsn = math.max(m.vacuumLsn, droppedHighWater))
@@ -530,6 +547,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     commitOrClean(staging) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+        requireSnapshotIdFree(m, snapshotId)
         val s = childSnapshot(m, snapshotId, -1, "compact", kept ++ newFiles)
         m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId)
       }
@@ -612,6 +630,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     commitOrClean(staging) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+        requireSnapshotIdFree(m, snapshotId)
         val s = childSnapshot(m, snapshotId, -1, "rebucket", newFiles)
         m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
           numBuckets = newBuckets)
@@ -659,6 +678,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     val snapshotId = m0.nextSnapshotId
     retryCommit { m =>
       require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+      requireSnapshotIdFree(m, snapshotId)
       val s = Snapshot(snapshotId, m0.currentSnapshotId, -1, m.currentSchemaId,
         "rollback", target.files, System.currentTimeMillis(),
         rollbackOf = toSnapshotId,
@@ -687,6 +707,10 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         require(existing == id || replace,
           s"tag '$name' already points at snapshot $existing; pass replace=true to move it")
       }
+      // symmetric with createBranch's tag check: resolveRef gives tags
+      // precedence, so a tag shadowing a live branch would silently redirect
+      // every `VERSION AS OF '$name'` from the branch head to a frozen pin
+      require(!m.branches.contains(name), s"'$name' is already a branch")
       tagged = id
       m.copy(tags = m.tags + (name -> id))
     }
@@ -758,14 +782,41 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     published
   }
 
-  /** Discard a branch (staged state stays time-travelable until retention
-    * expires it). Returns false if the branch did not exist. */
+  /** Discard a branch AND its branch-exclusive staged snapshots (their data
+    * files are deleted unless another retained snapshot references them).
+    * Retraction — not mere unpinning — is what makes the publish-refused →
+    * dropBranch → re-stage flow work: the dead snapshots' epoch ids leave
+    * [[TableMeta.committedEpochs]] with them, so re-merging the same epochs
+    * onto a fresh branch applies instead of silently no-opping (and expiry
+    * can never fold an unpublished epoch into the permanent retired ledger).
+    * Returns false if the branch did not exist. */
   def dropBranch(name: String): Boolean = {
     var existed = false
+    var dead: Set[String] = Set.empty
     retryCommit { m =>
       existed = m.branches.contains(name)
-      m.copy(branches = m.branches - name)
+      if (!existed) m
+      else {
+        // branch-exclusive segment: head's parent chain up to (excluding)
+        // the first snapshot still reachable from main, a tag, or another
+        // branch — shared history is never retracted
+        val others = (m.branches - name).values.flatMap(m.ancestry) ++
+          m.tags.values.flatMap(m.ancestry) ++ m.mainAncestry
+        val keepIds = others.toSet
+        val drop = Iterator.iterate(m.snapshotById(m.branches(name)))(
+          _.flatMap(s => m.snapshotById(s.parentId)))
+          .takeWhile(_.isDefined).map(_.get.snapshotId)
+          .takeWhile(id => !keepIds.contains(id)).toSet
+        val keep = m.snapshots.filterNot(s => drop.contains(s.snapshotId))
+        val live = keep.flatMap(_.files.map(_.path)).toSet
+        dead = m.snapshots.filter(s => drop.contains(s.snapshotId))
+          .flatMap(_.files.map(_.path)).toSet -- live
+        m.copy(branches = m.branches - name, snapshots = keep)
+      }
     }
+    // physical deletion strictly AFTER the metadata commit (same contract as
+    // expireSnapshots): a failed commit must never orphan-reference files
+    dead.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
     existed
   }
 
@@ -949,11 +1000,23 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     var dead: Set[String] = Set.empty
     retryCommit { m =>
       val ordered = m.snapshots.sortBy(_.snapshotId)
-      // retention pins: tagged snapshots (audit refs), open branch heads
-      // (staged WAP state), and main's current head — with branches, the
-      // newest ids can all sit on a branch, so "keep the last K" alone
-      // could otherwise expire the CURRENT main snapshot
-      val pinned = m.tags.values.toSet ++ m.branches.values + m.currentSnapshotId
+      // retention pins: tagged snapshots (audit refs), open branch CHAINS
+      // (staged WAP state — publishBranch walks the head's parent links down
+      // to main's head, so expiring an intermediate branch snapshot would
+      // sever the chain and permanently block publish), and main's current
+      // head — with branches, the newest ids can all sit on a branch, so
+      // "keep the last K" alone could otherwise expire the CURRENT main
+      // snapshot. Only the branch-exclusive segment is pinned (the walk
+      // stops at the first main-lineage snapshot): main history below the
+      // fork keeps normal retention.
+      val mainAnc = m.mainAncestry
+      val branchChainPins = m.branches.values.flatMap { head =>
+        Iterator.iterate(m.snapshotById(head))(_.flatMap(s => m.snapshotById(s.parentId)))
+          .takeWhile(_.isDefined).map(_.get.snapshotId)
+          .takeWhile(id => !mainAnc.contains(id))
+      }.toSet
+      val pinned = m.tags.values.toSet ++ m.branches.values ++
+        branchChainPins + m.currentSnapshotId
       val (keepTail, older) = (ordered.takeRight(keepLast), ordered.dropRight(keepLast))
       val keep = older.filter(s => pinned.contains(s.snapshotId)) ++ keepTail
       val expired = older.filterNot(s => pinned.contains(s.snapshotId))

@@ -187,6 +187,20 @@ case class TableMeta(
   def nextSnapshotId: Long =
     snapshots.foldLeft(currentSnapshotId)((a, s) => math.max(a, s.snapshotId)) + 1
 
+  /** Snapshot ids reachable from `headId` over parent links (retained
+    * snapshots only — the walk stops at the first expired parent). With
+    * write branches, `snapshots` is a TREE: surfaces that mean "the table's
+    * history" (timestamp time travel, view maintenance, epoch retirement)
+    * must restrict themselves to `ancestry(currentSnapshotId)` or they leak
+    * unpublished branch state into main's timeline. */
+  def ancestry(headId: Long): Set[Long] = {
+    val byId = snapshots.map(s => s.snapshotId -> s).toMap
+    Iterator.iterate(byId.get(headId))(_.flatMap(s => byId.get(s.parentId)))
+      .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+  }
+  /** Main's lineage: ancestry of the current head. */
+  def mainAncestry: Set[Long] = ancestry(currentSnapshotId)
+
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)

@@ -40,7 +40,16 @@ object AsOfJoin {
     val taggedLeft = left.select(
       col(leftKey).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
         nullPayload.as("_p") +: leftCols.map(col): _*)
-    val taggedRight = right.select(
+    // A right row with a null key or null time can never legitimately match:
+    // key equality fails on NULL and `null <= t` holds for no t. Left as-is
+    // it WOULD match here — null `_t` sorts first (asc nulls-first) so its
+    // payload would be carried into every later left row, and null keys on
+    // both sides would land in the same partition and pair up. Filter them
+    // out; null-key/null-time LEFT rows stay and keep a null payload (LEFT
+    // join), matching ANSI/DuckDB ASOF semantics.
+    val taggedRight = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
       col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
         payloadStruct.as("_p") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

@@ -225,6 +225,10 @@ object TextOps {
           sequence(lit(0), floor((size(toks) - 1) / stride).cast("int")),
           k => slice(toks, k * stride + 1, lit(chunkSize)))
         t(s, d, "documents")
+          // zero-token docs emit NO chunks (matching generate_series(0,-1)
+          // = empty in the oracle); unguarded, Spark's sequence(0, -1)
+          // auto-infers step -1 and would emit two phantom empty chunks
+          .filter(size(toks) > 0)
           .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
           .select(col("doc_id"), col("chunk_idx"),
             array_join(col("c"), " ").as("chunk_text"),

@@ -154,8 +154,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "time-travel the base table, or use fromSnapshot/toSnapshot options on the feed")
     val path = cat.tablePath(ident.namespace()(0), ident.name)
     val tsMs = Math.floorDiv(timestamp, 1000L)
-    val snap = graft.lake.LakeTable.metaAt(path).snapshots
-      .filter(_.wallClockMs <= tsMs)
+    // main lineage only: snapshots is a tree under write branches, and a
+    // staged (unpublished) branch commit is often the newest by wall clock —
+    // resolving into it would leak pre-audit state to a plain SQL reader
+    val m = graft.lake.LakeTable.metaAt(path)
+    val lineage = m.mainAncestry
+    val snap = m.snapshots
+      .filter(s => lineage.contains(s.snapshotId) && s.wallClockMs <= tsMs)
       .sortBy(_.snapshotId).lastOption.getOrElse(sys.error(
         s"no snapshot of $ident committed at or before epoch-ms $tsMs " +
           "(before table creation, or expired by retention)"))

@@ -53,8 +53,13 @@ class CdcRouterSpec extends SparkTestBase {
     val nLegacy = withLegacy.filter(col("table") === "legacy").count()
     assert(nLegacy > 0, "fixture produced no unroutable rows — recalibrate")
     assert(q.count() == nLegacy)
+    // reason carries the offending discriminator value; the DATA column is
+    // folded away so the root reads as one dataset — `table` resurfaces only
+    // as the partition column from the `table=__unknown/` directory
     assert(q.select("q_reason").distinct().collect().map(_.getString(0)).toSeq
-      == Seq("unknown_table"))
+      == Seq("unknown_table:legacy"))
+    assert(q.select("table").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("__unknown"))
 
     // no sink configured → loud failure, nothing committed
     val bare = freshRoutes(s"$dir/bare")

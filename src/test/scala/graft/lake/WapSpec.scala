@@ -98,6 +98,99 @@ class WapSpec extends SparkTestBase {
     assert(liveKeys(t, Some(t.resolveRef("b"))) == Set("r1", "r2"))
   }
 
+  test("dropBranch retracts staged snapshots: epochs re-stageable, files reclaimed") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    val mainFiles = t.meta.currentSnapshot.get.files.map(_.path).toSet
+
+    t.createBranch("audit")
+    t.merge(batch((11L, "I", "r2", "p", "c", "scala", "v2")), 1, branch = Some("audit"))
+    t.merge(batch((12L, "I", "r3", "p", "c", "scala", "v3")), 2, branch = Some("audit"))
+    val staged = t.meta
+    val branchSnapIds = {
+      val headId = staged.branches("audit")
+      staged.ancestry(headId) -- staged.mainAncestry
+    }
+    assert(branchSnapIds.size == 2)
+    val branchOnlyFiles = staged.snapshots
+      .filter(s => branchSnapIds.contains(s.snapshotId))
+      .flatMap(_.files.map(_.path)).toSet -- mainFiles
+    assert(branchOnlyFiles.nonEmpty)
+
+    // audit refuses → drop. The staged snapshots must be RETRACTED, not
+    // merely unpinned: their epochs leave the ledger so re-staging applies.
+    assert(t.dropBranch("audit"))
+    val m = t.meta
+    assert(branchSnapIds.forall(id => m.snapshotById(id).isEmpty),
+      "dropped branch snapshots still in metadata")
+    assert(!m.committedEpochs.contains(1L) && !m.committedEpochs.contains(2L))
+    branchOnlyFiles.foreach { rel =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, rel)),
+        s"branch-exclusive file $rel not reclaimed") }
+    mainFiles.foreach { rel =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, rel)),
+        s"shared file $rel wrongly deleted") }
+
+    // the re-stage flow publishBranch's refusal message prescribes
+    t.createBranch("audit2")
+    assert(t.merge(batch((11L, "I", "r2", "p", "c", "scala", "v2fixed")), 1,
+      branch = Some("audit2")).nonEmpty, "retracted epoch no-opped on re-stage")
+    t.publishBranch("audit2")
+    assert(liveKeys(t) == Set("r1", "r2"))
+    assert(t.currentState().filter($"repo" === "r2").select("content")
+      .head().getString(0) == "v2fixed")
+  }
+
+  test("retention pins the whole open branch chain — publish works after expire") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    t.merge(batch((2L, "U", "r1", "p", "c", "scala", "v1b")), 1)
+    t.createBranch("long")
+    t.merge(batch((11L, "I", "r2", "p", "c", "scala", "v2")), 2, branch = Some("long"))
+    t.merge(batch((12L, "I", "r3", "p", "c", "scala", "v3")), 3, branch = Some("long"))
+    t.merge(batch((13L, "I", "r4", "p", "c", "scala", "v4")), 4, branch = Some("long"))
+
+    // keepLast=1 keeps only the newest id (the branch head) — the
+    // INTERMEDIATE branch snapshots must survive via chain pinning or
+    // publishBranch's walk back to main's head is severed forever
+    t.expireSnapshots(keepLast = 1)
+    val head = t.publishBranch("long")
+    assert(t.meta.currentSnapshotId == head)
+    assert(liveKeys(t) == Set("r1", "r2", "r3", "r4"))
+  }
+
+  test("a tag cannot shadow a live branch (tags win ref resolution)") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    t.createBranch("wip")
+    val e = intercept[IllegalArgumentException](t.createTag("wip"))
+    assert(e.getMessage.contains("already a branch"))
+    t.dropBranch("wip")
+    t.createTag("wip") // free once the branch is gone
+    assert(t.resolveRef("wip") == t.meta.currentSnapshotId)
+  }
+
+  test("maintained views fold ONLY main lineage; staged branch state applies on publish") {
+    val t = freshTable()
+    val vm = new ViewMaintainer(t, tmpDir("wapviews"), Seq(
+      RollupView("langs", Seq("lang"))))
+    t.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    vm.refreshAll()
+    def viewRows() = vm.table("langs").currentState()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viewRows() == Map("scala" -> 1L))
+
+    t.createBranch("staged")
+    t.merge(batch((11L, "I", "r2", "p", "c", "go", "v2")), 1, branch = Some("staged"))
+    // refresh while staged: the unpublished merge must NOT appear
+    vm.refreshAll()
+    assert(viewRows() == Map("scala" -> 1L))
+
+    t.publishBranch("staged")
+    vm.refreshAll()
+    assert(viewRows() == Map("scala" -> 1L, "go" -> 1L))
+  }
+
   test("SQL: VERSION AS OF 'branch' reads staged state for the audit") {
     val wh = tmpDir("wapwh")
     spark.conf.set("spark.sql.catalog.wcat", classOf[graft.sql.GraftCatalog].getName)
@@ -113,7 +206,16 @@ class WapSpec extends SparkTestBase {
     assert(spark.sql("SELECT v FROM wcat.ns.t").head().getInt(0) == 1)
     assert(spark.sql("SELECT v FROM wcat.ns.t VERSION AS OF 'staged'")
       .head().getInt(0) == 2)
+    // TIMESTAMP AS OF resolves over MAIN lineage only — the staged branch
+    // commit is the newest by wall clock, but a plain SQL time-travel read
+    // must not leak pre-audit state
+    assert(spark.sql(
+      "SELECT v FROM wcat.ns.t TIMESTAMP AS OF '2500-01-01 00:00:00'")
+      .head().getInt(0) == 1)
     t.publishBranch("staged")
     assert(spark.sql("SELECT v FROM wcat.ns.t").head().getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT v FROM wcat.ns.t TIMESTAMP AS OF '2500-01-01 00:00:00'")
+      .head().getInt(0) == 2)
   }
 }

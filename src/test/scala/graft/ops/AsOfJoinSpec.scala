@@ -47,6 +47,31 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(2).isNullAt(3) && out(2).isNullAt(4))
   }
 
+  test("null-key / null-time right rows never match (ANSI ASOF semantics)") {
+    val left = Seq((1L, 10L, "e1"), (2L, 20L, "e2")).toDF("k", "t", "ev")
+    // a null-time right row sorts FIRST in the union (asc nulls-first), so
+    // unfiltered it would carry its payload into every later left row on
+    // the key; a null-key right row would pair with nothing legitimately
+    // but lands in some partition all the same
+    val right = Seq(
+      (Option(1L), Option.empty[Long], "poison-null-time", 9.0),
+      (Option.empty[Long], Option(5L), "poison-null-key", 8.0),
+      (Option(2L), Option(15L), "good", 3.0))
+      .toDF("k", "t", "name", "score")
+    val out = AsOfJoin.asOf(left, "k", "t", right, "k", "t", Seq("name", "score"))
+      .orderBy("k").collect()
+    // k=1: only right rows are poison → LEFT semantics, null payload
+    assert(out(0).isNullAt(3) && out(0).isNullAt(4))
+    // k=2: the real row at t=15 <= 20 matches
+    assert(out(1).getString(3) == "good" && out(1).getDouble(4) == 3.0)
+
+    // null-key LEFT rows stay (LEFT join) with null payload
+    val nullLeft = Seq((Option.empty[Long], Option(10L), "e0")).toDF("k", "t", "ev")
+    val out2 = AsOfJoin.asOf(nullLeft, "k", "t", right, "k", "t", Seq("name", "score"))
+      .collect()
+    assert(out2.length == 1 && out2(0).isNullAt(3))
+  }
+
   test("q52 plan: one exchange over the union, no cartesian/theta join") {
     val p = graft.SparkEntry.queries("q52_asof_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
