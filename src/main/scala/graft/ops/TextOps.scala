@@ -321,6 +321,102 @@ object TextOps {
              |UNION ALL SELECT doc_id, 'lines', lines FROM m
              |UNION ALL SELECT doc_id, 'digits', digits FROM m""".stripMargin)),
 
+    // Tokenizer vocabulary induction: per-language top-20 terms by total
+    // occurrence — the first pass of BPE/unigram vocab training. Shape at
+    // 100 TB: the (lang, term) count partial-aggregates map-side, so the
+    // exchange carries vocab-sized partials (≪ corpus tokens); the ranking
+    // window then runs over the AGGREGATED vocab table, never the corpus.
+    // (count desc, term asc) is a total order per lang → deterministic ranks.
+    OpQuery("q55_vocab_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = t(s, d, "documents")
+          .select(col("lang"),
+            explode(filter(split(lower(col("text")), " "), x => x =!= "")).as("term"))
+          .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term").asc)
+        counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
+      },
+      Some("""WITH tc AS (
+             |  SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+             |    x -> x <> '')) AS term FROM documents),
+             |c AS (SELECT lang, term, count(*) AS n FROM tc GROUP BY 1, 2)
+             |SELECT lang, term, n, rnk FROM (
+             |  SELECT lang, term, n, CAST(row_number() OVER (
+             |    PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rnk FROM c)
+             |WHERE rnk <= 20""".stripMargin)),
+
+    // Rare-term (OOV-ish) density scoring: per-term document frequency over
+    // the corpus, folded back per document as the count of distinct terms
+    // whose DF is below 10% of corpus size — the "this doc is full of
+    // tokens the model will barely see" quality signal. Integer arithmetic
+    // throughout (exact cross-engine). Scale shape: doc→distinct-term pairs
+    // are per-row array_distinct (no dedup shuffle); the DF table is
+    // vocab-sized → broadcast back against the pair stream (vocab beyond
+    // the broadcast threshold degrades to a shuffle join on term, never a
+    // corpus² anything); the final per-doc count partial-aggregates.
+    OpQuery("q56_rare_term_score",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val docTerms = docs.select(col("doc_id"),
+          explode(array_distinct(filter(split(lower(col("text")), " "),
+            x => x =!= ""))).as("term"))
+        val dfT = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val total = docs.agg(count(lit(1)).as("n_corpus"))
+        docTerms
+          .join(broadcast(dfT.crossJoin(total)), Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(when(col("df") * 10 < col("n_corpus"), 1L).otherwise(0L))
+              .as("n_rare_terms"),
+            min(col("df")).as("min_df"))
+      },
+      Some("""WITH dt AS (
+             |  SELECT doc_id, unnest(list_distinct(list_filter(
+             |    string_split(lower(text), ' '), x -> x <> ''))) AS term
+             |  FROM documents),
+             |df AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+             |n AS (SELECT count(*) AS n_corpus FROM documents)
+             |SELECT doc_id, count(*) AS n_terms,
+             |  CAST(sum(CASE WHEN df * 10 < n_corpus THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_rare_terms,
+             |  min(df) AS min_df
+             |FROM dt JOIN df USING (term) CROSS JOIN n
+             |GROUP BY 1""".stripMargin)),
+
+    // Sequence packing: lay each language's documents end-to-end into
+    // fixed-budget (512-token) training sequences — every doc gets the
+    // sequence id and token offset where it starts in the packed stream.
+    // The deterministic contiguous-fill spec (order by doc_id) makes the
+    // layout reproducible and auditable across engines and re-runs. One
+    // hash exchange on the window partition + a partition-local sort; at
+    // corpus scale the partition key is (lang, shard) so no single
+    // language funnels through one task — the cumulative offsets then
+    // continue across shards by adding per-shard token totals (one tiny
+    // second pass over shard sums).
+    OpQuery("q57_sequence_packing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = size(filter(split(lower(col("text")), " "), x => x =!= ""))
+          .cast("long")
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), toks.as("n_tokens"))
+          .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            expr("start_tok DIV 512").as("seq_id"),
+            pmod(col("start_tok"), lit(512L)).as("tok_offset"))
+      },
+      Some("""WITH m AS (SELECT doc_id, lang,
+             |  CAST(len(list_filter(string_split(lower(text), ' '),
+             |    x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang, n_tokens,
+             |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+             |    - n_tokens AS BIGINT) AS start_tok FROM m)
+             |SELECT doc_id, lang, n_tokens, start_tok // 512 AS seq_id,
+             |  start_tok % 512 AS tok_offset FROM c""".stripMargin)),
+
     // Repetition-quality metrics (the Gopher-style repetition filters):
     // duplicate-token fraction and duplicate-trigram fraction per document,
     // plus the keep/drop flag. Pure Column over per-row arrays — zero

@@ -166,6 +166,38 @@ class PlanSpec extends SparkTestBase {
     assert(sorts <= 1, s"frames re-sorted:\n$p")
   }
 
+  test("q55: vocab ranking windows over the AGGREGATED vocab, not the corpus") {
+    val p = plan("q55_vocab_topk")
+    assert(p.contains("partial_count"), s"vocab count not partial-aggregated:\n$p")
+    assert(p.contains("Window"), s"no ranking window:\n$p")
+    // the window's exchange must sit ABOVE the aggregate (vocab-sized input):
+    // exactly 2 exchanges — (lang,term) for the count, (lang) for the rank
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges (agg + window), saw $exchanges:\n$p")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("doc_id") && !rs.contains("source"),
+      s"scan reads unused columns: $rs")
+  }
+
+  test("q56: the DF table broadcasts back — corpus never shuffles for the join") {
+    val p = plan("q56_rare_term_score")
+    assert(p.contains("BroadcastHashJoin"), s"DF-table join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocab join degraded to SMJ:\n$p")
+    assert(p.contains("partial_count"), s"per-doc agg not partial:\n$p")
+  }
+
+  test("q57: sequence packing is ONE exchange + one partition-local sort") {
+    val p = plan("q57_sequence_packing")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges:\n$p")
+    val sorts = p.linesIterator.count(_.contains("Sort ["))
+    assert(sorts <= 1, s"packing re-sorted:\n$p")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("source") && !rs.contains("n_chars"),
+      s"scan reads unused columns: $rs")
+  }
+
   test("spread is a no-op when the source already plans enough splits") {
     import org.apache.spark.sql.functions._
     val wide = spark.range(0, 10000, 1,
