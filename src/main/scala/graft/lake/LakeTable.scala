@@ -994,8 +994,15 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * entries from metadata and delete data files no surviving snapshot
     * references. Bounds table-directory growth under continuous ingest
     * (every COW merge supersedes whole bucket files; without expiry the
-    * table retains every historical bucket file for time travel forever). */
-  def expireSnapshots(keepLast: Int = 1): Long = {
+    * table retains every historical bucket file for time travel forever).
+    *
+    * `olderThanMs` adds wall-clock retention on top (Iceberg's
+    * `older_than`): when set, only snapshots committed BEFORE that
+    * epoch-millis instant are eligible — "expire everything older than 7
+    * days but always keep the last 3" is `expireSnapshots(3,
+    * Some(now - 7d))`. Wall clock here is operational retention policy,
+    * not data-path state, so it does not violate replay determinism. */
+  def expireSnapshots(keepLast: Int = 1, olderThanMs: Option[Long] = None): Long = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     var dead: Set[String] = Set.empty
     retryCommit { m =>
@@ -1018,8 +1025,12 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       val pinned = m.tags.values.toSet ++ m.branches.values ++
         branchChainPins + m.currentSnapshotId
       val (keepTail, older) = (ordered.takeRight(keepLast), ordered.dropRight(keepLast))
-      val keep = older.filter(s => pinned.contains(s.snapshotId)) ++ keepTail
-      val expired = older.filterNot(s => pinned.contains(s.snapshotId))
+      // a snapshot survives if pinned, in the keep-last tail, or (when a
+      // wall-clock cutoff is given) not yet old enough
+      def retained(s: Snapshot): Boolean = pinned.contains(s.snapshotId) ||
+        olderThanMs.exists(cut => s.wallClockMs >= cut)
+      val keep = older.filter(retained) ++ keepTail
+      val expired = older.filterNot(retained)
       if (expired.isEmpty) return 0L
       val live = keep.flatMap(_.files.map(_.path)).toSet
       dead = expired.flatMap(_.files.map(_.path)).toSet -- live

@@ -87,13 +87,19 @@ object GraftProcedures {
       }, warehouse)
     case "expire_snapshots" => Proc(
       "expire_snapshots",
-      "drop all but the keep_last newest snapshots and delete unreferenced files",
+      "drop all but the keep_last newest snapshots and delete unreferenced " +
+        "files; older_than_ms further restricts expiry to snapshots " +
+        "committed before that epoch-millis instant",
       Array(
         in("table", StringType, None, "target table as 'namespace.table'"),
-        in("keep_last", IntegerType, Some("1"), "snapshots to retain")),
+        in("keep_last", IntegerType, Some("1"), "snapshots to retain"),
+        in("older_than_ms", LongType, Some("-1"),
+          "only expire snapshots committed before this epoch-ms (-1 = any age)")),
       new StructType().add("files_deleted", LongType, nullable = false),
       (wh, input) => {
-        val n = table(wh, input).expireSnapshots(input.getInt(1))
+        val cut = input.getLong(2)
+        val n = table(wh, input).expireSnapshots(input.getInt(1),
+          if (cut >= 0) Some(cut) else None)
         Array[InternalRow](new GenericInternalRow(Array[Any](n)))
       }, warehouse)
     case "create_branch" => Proc(

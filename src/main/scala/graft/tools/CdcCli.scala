@@ -194,7 +194,9 @@ object CdcCli {
 
     case "expire" :: tableDir :: rest =>
       val table = LakeTable.forPath(spark, tableDir)
-      val removed = table.expireSnapshots(rest.headOption.map(_.toInt).getOrElse(1))
+      val removed = table.expireSnapshots(
+        rest.headOption.map(_.toInt).getOrElse(1),
+        rest.drop(1).headOption.map(_.toLong))
       println(s"[expire] removed=$removed unreferenced data files; " +
         s"snapshots=${table.meta.snapshots.size}")
 
@@ -258,7 +260,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] [multi] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] [multi] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }

@@ -210,6 +210,31 @@ class LakeTableSpec extends SparkTestBase {
     intercept[Exception](t.read(Some(1L)).count())
   }
 
+  test("expireSnapshots(olderThanMs) is wall-clock retention on top of keepLast") {
+    val t = freshTable()
+    import spark.implicits._
+    def batch(lsn: Long, content: String) = Seq(
+      (lsn, "U", "r", "p", "c", "scala", content))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    t.merge(batch(1, "one"), 0)
+    t.merge(batch(2, "two"), 1)
+    t.merge(batch(3, "three"), 2)
+    // cutoff before every commit → nothing is old enough, nothing expires
+    val oldest = t.meta.snapshots.map(_.wallClockMs).min
+    assert(t.expireSnapshots(keepLast = 1, olderThanMs = Some(oldest - 1)) == 0L)
+    assert(t.meta.snapshots.size == 3)
+    // cutoff strictly above snapshot 1's commit but at snapshot 2's: only
+    // snapshot 1 is old enough; snapshot 2 survives even though keepLast=1
+    val wall = t.meta.snapshots.sortBy(_.snapshotId).map(_.wallClockMs)
+    assume(wall(0) < wall(1), "same-ms commits — cutoff would be ambiguous")
+    assert(t.expireSnapshots(keepLast = 1, olderThanMs = Some(wall(1))) > 0L)
+    assert(t.meta.snapshots.map(_.snapshotId).sorted == Seq(2L, 3L))
+    // no cutoff → plain keepLast retention clears the rest
+    t.expireSnapshots(keepLast = 1)
+    assert(t.meta.snapshots.size == 1)
+    assert(t.currentState().head().getAs[String]("content") == "three")
+  }
+
   test("crashed staging dirs are orphaned, ignored by replay, and reaped with an age guard") {
     import java.nio.file.{Files, Paths}
     val t = freshTable()
