@@ -55,6 +55,13 @@ object CdcRouter {
     require(routes.nonEmpty, "router needs at least one route")
     require(batch.columns.contains(discriminator),
       s"batch has no discriminator column '$discriminator'")
+    // Routing compares the discriminator by its STRING RENDERING (route
+    // keys are strings), and every comparison below — presence, quarantine,
+    // slicing — uses the same cast("string") so they can never disagree on
+    // a non-string column (typed `===` would implicitly cast the KEY to the
+    // column type, a different relation: decimal 1.50 === "1.5" is true,
+    // but renders as "1.50" ∉ routes).
+    val disc = col(discriminator).cast("string")
     // ONE column-pruned pass over the discriminator tells us everything the
     // routing plan needs: which routes this batch actually touches (absent
     // tables skip their filtered pass entirely — a batch hitting 2 of 20
@@ -63,7 +70,7 @@ object CdcRouter {
     // looked: limit-1 can't short-circuit when there ARE no unknowns, so
     // the common clean batch paid a full scan for a boolean.)
     val present: Map[Option[String], Long] = batch
-      .groupBy(col(discriminator).cast("string").as("_t"))
+      .groupBy(disc.as("_t"))
       .agg(count(lit(1)).as("_n")).collect()
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     val unknownTables = present.keySet.filter(_.forall(k => !routes.contains(k)))
@@ -72,10 +79,9 @@ object CdcRouter {
         // the discriminator folds into q_reason and leaves the data columns:
         // keeping it as a column would collide with the `table=` partition
         // directory and make the quarantine root unreadable as one dataset
-        batch.filter(col(discriminator).isNull ||
-            !col(discriminator).isin(routes.keys.toSeq: _*))
+        batch.filter(disc.isNull || !disc.isin(routes.keys.toSeq: _*))
           .withColumn("q_reason", concat(lit("unknown_table:"),
-            coalesce(col(discriminator).cast("string"), lit("null"))))
+            coalesce(disc, lit("null"))))
           .drop(discriminator)
           .write.mode("overwrite").parquet(s"$dir/table=__unknown/epoch=$epochId")
       case None => throw new IllegalStateException(
@@ -86,7 +92,7 @@ object CdcRouter {
     routes.toSeq.sortBy(_._1)
       .filter { case (name, _) => present.contains(Some(name)) }
       .foreach { case (name, rt) =>
-        val slice = batch.filter(col(discriminator) === name).drop(discriminator)
+        val slice = batch.filter(disc === lit(name)).drop(discriminator)
         CdcPipeline.processBatch(slice, epochId, rt.table, rt.evolution,
           rt.versions, rt.lineageDir, salts = salts,
           quarantineDir = quarantineDir.map(d => s"$d/table=$name"))

@@ -770,10 +770,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     var published = -1L
     retryCommit { m =>
       val head = m.branches.getOrElse(name, sys.error(s"no branch '$name'"))
-      val ancestors = Iterator.iterate(m.snapshotById(head))(s =>
-        s.flatMap(x => m.snapshotById(x.parentId)))
-        .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
-      require(ancestors.contains(m.currentSnapshotId),
+      require(m.ancestry(head).contains(m.currentSnapshotId),
         s"main advanced to ${m.currentSnapshotId} after branch '$name' forked — " +
           "the audited state does not include those commits; re-stage the branch")
       published = head
@@ -794,24 +791,32 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     var existed = false
     var dead: Set[String] = Set.empty
     retryCommit { m =>
+      // recompute from scratch on EVERY attempt: a lost race leaves the
+      // closure re-entered against new metadata, and stale state from the
+      // losing attempt must not survive it — in particular `dead` (a
+      // concurrent publishBranch of this very branch makes its files main's
+      // live data; deleting attempt-1's list after a no-op attempt-2 commit
+      // would corrupt the published table)
       existed = m.branches.contains(name)
+      dead = Set.empty
       if (!existed) m
       else {
         // branch-exclusive segment: head's parent chain up to (excluding)
         // the first snapshot still reachable from main, a tag, or another
         // branch — shared history is never retracted
-        val others = (m.branches - name).values.flatMap(m.ancestry) ++
-          m.tags.values.flatMap(m.ancestry) ++ m.mainAncestry
-        val keepIds = others.toSet
-        val drop = Iterator.iterate(m.snapshotById(m.branches(name)))(
-          _.flatMap(s => m.snapshotById(s.parentId)))
-          .takeWhile(_.isDefined).map(_.get.snapshotId)
-          .takeWhile(id => !keepIds.contains(id)).toSet
+        val keepIds = ((m.branches - name).values.flatMap(m.ancestry) ++
+          m.tags.values.flatMap(m.ancestry) ++ m.mainAncestry).toSet
+        val drop = m.chainUntil(m.branches(name), keepIds)
+        val dropped = m.snapshots.filter(s => drop.contains(s.snapshotId))
         val keep = m.snapshots.filterNot(s => drop.contains(s.snapshotId))
         val live = keep.flatMap(_.files.map(_.path)).toSet
-        dead = m.snapshots.filter(s => drop.contains(s.snapshotId))
-          .flatMap(_.files.map(_.path)).toSet -- live
-        m.copy(branches = m.branches - name, snapshots = keep)
+        dead = dropped.flatMap(_.files.map(_.path)).toSet -- live
+        // lsn allocation must never retreat into the retracted span: the
+        // re-stage flow replays the retracted epochs' events, which still
+        // carry these lsns (see TableMeta.retractedLsn)
+        val droppedLsnHw = (dropped.flatMap(_.files.map(_.lsnMax)) :+ 0L).max
+        m.copy(branches = m.branches - name, snapshots = keep,
+          retractedLsn = math.max(m.retractedLsn, droppedLsnHw))
       }
     }
     // physical deletion strictly AFTER the metadata commit (same contract as
@@ -1016,14 +1021,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       // snapshot. Only the branch-exclusive segment is pinned (the walk
       // stops at the first main-lineage snapshot): main history below the
       // fork keeps normal retention.
-      val mainAnc = m.mainAncestry
-      val branchChainPins = m.branches.values.flatMap { head =>
-        Iterator.iterate(m.snapshotById(head))(_.flatMap(s => m.snapshotById(s.parentId)))
-          .takeWhile(_.isDefined).map(_.get.snapshotId)
-          .takeWhile(id => !mainAnc.contains(id))
-      }.toSet
       val pinned = m.tags.values.toSet ++ m.branches.values ++
-        branchChainPins + m.currentSnapshotId
+        m.branchExclusive + m.currentSnapshotId
       val (keepTail, older) = (ordered.takeRight(keepLast), ordered.dropRight(keepLast))
       // a snapshot survives if pinned, in the keep-last tail, or (when a
       // wall-clock cutoff is given) not yet old enough

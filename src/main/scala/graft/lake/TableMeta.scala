@@ -180,26 +180,53 @@ case class TableMeta(
     // like any commit but advance the branch pointer instead of
     // currentSnapshotId; `publishBranch` flips the table to the audited
     // head in one metadata commit. Heads are retention-pinned like tags.
-    branches: Map[String, Long] = Map.empty) {
+    branches: Map[String, Long] = Map.empty,
+    // High-water of lsns carried by RETRACTED snapshots (dropBranch removes
+    // staged snapshots outright, unlike expiry): folded into lsnHighWater so
+    // lsn allocation (SQL DML's nextLsn) never retreats into a span the
+    // retracted epochs' events still carry — the documented re-stage flow
+    // replays exactly those events, and same key + same lsn + different
+    // payload would break the engine-wide LWW invariant. 0 = never
+    // retracted.
+    retractedLsn: Long = 0L) {
   /** Next snapshot id: ids must be unique across ALL retained snapshots —
     * with write branches, the max id can sit on a branch, not on main, so
     * `currentSnapshotId + 1` would collide. */
   def nextSnapshotId: Long =
     snapshots.foldLeft(currentSnapshotId)((a, s) => math.max(a, s.snapshotId)) + 1
 
+  /** Snapshot ids reachable from `headId` over parent links, stopping at
+    * the first expired parent OR the first id in `stop`. The one chain walk
+    * every tree-shaped surface shares: ancestry is `chainUntil(h, ∅)`, a
+    * branch's exclusive segment is `chainUntil(head, mainAncestry)`. */
+  def chainUntil(headId: Long, stop: Set[Long]): Set[Long] = {
+    val byId = snapshots.map(s => s.snapshotId -> s).toMap
+    Iterator.iterate(byId.get(headId))(_.flatMap(s => byId.get(s.parentId)))
+      .takeWhile(_.isDefined).map(_.get.snapshotId)
+      .takeWhile(id => !stop.contains(id)).toSet
+  }
+
   /** Snapshot ids reachable from `headId` over parent links (retained
     * snapshots only — the walk stops at the first expired parent). With
     * write branches, `snapshots` is a TREE: surfaces that mean "the table's
     * history" (timestamp time travel, view maintenance, epoch retirement)
-    * must restrict themselves to `ancestry(currentSnapshotId)` or they leak
-    * unpublished branch state into main's timeline. */
-  def ancestry(headId: Long): Set[Long] = {
-    val byId = snapshots.map(s => s.snapshotId -> s).toMap
-    Iterator.iterate(byId.get(headId))(_.flatMap(s => byId.get(s.parentId)))
-      .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
-  }
+    * must exclude [[branchExclusive]] or they leak unpublished branch state
+    * into main's timeline. (Restricting to `mainAncestry` instead is WRONG
+    * for tables with retention gaps: the walk stops at the first expired
+    * parent, so a tag-pinned snapshot below the gap — retained precisely so
+    * audits can read that era — would fall outside it.) */
+  def ancestry(headId: Long): Set[Long] = chainUntil(headId, Set.empty)
   /** Main's lineage: ancestry of the current head. */
   def mainAncestry: Set[Long] = ancestry(currentSnapshotId)
+
+  /** Snapshot ids reachable ONLY via an open branch head — the staged,
+    * unpublished segment of each branch (the walk from the head stops at
+    * the first main-lineage snapshot). History surfaces exclude these. */
+  def branchExclusive: Set[Long] = {
+    if (branches.isEmpty) return Set.empty
+    val mainAnc = mainAncestry
+    branches.values.flatMap(h => chainUntil(h, mainAnc)).toSet
+  }
 
   def currentSchema: SchemaVersion = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
@@ -217,7 +244,8 @@ case class TableMeta(
     * across a rollback boundary, and would blur a recorded exclusion span. */
   def lsnHighWater: Long =
     (snapshots.flatMap(_.files.map(_.lsnMax)) ++
-      snapshots.flatMap(_.excludedLsns.map(_.toLsn)) :+ vacuumLsn :+ 0L).max
+      snapshots.flatMap(_.excludedLsns.map(_.toLsn)) :+
+      vacuumLsn :+ retractedLsn :+ 0L).max
 }
 
 object TableMeta {

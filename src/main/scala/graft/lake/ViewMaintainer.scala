@@ -190,13 +190,14 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String,
       .map(_.meta.committedEpochs.foldLeft(-1L)(math.max)).getOrElse(-1L)
     if (applied >= cur.snapshotId) return 0L // up to date
     var scanned = 0L
-    // main lineage only: a staged write-branch merge must not fold into a
-    // maintained view while the base table still serves the pre-branch
-    // state (publishBranch makes those snapshots lineage, and THEN they
-    // apply here) — and the ledger must never advance past main's head
-    val lineage = m.mainAncestry
+    // exclude staged branch state: an unpublished write-branch merge must
+    // not fold into a maintained view while the base table still serves the
+    // pre-branch state (publishBranch makes those snapshots lineage, and
+    // THEN they apply here) — exclusion rather than a mainAncestry
+    // restriction, because the lineage walk truncates at retention gaps
+    val staged = m.branchExclusive
     m.snapshots.filter(s => s.snapshotId > applied &&
-      lineage.contains(s.snapshotId)).sortBy(_.snapshotId).foreach { s =>
+      !staged.contains(s.snapshotId)).sortBy(_.snapshotId).foreach { s =>
       val parent = m.snapshotById(s.parentId)
       scanned +=
         (if (s.parentId == applied && parent.isDefined) incrementalStep(r, parent.get, s)

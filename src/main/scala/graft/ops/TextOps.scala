@@ -352,9 +352,11 @@ object TextOps {
     // tokens the model will barely see" quality signal. Integer arithmetic
     // throughout (exact cross-engine). Scale shape: doc→distinct-term pairs
     // are per-row array_distinct (no dedup shuffle); the DF table is
-    // vocab-sized → broadcast back against the pair stream (vocab beyond
-    // the broadcast threshold degrades to a shuffle join on term, never a
-    // corpus² anything); the final per-doc count partial-aggregates.
+    // vocab-sized and the broadcast() hint PINS it broadcast (the hint
+    // overrides the size threshold — for corpora whose vocab outgrows
+    // executor memory, e.g. code-identifier vocabularies, remove the hint
+    // and the join shuffles on term instead; either way never corpus²);
+    // the final per-doc count partial-aggregates.
     OpQuery("q56_rare_term_score",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -154,13 +154,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "time-travel the base table, or use fromSnapshot/toSnapshot options on the feed")
     val path = cat.tablePath(ident.namespace()(0), ident.name)
     val tsMs = Math.floorDiv(timestamp, 1000L)
-    // main lineage only: snapshots is a tree under write branches, and a
-    // staged (unpublished) branch commit is often the newest by wall clock —
-    // resolving into it would leak pre-audit state to a plain SQL reader
+    // exclude staged branch state: snapshots is a tree under write branches,
+    // and an unpublished branch commit is often the newest by wall clock —
+    // resolving into it would leak pre-audit state to a plain SQL reader.
+    // (Exclusion, not a mainAncestry restriction: the lineage walk truncates
+    // at retention gaps, which would strand tag-pinned snapshots below one.)
     val m = graft.lake.LakeTable.metaAt(path)
-    val lineage = m.mainAncestry
+    val staged = m.branchExclusive
     val snap = m.snapshots
-      .filter(s => lineage.contains(s.snapshotId) && s.wallClockMs <= tsMs)
+      .filter(s => !staged.contains(s.snapshotId) && s.wallClockMs <= tsMs)
       .sortBy(_.snapshotId).lastOption.getOrElse(sys.error(
         s"no snapshot of $ident committed at or before epoch-ms $tsMs " +
           "(before table creation, or expired by retention)"))

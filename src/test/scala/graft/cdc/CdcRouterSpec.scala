@@ -68,6 +68,33 @@ class CdcRouterSpec extends SparkTestBase {
     assert(bare("code").table.currentState().isEmpty)
   }
 
+  test("non-string discriminator routes by its string rendering — consistently") {
+    val dir = tmpDir("router-int")
+    // integer discriminator (a numeric table id, as some feeds carry):
+    // presence probe, quarantine filter, and slice filter must all agree on
+    // the STRING rendering, or typed-vs-cast comparison can diverge
+    val intFeed = feed.withColumn("table",
+      when(col("table") === "code", lit(1)).otherwise(lit(2)))
+    val routes = Map(
+      "1" -> CdcRouter.RouteTarget(LakeTable.createOrReplace(spark, s"$dir/t1",
+        CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 4)),
+      "2" -> CdcRouter.RouteTarget(LakeTable.createOrReplace(spark, s"$dir/t2",
+        CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 4)))
+    CdcRouter.processBatch(intFeed, -1L, routes,
+      quarantineDir = Some(s"$dir/q"))
+    assert(routes("1").table.currentState().count() > 0)
+    assert(routes("2").table.currentState().count() > 0)
+    assert(!new java.io.File(s"$dir/q").exists(),
+      "fully-routed int-discriminator batch wrote quarantine output")
+    // and the routed split matches the string-rendered ground truth
+    val solo1 = LakeTable.createOrReplace(spark, s"$dir/solo1",
+      CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 4)
+    CdcPipeline.replayBatch(spark,
+      intFeed.filter(col("table").cast("string") === "1").drop("table"),
+      solo1, evolution = Map.empty)
+    assert(dump(routes("1").table) == dump(solo1))
+  }
+
   test("partial-epoch crash replay is exactly-once per table") {
     val dir = tmpDir("router-eo")
     val batch = feed

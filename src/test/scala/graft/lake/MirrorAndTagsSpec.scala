@@ -158,6 +158,37 @@ class MirrorAndTagsSpec extends SparkTestBase {
     assert(t.meta.snapshotById(pinned).isEmpty, "untagged snapshot must expire")
   }
 
+  test("TIMESTAMP AS OF reaches a tag-pinned snapshot below a retention gap") {
+    val wh = tmpDir("gapwh")
+    spark.conf.set("spark.sql.catalog.gapcat", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gapcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gapcat.ns")
+    spark.sql("CREATE TABLE gapcat.ns.t (k STRING, v INT) " +
+      "TBLPROPERTIES ('keys'='k', 'buckets'='2')")
+    spark.sql("INSERT INTO gapcat.ns.t VALUES ('a', 1)")
+    val t = LakeTable.forPath(spark, s"$wh/ns/t")
+    t.createTag("era1")
+    spark.sql("INSERT INTO gapcat.ns.t VALUES ('a', 2)")
+    spark.sql("INSERT INTO gapcat.ns.t VALUES ('a', 3)")
+    // retention gap: keep head + the tagged snapshot; the middle expires,
+    // so main's parent-chain walk now STOPS above the tag
+    t.expireSnapshots(keepLast = 1)
+    val taggedWall = t.meta.snapshotById(t.resolveRef("era1")).get.wallClockMs
+    assume(t.meta.snapshots.size == 2, "expected exactly head + tagged")
+    val iso = java.time.Instant.ofEpochMilli(taggedWall)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    // a timestamp inside the tagged era must resolve the PINNED snapshot —
+    // a mainAncestry restriction would strand it (walk truncates at the gap)
+    val v = spark.sql(s"SELECT v FROM gapcat.ns.t TIMESTAMP AS OF '$iso'")
+      .head().getInt(0)
+    assert(v == 1, s"timestamp travel below the retention gap returned v=$v")
+    // and the head still resolves for a late timestamp
+    assert(spark.sql(
+      "SELECT v FROM gapcat.ns.t TIMESTAMP AS OF '2500-01-01 00:00:00'")
+      .head().getInt(0) == 3)
+  }
+
   test("SQL surface: VERSION AS OF 'tag', create_tag/drop_tag procedures, properties") {
     val wh = tmpDir("tagwh")
     spark.conf.set("spark.sql.catalog.tagcat", classOf[graft.sql.GraftCatalog].getName)

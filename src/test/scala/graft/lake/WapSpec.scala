@@ -141,6 +141,36 @@ class WapSpec extends SparkTestBase {
       .head().getString(0) == "v2fixed")
   }
 
+  test("dropBranch keeps the lsn high-water above retracted staged lsns") {
+    val t = freshTable()
+    t.merge(batch((10L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    assert(t.nextLsn == 11L)
+    t.createBranch("staged")
+    t.merge(batch((42L, "I", "r2", "p", "c", "scala", "v2")), 1,
+      branch = Some("staged"))
+    t.dropBranch("staged")
+    // the retracted epoch's events still carry lsns up to 42; the re-stage
+    // flow replays them, so allocation (SQL DML) must never re-enter that
+    // span — same key + same lsn + different payload breaks LWW
+    assert(t.nextLsn == 43L,
+      s"lsn allocation retreated into the retracted span: nextLsn=${t.nextLsn}")
+  }
+
+  test("dropBranch after publish is a no-op that deletes nothing") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    t.createBranch("audit")
+    t.merge(batch((11L, "I", "r2", "p", "c", "scala", "v2")), 1,
+      branch = Some("audit"))
+    t.publishBranch("audit")
+    val files = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    assert(!t.dropBranch("audit"), "published branch should already be gone")
+    files.foreach { rel =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, rel)),
+        s"dropBranch after publish deleted live file $rel") }
+    assert(liveKeys(t) == Set("r1", "r2"))
+  }
+
   test("retention pins the whole open branch chain — publish works after expire") {
     val t = freshTable()
     t.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
