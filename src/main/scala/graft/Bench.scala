@@ -124,12 +124,20 @@ object BenchJobs {
     // one-file-per-split cap when the log is laid out as `splits` equal
     // files: above every single file, below any pair. Falls back to plain
     // bytes/splits bin-packing for legacy many-file logs.
+    val oneFilePerSplit = sizes.length <= splits && sizes.nonEmpty
     val per =
-      if (sizes.length <= splits && sizes.nonEmpty)
-        math.max(sizes.max + (1L << 20), bytes / splits)
+      if (oneFilePerSplit) math.max(sizes.max + (1L << 20), bytes / splits)
       else math.max(64L << 20, bytes / splits + (1L << 20))
     s.conf.set("spark.sql.files.maxPartitionBytes", per.toString)
-    s.conf.set("spark.sql.files.openCostInBytes", "0")
+    // one-file-per-split mode: openCost = the cap itself makes "two files
+    // never pack" TRUE BY CONSTRUCTION (any second file costs another full
+    // cap), not merely likely — coalesce()'d log files vary in size, and a
+    // small-enough pair under `max + 1MB` would silently reintroduce the
+    // ragged-wave artifact this whole function exists to eliminate. A
+    // single file ≤ cap still forms exactly one split (maxSplitBytes =
+    // min(cap, max(openCost, bytesPerCore)) = cap ≥ every file).
+    s.conf.set("spark.sql.files.openCostInBytes",
+      if (oneFilePerSplit) per.toString else "0")
   }
 
   /** Number of files (= scan splits, via tuneSplits) the scaling log is

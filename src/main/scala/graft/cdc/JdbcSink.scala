@@ -234,16 +234,22 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     if (!exists) {
       val st = c.createStatement()
       st.execute(s"""CREATE TABLE $stateTable ("id" INTEGER PRIMARY KEY, "wm" BIGINT)""")
+      // 0 = lsn watermark, 1 = legacy gap-lsn slot (unused), 2 = reconciled
+      // rollback count
       st.execute(s"""INSERT INTO $stateTable VALUES (0, -1)""")
       st.execute(s"""INSERT INTO $stateTable VALUES (1, -1)""")
+      st.execute(s"""INSERT INTO $stateTable VALUES (2, -1)""")
       st.close()
       c.commit()
     } else {
-      // row 1 (gap watermark) was added after row 0: backfill on old sinks
+      // rows 1 and 2 were added after row 0: backfill on old sinks
       val probe = c.createStatement()
-      val r = probe.executeQuery(s"""SELECT count(*) FROM $stateTable WHERE "id" = 1""")
-      val has = try { r.next(); r.getLong(1) > 0 } finally r.close()
-      if (!has) probe.execute(s"""INSERT INTO $stateTable VALUES (1, -1)""")
+      Seq(1, 2).foreach { id =>
+        val r = probe.executeQuery(
+          s"""SELECT count(*) FROM $stateTable WHERE "id" = $id""")
+        val has = try { r.next(); r.getLong(1) > 0 } finally r.close()
+        if (!has) probe.execute(s"""INSERT INTO $stateTable VALUES ($id, -1)""")
+      }
       probe.close()
     }
   }
@@ -260,21 +266,24 @@ class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
 
   def setWatermark(wm: Long): Unit = setState(0, wm)
 
-  /** High-water of excluded-lsn spans (rollbacks) this sink has already
-    * reconciled via full resync — the guard in
-    * [[JdbcWarehouseSync.syncOnce]] fires only when the lake's exclusions
-    * grow past it, so one rollback costs one resync, not a resync loop. */
-  def gapWatermark(): Long = {
+  /** The lake's [[graft.lake.TableMeta.rollbackCount]] as of this sink's
+    * last rollback-gap full resync — the guard in
+    * [[JdbcWarehouseSync.syncOnce]] fires only when the count advances
+    * past it, so one rollback costs one resync, not a resync loop. A
+    * COUNT, not an lsn high-water: rolling back to the same snapshot twice
+    * produces identical exclusion spans, and an lsn marker would silently
+    * skip the second (required) resync. */
+  def reconciledRollbacks(): Long = {
     val c = connect()
     try {
       ensureState(c)
       val rs = c.createStatement().executeQuery(
-        s"""SELECT "wm" FROM $stateTable WHERE "id" = 1""")
+        s"""SELECT "wm" FROM $stateTable WHERE "id" = 2""")
       try { if (rs.next()) rs.getLong(1) else -1L } finally rs.close()
     } finally commitAndClose(c)
   }
 
-  def setGapWatermark(v: Long): Unit = setState(1, v)
+  def setReconciledRollbacks(v: Long): Unit = setState(2, v)
 }
 
 /** Scheduled lake→warehouse sync beat (reference lifecycle: Celery beat →
@@ -301,15 +310,24 @@ object JdbcWarehouseSync {
     // this sink's watermark — the sink may have replicated writes that no
     // longer exist (or be missing resurrected ones), and the lsn path can
     // never emit the correction. Push the full corrected image, then record
-    // the exclusion high-water so the SAME rollback never re-fires (later
-    // beats see gapHw <= gapWatermark; a roll-forward that clears the spans
-    // lowers gapHw and is equally quiet).
-    val gapHw = snap.excludedLsns.filter(_.afterLsn < wm)
-      .map(_.toLsn).foldLeft(-1L)(math.max)
-    if (wm >= 0 && gapHw > sink.gapWatermark()) {
-      val n = fullResync(lake, sink, newWm)
-      sink.setGapWatermark(gapHw)
-      return n
+    // the table's ROLLBACK COUNT so the same rollback never re-fires — but
+    // a NEW rollback (even one producing identical spans, e.g. rolling
+    // back to the same snapshot a second time after a roll-forward) always
+    // does: span contents cannot distinguish instances, the count can.
+    // Historical spans with no new rollback stay quiet (count unchanged);
+    // a roll-forward clears the spans and is equally quiet.
+    val gapSpans = snap.excludedLsns.exists(_.afterLsn < wm)
+    if (wm >= 0 && m.rollbackCount > sink.reconciledRollbacks()) {
+      if (gapSpans) {
+        val n = fullResync(lake, sink, newWm)
+        sink.setReconciledRollbacks(m.rollbackCount)
+        return n
+      }
+      // no excluded span under this sink's watermark: the rollback reverted
+      // only lsns the sink never consumed — nothing to correct, record the
+      // count so the span doesn't trigger a stale resync once wm grows past
+      // its start
+      sink.setReconciledRollbacks(m.rollbackCount)
     }
     if (newWm <= wm) return 0L
     // manifest pruning: only bucket files that can contain post-watermark

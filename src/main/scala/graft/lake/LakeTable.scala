@@ -306,7 +306,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // columnar scan, instead of persisting the whole merged output
     val staging = timed("stage_write")(stageWrite(out, snapshotId))
 
-    val newFiles = timed("footer_stats")(statsFromFooters(staging, m0.currentSchemaId))
+    val newFiles = timed("footer_stats")(commitOrClean(staging)(
+      statsFromFooters(staging, m0.currentSchemaId, requireKeysNonNull = true)))
 
     val applied = appliedStats.toSeq.map { case (bucket, (cnt, mn, mx)) =>
       graft.cdc.PartitionLineage(epochId, bucket, mn, mx, cnt, snapshotId)
@@ -371,7 +372,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     try {
       enforceConstraints(m0, withMeta, opAware = false)
       val staging = stageWrite(withMeta, snapshotId)
-      val newFiles = statsFromFooters(staging, m0.currentSchemaId)
+      val newFiles = commitOrClean(staging)(statsFromFooters(staging,
+        m0.currentSchemaId, requireKeysNonNull = true))
       commitOrClean(staging) {
         retryCommit { m =>
           require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
@@ -399,7 +401,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .withColumn(DeletedCol, lit(false))
     enforceConstraints(m0, withMeta, opAware = false)
     val staging = stageWrite(withMeta, snapshotId)
-    val newFiles = statsFromFooters(staging, m0.currentSchemaId)
+    val newFiles = commitOrClean(staging)(statsFromFooters(staging,
+      m0.currentSchemaId, requireKeysNonNull = true))
     commitOrClean(staging) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
@@ -455,6 +458,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
           require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
           requireSnapshotIdFree(m, snapshotId)
           val s = childSnapshot(m, snapshotId, -1, "vacuum", kept ++ newFiles)
+            .copy(vacuumHw = droppedHighWater)
           m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
             vacuumLsn = math.max(m.vacuumLsn, droppedHighWater))
         }
@@ -684,7 +688,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         rollbackOf = toSnapshotId,
         excludedLsns = LsnSpan.normalize(target.excludedLsns ++
           (if (hiddenHw > targetHw) Seq(LsnSpan(targetHw, hiddenHw)) else Nil)))
-      m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId)
+      m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
+        rollbackCount = m.rollbackCount + 1)
     }
     snapshotId
   }
@@ -828,10 +833,16 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   /** Set (value nonEmpty) or unset (None) one free-form table property in a
     * metadata-only commit. */
   def setProperty(key: String, value: Option[String]): Unit =
+    setProperties(Seq(key -> value))
+
+  /** Apply several property sets/unsets in ONE metadata commit — the unit
+    * an `ALTER TABLE ... SET TBLPROPERTIES ('a'='1','b'='2')` statement
+    * needs to be atomic. */
+  def setProperties(kvs: Seq[(String, Option[String])]): Unit =
     retryCommit { m =>
-      m.copy(properties = value match {
-        case Some(v) => m.properties + (key -> v)
-        case None => m.properties - key
+      m.copy(properties = kvs.foldLeft(m.properties) {
+        case (acc, (k, Some(v))) => acc + (k -> v)
+        case (acc, (k, None)) => acc - k
       })
     }
 
@@ -1050,13 +1061,24 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * job per commit with O(files) driver-side footer reads. (At real scale
     * these stats come back from the write tasks themselves; footer reads
     * are the equivalent for the file-system commit path.) */
-  private def statsFromFooters(staging: Path, schemaId: Int): Seq[DataFileMeta] = {
+  private def statsFromFooters(staging: Path, schemaId: Int,
+      requireKeysNonNull: Boolean = false): Seq[DataFileMeta] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.collection.parallel.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
+    val metaNow = load(root)
+    // New-data commits (merge/append/replace) must not land null-key rows:
+    // keys are the merge identity and the SQL schema declares them
+    // non-nullable, so Catalyst folds `key IS NULL` to false and the
+    // manifest COUNT(key) pushdown assumes no nulls — a null-key row would
+    // be silently unreachable/miscounted. Parquet block stats carry null
+    // counts, so the check rides the footer pass for free; the throw lands
+    // inside commitOrClean, which removes the staged files. Maintenance
+    // rewrites (compact/vacuum/rebucket) preserve rows and skip the check.
+    val keySet: Set[String] = if (requireKeysNonNull) metaNow.keyCols.toSet else Set.empty
     // column-id + spark-type lookup for data-column min/max collection
-    val colDefs = load(root).schemaById(schemaId).columns
+    val colDefs = metaNow.schemaById(schemaId).columns
       .map(c => c.name -> (c.id, c.dataType)).toMap
     // footer reads are independent I/O — do them in parallel; a serial loop
     // over O(buckets) files is a fixed driver-side cost per commit that eats
@@ -1111,6 +1133,13 @@ class LakeTable private (val spark: SparkSession, val root: String) {
                   case _ => tombstones = true
                 }
               case n if colDefs.contains(n) =>
+                if (keySet.contains(n) && st != null && st.isNumNullsSet &&
+                    st.getNumNulls > 0)
+                  sys.error(s"write rejected: key column '$n' has " +
+                    s"${st.getNumNulls} null value(s) in ${p.getFileName} — " +
+                    "keys are the merge identity and must be non-null " +
+                    "(the CDC path quarantines such events; direct callers " +
+                    "must filter or repair them)")
                 val (id, dt) = colDefs(n)
                 if (!invalid.contains(id)) {
                   val parsed: Option[(Any, Any)] =

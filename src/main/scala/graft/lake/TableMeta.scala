@@ -85,7 +85,13 @@ case class Snapshot(
     // snapshot excludes lsns under it (both guards fail loud / resync). A
     // roll-FORWARD (rollback to a pre-rollback snapshot) naturally clears
     // the spans it re-covers, because it inherits the TARGET's list.
-    excludedLsns: Seq[LsnSpan] = Seq.empty)
+    excludedLsns: Seq[LsnSpan] = Seq.empty,
+    // for operation == "vacuum": the exact high-water of the tombstone lsns
+    // THIS commit dropped (-1 otherwise / legacy). The `$changes` vacuum
+    // guard needs the in-range vacuum's own reach — judging a pinned
+    // historical range by the table-CURRENT vacuumLsn would spuriously fail
+    // it after any later, harmless vacuum.
+    vacuumHw: Long = -1L)
 
 /** A half-open lsn span `(afterLsn, toLsn]`. */
 case class LsnSpan(afterLsn: Long, toLsn: Long)
@@ -100,6 +106,16 @@ object LsnSpan {
           h.copy(toLsn = math.max(h.toLsn, s.toLsn)) :: t
         case (acc, s) => s :: acc
       }.reverse
+
+  /** The portion of `spans` at or under `floor`, in canonical form — THE
+    * comparator every floor-based incremental consumer shares (`$changes`
+    * endpoint check, ViewMaintainer sketch catch-up): an increment over
+    * (from, to] is exact iff both endpoints exclude the SAME lsns below the
+    * consumer's floor. One shared definition so a change to span semantics
+    * (or a producer emitting unnormalized inherited lists) can never break
+    * one consumer but not another. */
+  def belowFloor(spans: Seq[LsnSpan], floor: Long): Seq[LsnSpan] =
+    normalize(spans.map(g => g.copy(toLsn = math.min(g.toLsn, floor))))
 }
 
 /** A declared row constraint (reference analogue: the destination DDL's
@@ -188,7 +204,14 @@ case class TableMeta(
     // replays exactly those events, and same key + same lsn + different
     // payload would break the engine-wide LWW invariant. 0 = never
     // retracted.
-    retractedLsn: Long = 0L) {
+    retractedLsn: Long = 0L,
+    // Monotone count of rollback commits over the table's lifetime. This is
+    // what lets a downstream sink tell rollback INSTANCES apart: exclusion
+    // spans are identical when the same snapshot is rolled back to twice,
+    // and rollback snapshots themselves can expire — the count survives
+    // both. JdbcWarehouseSync resyncs when spans under its watermark exist
+    // AND this count is ahead of the sink's reconciled count.
+    rollbackCount: Long = 0L) {
   /** Next snapshot id: ids must be unique across ALL retained snapshots —
     * with write branches, the max id can sit on a branch, not on main, so
     * `currentSnapshotId + 1` would collide. */

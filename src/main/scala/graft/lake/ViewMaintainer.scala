@@ -295,8 +295,7 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String,
     // No vacuum guard: vacuum drops only tombstones, and this view never
     // consumes deletes.
     def excludedBelowFloor(s: Snapshot): Seq[LsnSpan] =
-      LsnSpan.normalize(s.excludedLsns.map(g =>
-        g.copy(toLsn = math.min(g.toLsn, floor))))
+      LsnSpan.belowFloor(s.excludedLsns, floor)
     // replace() starts a new table generation whose rows need not carry
     // post-floor lsns (lsn defaults to 0 when the input has no lsn column) —
     // the floor discipline cannot see them, so rebuild instead.

@@ -194,6 +194,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val reserved = Set("location", "format", "snapshot-id", "keys", "buckets",
       "lsn-high-water", "vacuum-lsn", "maintained-views", "tags", "constraints",
       "branches")
+    // validate the WHOLE change list before applying ANY of it, and batch
+    // all property changes into one metadata commit: Spark hands ALTER's
+    // changes as one list, and a reserved-key (or unsupported-change) error
+    // surfacing mid-application would leave earlier property commits behind
+    // while the statement reports failure
+    var props: Seq[(String, Option[String])] = Seq.empty
     val ops: Seq[SchemaChange] = changes.flatMap {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested columns unsupported")
@@ -210,13 +216,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case p: TableChange.SetProperty =>
         require(!reserved.contains(p.property),
           s"table property '${p.property}' is engine-managed and read-only")
-        t.setProperty(p.property, Some(p.value)); None
+        props :+= p.property -> Some(p.value); None
       case p: TableChange.RemoveProperty =>
         require(!reserved.contains(p.property),
           s"table property '${p.property}' is engine-managed and read-only")
-        t.setProperty(p.property, None); None
+        props :+= p.property -> None; None
       case other => throw new UnsupportedOperationException(s"table change $other")
     }
+    if (props.nonEmpty) t.setProperties(props)
     if (ops.nonEmpty) t.evolveSchema(ops)
     loadTable(ident)
   }

@@ -149,11 +149,18 @@ object GraftChangesScan {
     // and a vacuum after `to` rewrites files in a LATER snapshot — the
     // range's own added files still physically carry their tombstones. So a
     // pinned historical range keeps working after later retention.
-    val vacuumInRange = m.snapshots.exists(s =>
+    // each in-range vacuum is judged by ITS OWN dropped high-water
+    // (Snapshot.vacuumHw; legacy vacuum snapshots without one fall back to
+    // the conservative table-current vacuumLsn) — judging by the current
+    // vacuumLsn alone would spuriously fail a pinned historical range after
+    // any LATER vacuum, even though its files are immutable and exact
+    val inRangeVacuumHw = m.snapshots.filter(s =>
       s.operation == "vacuum" && s.snapshotId > fromSnapshotId &&
         toSnap.forall(s.snapshotId <= _.snapshotId))
-    if (fromSnap.isDefined && vacuumInRange && m.vacuumLsn > lsnFloor)
-      sys.error(s"tombstones up to lsn ${m.vacuumLsn} were vacuumed past this " +
+      .map(s => if (s.vacuumHw >= 0) s.vacuumHw else m.vacuumLsn)
+      .foldLeft(-1L)(math.max)
+    if (fromSnap.isDefined && inRangeVacuumHw > lsnFloor)
+      sys.error(s"tombstones up to lsn $inRangeVacuumHw were vacuumed past this " +
         s"feed's floor ($lsnFloor): deletes in that range are unobservable — " +
         "re-bootstrap the consumer (fromSnapshot/startingSnapshot = 0)")
     // rollback gap: the added-files + lsn-floor discipline is exact iff the
@@ -165,8 +172,7 @@ object GraftChangesScan {
     // metadata, so this compares endpoints only: intermediate rollbacks that
     // were rolled FORWARD again (net no-op by `to`) correctly pass.
     def excludedBelowFloor(s: graft.lake.Snapshot): Seq[graft.lake.LsnSpan] =
-      s.excludedLsns.map(g => g.copy(toLsn = math.min(g.toLsn, lsnFloor)))
-        .filter(g => g.toLsn > g.afterLsn)
+      graft.lake.LsnSpan.belowFloor(s.excludedLsns, lsnFloor)
     for (f <- fromSnap; t <- toSnap)
       if (excludedBelowFloor(t) != excludedBelowFloor(f))
         sys.error(s"a rollback between snapshots ${f.snapshotId} and " +

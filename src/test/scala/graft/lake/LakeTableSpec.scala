@@ -210,6 +210,31 @@ class LakeTableSpec extends SparkTestBase {
     intercept[Exception](t.read(Some(1L)).count())
   }
 
+  test("null-key rows are rejected at commit on every new-data write path") {
+    // the SQL schema declares keys non-nullable (Catalyst folds
+    // `key IS NULL` to false; COUNT(key) answers from the manifest) — a
+    // null-key row landing would be silently unreachable and miscounted.
+    // Enforcement rides the footer-stats pass (parquet null counts), and
+    // the failed staging is cleaned up.
+    val t = freshTable()
+    import spark.implicits._
+    val bad = Seq((1L, "I", Option.empty[String], "p", "c", "scala", "x"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    val good = Seq((2L, "I", Option("r1"), "p", "c", "scala", "y"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    val e = intercept[Exception](t.merge(bad, 0))
+    assert(e.getMessage.contains("key column"), e.getMessage)
+    intercept[Exception](t.append(bad.drop("op")))
+    intercept[Exception](t.replace(bad.drop("op"), 1))
+    // nothing committed, no staging left behind
+    assert(t.meta.snapshots.isEmpty || t.currentState().count() == 0)
+    assert(t.cleanOrphanedStaging(olderThanMs = 0L) == 0,
+      "rejected write left staging files behind")
+    // a clean batch still lands
+    t.merge(good, 2)
+    assert(t.currentState().count() == 1)
+  }
+
   test("expireSnapshots(olderThanMs) is wall-clock retention on top of keepLast") {
     val t = freshTable()
     import spark.implicits._

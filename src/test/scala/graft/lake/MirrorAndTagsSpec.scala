@@ -224,6 +224,12 @@ class MirrorAndTagsSpec extends SparkTestBase {
     val err = intercept[Exception](spark.sql(
       "ALTER TABLE tagcat.ns.t SET TBLPROPERTIES ('buckets'='64')"))
     assert(err.getMessage.contains("engine-managed"))
+    // ALTER is atomic: a statement mixing a valid property with a reserved
+    // one must apply NEITHER (validation precedes application)
+    intercept[Exception](spark.sql(
+      "ALTER TABLE tagcat.ns.t SET TBLPROPERTIES ('ok'='1', 'keys'='x')"))
+    assert(prop("ok").isEmpty,
+      "failed ALTER left a partial property commit behind")
   }
 
   test("CTAS / RTAS and the mirror procedure through pure SQL") {

@@ -191,6 +191,38 @@ class RollbackSpec extends SparkTestBase {
     assert(JdbcWarehouseSync.syncOnce(t2, sink2) == 0L, "same rollback must not re-fire")
   }
 
+  test("a SECOND rollback to the same snapshot re-fires the sink resync") {
+    // exclusion spans are IDENTICAL when the same snapshot is rolled back
+    // to twice — only the rollback COUNT can tell the instances apart. An
+    // lsn-high-water marker (the old guard) skips the second, required
+    // resync and strands the re-reverted rows in the warehouse forever.
+    val t = freshTable()
+    val url = "jdbc:derby:memory:rbk2sink;create=true"
+    val sink = new JdbcUpsertSink(url, "rbk2_t", Seq("repo", "path", "commit"))
+    sink.ensureTable(t.currentState().schema)
+    def targetRepos() = spark.read.jdbc(url, "rbk2_t", new java.util.Properties)
+      .select("repo").collect().map(_.getString(0)).toSet
+    t.merge(batch((1L, "I", "k1", "p", "c", "scala", "a")), 0)
+    val s1 = t.meta.currentSnapshotId
+    t.merge(batch((2L, "I", "k2", "p", "c", "scala", "b")), 1)
+    val s2 = t.meta.currentSnapshotId
+    JdbcWarehouseSync.syncOnce(t, sink)
+    assert(targetRepos() == Set("k1", "k2"))
+
+    t.rollback(s1) // mistake #1
+    JdbcWarehouseSync.syncOnce(t, sink) // resync drops k2
+    assert(targetRepos() == Set("k1"))
+    t.rollback(s2) // roll forward: spans cleared
+    JdbcWarehouseSync.syncOnce(t, sink) // incremental re-applies k2
+    assert(targetRepos() == Set("k1", "k2"))
+
+    t.rollback(s1) // mistake #2 — the SAME span (1, 2] as mistake #1
+    JdbcWarehouseSync.syncOnce(t, sink)
+    assert(targetRepos() == Set("k1"),
+      "second rollback to the same snapshot did not resync — k2 stranded")
+    assert(JdbcWarehouseSync.syncOnce(t, sink) == 0L, "resync loop")
+  }
+
   test("incremental rollup views stay exact across a rollback commit") {
     val t = freshTable()
     val vm = new ViewMaintainer(t, tmpDir("rbkviews"), Seq(

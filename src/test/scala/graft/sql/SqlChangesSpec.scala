@@ -247,6 +247,21 @@ class SqlChangesSpec extends SparkTestBase {
     val tail = spark.read.option("fromSnapshot", s3.toString)
       .table("ch7.ns.`t$changes`").collect()
     assert(tail.isEmpty) // vacuum itself adds no logical changes
+
+    // a LATER vacuum must not retro-fail a pinned range that spans only the
+    // OLD one: each in-range vacuum is judged by ITS OWN dropped high-water
+    // (Snapshot.vacuumHw), not the table-current vacuumLsn
+    t.merge(batch(
+      (5L, "I", "k4", "p", "c", "scala", "d"),
+      (6L, "D", "k2", "p", "c", "scala", null)), 3)
+    val s4 = t.meta.currentSnapshotId
+    assert(t.vacuum() == 1L) // drops k2's tombstone: table vacuumLsn → 6
+    val pinned = spark.read.option("fromSnapshot", s3.toString)
+      .option("toSnapshot", s4.toString)
+      .table("ch7.ns.`t$changes`").collect()
+      .map(r => (r.getAs[String]("repo"), r.getAs[String]("_change_type"))).toSet
+    assert(pinned == Set(("k4", "upsert"), ("k2", "delete")),
+      "later vacuum spuriously failed (or corrupted) a pinned exact range")
   }
 
   test("feed restart after expire_snapshots fails loudly, never silently mis-reads") {
