@@ -795,6 +795,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   def dropBranch(name: String): Boolean = {
     var existed = false
     var dead: Set[String] = Set.empty
+    var deadManifests: Set[String] = Set.empty
     retryCommit { m =>
       // recompute from scratch on EVERY attempt: a lost race leaves the
       // closure re-entered against new metadata, and stale state from the
@@ -804,6 +805,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       // would corrupt the published table)
       existed = m.branches.contains(name)
       dead = Set.empty
+      deadManifests = Set.empty
       if (!existed) m
       else {
         // branch-exclusive segment: head's parent chain up to (excluding)
@@ -816,6 +818,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         val keep = m.snapshots.filterNot(s => drop.contains(s.snapshotId))
         val live = keep.flatMap(_.files.map(_.path)).toSet
         dead = dropped.flatMap(_.files.map(_.path)).toSet -- live
+        deadManifests = dropped.map(_.manifestFile).filter(_.nonEmpty).toSet --
+          keep.map(_.manifestFile).toSet
         // lsn allocation must never retreat into the retracted span: the
         // re-stage flow replays the retracted epochs' events, which still
         // carry these lsns (see TableMeta.retractedLsn)
@@ -827,6 +831,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // physical deletion strictly AFTER the metadata commit (same contract as
     // expireSnapshots): a failed commit must never orphan-reference files
     dead.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
+    deadManifests.foreach(n =>
+      Files.deleteIfExists(Paths.get(root, "metadata", "manifests", n)))
     existed
   }
 
@@ -1021,6 +1027,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   def expireSnapshots(keepLast: Int = 1, olderThanMs: Option[Long] = None): Long = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     var dead: Set[String] = Set.empty
+    var deadManifests: Set[String] = Set.empty
     retryCommit { m =>
       val ordered = m.snapshots.sortBy(_.snapshotId)
       // retention pins: tagged snapshots (audit refs), open branch CHAINS
@@ -1044,6 +1051,10 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       if (expired.isEmpty) return 0L
       val live = keep.flatMap(_.files.map(_.path)).toSet
       dead = expired.flatMap(_.files.map(_.path)).toSet -- live
+      // manifests are content-addressed and shared — reclaim only those no
+      // retained snapshot still points at
+      deadManifests = expired.map(_.manifestFile).filter(_.nonEmpty).toSet --
+        keep.map(_.manifestFile).toSet
       // fold expired snapshots' epoch ids into the durable ledger: retention
       // must not reopen the exactly-once window (a replayed old epoch would
       // re-append rows or resurrect vacuumed deletes)
@@ -1053,6 +1064,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // physical deletion strictly AFTER the metadata commit — a failed commit
     // must never orphan-reference deleted files
     dead.foreach(rel => Files.deleteIfExists(Paths.get(root, rel)))
+    deadManifests.foreach(n =>
+      Files.deleteIfExists(Paths.get(root, "metadata", "manifests", n)))
     dead.size
   }
 
@@ -1369,8 +1382,93 @@ object LakeTable {
   private[lake] def load(root: String): TableMeta = {
     val d = Paths.get(root, "metadata")
     val v = latestVersion(d).getOrElse(sys.error(s"no metadata at $root"))
-    TableMeta.fromJson(Files.readString(d.resolve(f"v$v%012d.json")))
+    hydrate(d, TableMeta.fromJson(Files.readString(d.resolve(f"v$v%012d.json"))))
   }
+
+  /** Process-wide cache of hydrated manifest files. Manifests are immutable
+    * AND content-addressed (name = sha-256 of content), so a cache entry can
+    * never go stale — even a delete-and-recreate of the same name carries
+    * identical content by construction. Bounded crudely: metadata loads
+    * happen every commit/beat, and without the cache a long-lived driver
+    * would re-parse every retained snapshot's manifest on each of them. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileMeta]]()
+
+  /** Fill each snapshot's `files` from its manifest pointer. Legacy version
+    * files (inline lists, empty pointer) pass through untouched. */
+  private def hydrate(metaDir: Path, raw: TableMeta): TableMeta = {
+    if (raw.snapshots.forall(_.manifestFile.isEmpty)) return raw
+    val dir = metaDir.resolve("manifests")
+    raw.copy(snapshots = raw.snapshots.map { s =>
+      if (s.manifestFile.isEmpty) s
+      else {
+        if (manifestCache.size > 8192) manifestCache.clear()
+        s.copy(files = manifestCache.computeIfAbsent(
+          dir.resolve(s.manifestFile).toString,
+          p => TableMeta.manifestFromJson(Files.readString(Paths.get(p)))))
+      }
+    })
+  }
+
+  /** Iceberg-style manifest indirection on the write side: externalize every
+    * not-yet-externalized snapshot's file list into an immutable
+    * content-addressed manifest file, and strip the inline lists from the
+    * version file. Snapshots hydrated from a previous version keep their
+    * pointer (no loaded snapshot's file list is ever mutated — verified
+    * invariant: all Snapshot constructions build fresh instances), so a
+    * commit writes exactly the NEW snapshot's manifest — O(its files), not
+    * O(retained snapshots × files). Content addressing makes the write
+    * idempotent across commit-race retries (same staged files ⇒ same hash ⇒
+    * reuse) and dedups identical file sets outright: a rollback's restored
+    * snapshot or a metadata-only commit shares its target's/parent's
+    * manifest at zero cost. */
+  private def externalize(metaDir: Path, m: TableMeta): TableMeta = {
+    if (m.snapshots.isEmpty) return m
+    val dir = metaDir.resolve("manifests")
+    m.copy(snapshots = m.snapshots.map { s =>
+      if (s.manifestFile.nonEmpty) s.copy(files = Seq.empty)
+      else {
+        val json = TableMeta.manifestJson(s.files)
+        val name = "m-" + sha256Hex(json).take(32) + ".json"
+        val f = dir.resolve(name)
+        if (!Files.exists(f)) {
+          Files.createDirectories(dir)
+          val tmp = Files.createTempFile(dir, ".tmp-", ".json")
+          Files.writeString(tmp, json)
+          // atomic create-if-absent; a concurrent identical write is benign
+          try Files.createLink(f, tmp)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          Files.deleteIfExists(tmp)
+        }
+        manifestCache.put(f.toString, s.files)
+        s.copy(files = Seq.empty, manifestFile = name)
+      }
+    })
+  }
+
+  /** Iceberg's previous-versions retention: superseded version files are
+    * never read again (every load resolves the LATEST version), so keep a
+    * bounded debugging window and delete the rest — otherwise the metadata
+    * dir grows one file per commit forever and `latestVersion`'s listing
+    * becomes O(total table commits). Reader-safe: a reader only opens the
+    * newest version it just listed, always inside the retained window. */
+  private val PreviousVersionsMax = 64L
+  private def pruneOldVersions(metaDir: Path, current: Long): Unit = {
+    val cutoff = current - PreviousVersionsMax
+    if (cutoff <= 0) return
+    val s = Files.list(metaDir)
+    val old = try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("v") && n.endsWith(".json") &&
+        n.stripPrefix("v").stripSuffix(".json").toLongOption.exists(_ < cutoff)
+    }.toList finally s.close()
+    old.foreach(Files.deleteIfExists(_))
+  }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   private[lake] def latestVersion(metaDir: Path): Option[Long] = {
     if (!Files.isDirectory(metaDir)) return None
@@ -1398,8 +1496,12 @@ object LakeTable {
     val target = metaDir.resolve(f"v${m.version}%012d.json")
     if (Files.exists(target)) return false
     val tmp = Files.createTempFile(metaDir, ".tmp-", ".json")
-    Files.writeString(tmp, TableMeta.toJson(m))
-    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); true }
+    Files.writeString(tmp, TableMeta.toJson(externalize(metaDir, m)))
+    try {
+      Files.createLink(target, tmp); Files.deleteIfExists(tmp)
+      pruneOldVersions(metaDir, m.version)
+      true
+    }
     catch {
       case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp); false
       case e: Throwable => Files.deleteIfExists(tmp); throw e

@@ -15,12 +15,18 @@ import org.json4s.jackson.Serialization
   * atomic rename (create-fails-if-exists), so readers always see a complete,
   * consistent table state and writers detect conflicts optimistically.
   *
-  * Scale note (100 TB design): snapshots embed the full file list, which is
-  * fine up to ~10^5 files; past that the `files` field becomes a pointer to
-  * an avro/parquet manifest file per snapshot (Iceberg's manifest-list
-  * indirection) without changing any caller-visible semantics. Bucket count
-  * is fixed at create time and sized for the target scale (e.g. 4096 buckets
-  * at 100 TB ≈ 25 GB/bucket before file splitting).
+  * Scale note (100 TB design): snapshot file lists are NOT embedded in the
+  * version file — each snapshot's manifest lives in an immutable
+  * content-addressed side file `metadata/manifests/m-<sha>.json`
+  * (Iceberg's manifest-list indirection), written once and shared by every
+  * snapshot with the same file set (metadata-only commits, tags, rollbacks
+  * reuse their parent's/target's manifest for free). A commit therefore
+  * writes O(changed files), not O(retained snapshots × files); the version
+  * file itself stays O(snapshots) small stubs. [[LakeTable.load]] hydrates
+  * `files` back through a process-wide immutable-content cache, so callers
+  * never see the indirection. Bucket count is fixed at create time and sized
+  * for the target scale (e.g. 4096 buckets at 100 TB ≈ 25 GB/bucket before
+  * file splitting). Rebucket lifts the limit later if sizing was wrong.
   */
 case class ColumnDef(id: Int, name: String, dataTypeJson: String, nullable: Boolean) {
   def dataType: DataType = DataType.fromJson(dataTypeJson)
@@ -91,7 +97,14 @@ case class Snapshot(
     // guard needs the in-range vacuum's own reach — judging a pinned
     // historical range by the table-CURRENT vacuumLsn would spuriously fail
     // it after any later, harmless vacuum.
-    vacuumHw: Long = -1L)
+    vacuumHw: Long = -1L,
+    // Name of the immutable content-addressed manifest file (under
+    // `metadata/manifests/`) holding this snapshot's `files` list. "" means
+    // not yet externalized: a snapshot freshly built in memory, or a legacy
+    // version file with the list inline. Set by the metadata writer; `files`
+    // is hydrated from it on load, so all other code reads `files` as if it
+    // were stored inline.
+    manifestFile: String = "")
 
 /** A half-open lsn span `(afterLsn, toLsn]`. */
 case class LsnSpan(afterLsn: Long, toLsn: Long)
@@ -271,10 +284,17 @@ case class TableMeta(
       vacuumLsn :+ retractedLsn :+ 0L).max
 }
 
+/** On-disk shape of one snapshot manifest (the externalized `files` list). */
+case class ManifestDoc(files: Seq[DataFileMeta])
+
 object TableMeta {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)
   def toJson(m: TableMeta): String = Serialization.writePretty(m)
   def fromJson(s: String): TableMeta = Serialization.read[TableMeta](s)
+  def manifestJson(files: Seq[DataFileMeta]): String =
+    Serialization.writePretty(ManifestDoc(files))
+  def manifestFromJson(s: String): Seq[DataFileMeta] =
+    Serialization.read[ManifestDoc](s).files
 
   def schemaVersionOf(schemaId: Int, struct: StructType, startId: Int): SchemaVersion =
     SchemaVersion(schemaId, struct.fields.zipWithIndex.map { case (f, i) =>
