@@ -1381,8 +1381,23 @@ object LakeTable {
 
   private[lake] def load(root: String): TableMeta = {
     val d = Paths.get(root, "metadata")
-    val v = latestVersion(d).getOrElse(sys.error(s"no metadata at $root"))
-    hydrate(d, TableMeta.fromJson(Files.readString(d.resolve(f"v$v%012d.json"))))
+    // A concurrent expiry/dropBranch can reclaim a manifest between our
+    // version read and hydration (the metadata twin of reading an expired
+    // snapshot's data files). Unlike data files, metadata self-heals: the
+    // reclaim only happens AFTER a newer version (which no longer references
+    // the manifest) committed, so re-resolving the latest version makes
+    // progress. Retry only while the latest version actually advances.
+    var lastSeen = -1L
+    while (true) {
+      val v = latestVersion(d).getOrElse(sys.error(s"no metadata at $root"))
+      try return hydrate(d, TableMeta.fromJson(Files.readString(d.resolve(f"v$v%012d.json"))))
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          if (v == lastSeen) throw e // nothing newer to heal from
+          lastSeen = v
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Process-wide cache of hydrated manifest files. Manifests are immutable
