@@ -42,7 +42,12 @@ object GraftMetaTables {
     StructField("added_files", IntegerType, nullable = false),
     StructField("lsn_max", LongType, nullable = false),
     // -1 unless operation = 'rollback': the snapshot whose state was restored
-    StructField("rollback_of", LongType, nullable = false)))
+    StructField("rollback_of", LongType, nullable = false),
+    // content-addressed manifest holding this snapshot's file list (Iceberg's
+    // manifest_list analogue); "" for legacy inline metadata. Snapshots with
+    // identical file sets share one manifest, so equal values here mean
+    // "same physical state" — a zero-cost layout-health signal.
+    StructField("manifest_file", StringType, nullable = false)))
 
   val filesSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -101,7 +106,8 @@ object GraftMetaTables {
         UTF8String.fromString(s.operation), s.wallClockMs * 1000L,
         s.files.size, s.files.map(_.rowCount).sum, s.files.map(_.sizeBytes).sum,
         s.files.count(f => !parentPaths.contains(f.path)),
-        s.files.map(_.lsnMax).foldLeft(0L)(math.max), s.rollbackOf))
+        s.files.map(_.lsnMax).foldLeft(0L)(math.max), s.rollbackOf,
+        UTF8String.fromString(s.manifestFile)))
     }
   }
 

@@ -37,6 +37,10 @@ class MetaTablesSpec extends SparkTestBase {
     assert(last.getAs[Long]("lsn_max") == 101L)
     assert(last.getAs[Int]("added_files") > 0)
     assert(last.getAs[Long]("parent_id") == sRows(sRows.length - 2).getAs[Long]("snapshot_id"))
+    // every snapshot points at its content-addressed manifest; distinct file
+    // sets mean distinct manifests
+    assert(sRows.forall(_.getAs[String]("manifest_file").startsWith("m-")))
+    assert(sRows.map(_.getAs[String]("manifest_file")).distinct.length == sRows.length)
 
     val files = spark.sql("SELECT * FROM meta1.ns.`t$files`")
     assert(files.queryExecution.executedPlan.toString.contains("LocalTableScan"))
