@@ -25,6 +25,12 @@ object TextOps {
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is",
     "it", "on", "for", "with", "as", "at", "by", "from")
 
+  /** PII patterns shared by the Spark query and its DuckDB oracle (q58).
+    * Kept inside the ASCII regex subset where Java regex and RE2 agree. */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhoneRe = "\\b555-[0-9]{4}\\b"
+  val piiIpRe = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
   private def tokenArr(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
 
@@ -418,6 +424,98 @@ object TextOps {
              |    - n_tokens AS BIGINT) AS start_tok FROM m)
              |SELECT doc_id, lang, n_tokens, start_tok // 512 AS seq_id,
              |  start_tok % 512 AS tok_offset FROM c""".stripMargin)),
+
+    // PII detection + redaction — the scrubbing pass every shipped training
+    // corpus runs: find emails / phone numbers / IPv4 addresses, count them,
+    // and replace each with a typed placeholder. The synthetic corpus is
+    // PII-free by construction, so PII is INJECTED deterministically (every
+    // 13th doc gets an email + phone + IP derived from its id) — planted
+    // positives exist in both engines and clean docs must come back
+    // byte-identical. Pure per-row regex Columns: zero shuffle, corpus-scan
+    // cost, embarrassingly parallel at 100 TB. The regexes stay in the
+    // ASCII subset where Java regex and RE2 agree (\b, classes, bounded
+    // repeats); redaction order (email → phone → IP) is fixed so sequential
+    // replace is deterministic cross-engine.
+    OpQuery("q58_pii_redaction",
+      (s, d) => {
+        val aug = when(col("doc_id") % 13 === 0, concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          (lit(1000L) + col("doc_id") % 9000L).cast("string"),
+          lit(" from 10."), (col("doc_id") % 256L).cast("string"),
+          lit("."), (col("doc_id") % 100L).cast("string"),
+          lit("."), (col("doc_id") % 50L).cast("string")))
+          .otherwise(col("text"))
+        t(s, d, "documents").select(col("doc_id"), aug.as("raw"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("raw"), lit(piiEmailRe), lit(0)))
+              .as("n_emails"),
+            size(regexp_extract_all(col("raw"), lit(piiPhoneRe), lit(0)))
+              .as("n_phones"),
+            size(regexp_extract_all(col("raw"), lit(piiIpRe), lit(0)))
+              .as("n_ips"),
+            regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              piiEmailRe, "[EMAIL]"), piiPhoneRe, "[PHONE]"), piiIpRe, "[IP]")
+              .as("redacted"))
+      },
+      Some(s"""WITH aug AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 13 = 0 THEN text
+              |      || ' contact user' || CAST(doc_id AS VARCHAR)
+              |      || '@example.com or call 555-'
+              |      || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+              |      || '.' || CAST(doc_id % 50 AS VARCHAR)
+              |    ELSE text END AS raw
+              |  FROM documents)
+              |SELECT doc_id,
+              |  len(regexp_extract_all(raw, '$piiEmailRe')) AS n_emails,
+              |  len(regexp_extract_all(raw, '$piiPhoneRe')) AS n_phones,
+              |  len(regexp_extract_all(raw, '$piiIpRe')) AS n_ips,
+              |  regexp_replace(regexp_replace(regexp_replace(raw,
+              |    '$piiEmailRe', '[EMAIL]', 'g'),
+              |    '$piiPhoneRe', '[PHONE]', 'g'),
+              |    '$piiIpRe', '[IP]', 'g') AS redacted
+              |FROM aug""".stripMargin)),
+
+    // C4-style line-level boilerplate filtering: split each document into
+    // lines, keep only lines that end in terminal punctuation AND carry at
+    // least 5 words (the two core C4 heuristics), rebuild the cleaned
+    // document, and flag docs with fewer than 3 surviving lines for drop.
+    // The flat synthetic corpus has no newlines, so line structure is
+    // SYNTHESIZED deterministically in both engines first (every ' a '
+    // becomes a sentence boundary '.\n' via plain non-overlapping replace —
+    // identical left-to-right semantics in Java regex and SQL replace).
+    // Pure per-row array Columns: zero shuffle, corpus-scan cost.
+    OpQuery("q59_line_filter",
+      (s, d) => {
+        val lines = split(regexp_replace(col("text"), " a ", ".\n"), "\n")
+        val kept = filter(lines, l =>
+          trim(l).endsWith(".") &&
+            size(filter(split(trim(l), " "), w => w =!= "")) >= 5)
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(lines).as("n_lines"),
+          size(kept).as("n_kept_lines"),
+          array_join(kept, "\n").as("cleaned_text"),
+          (size(kept) >= 3).as("keep_doc"))
+      },
+      Some("""WITH l AS (
+             |  SELECT doc_id,
+             |    string_split(replace(text, ' a ', '.' || chr(10)), chr(10)) AS lines
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, lines,
+             |    list_filter(lines, x -> ends_with(trim(x), '.') AND
+             |      len(list_filter(string_split(trim(x), ' '), w -> w <> '')) >= 5)
+             |      AS kept
+             |  FROM l)
+             |SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+             |  -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+             |  coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+             |  len(kept) >= 3 AS keep_doc
+             |FROM k""".stripMargin)),
 
     // Repetition-quality metrics (the Gopher-style repetition filters):
     // duplicate-token fraction and duplicate-trigram fraction per document,

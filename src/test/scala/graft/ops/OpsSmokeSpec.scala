@@ -61,6 +61,51 @@ class OpsSmokeSpec extends SparkTestBase {
     assert(rows.exists(_.getDouble(3) > 0.0) && rows.exists(_.getDouble(6) < 1.0))
   }
 
+  test("pii redaction scrubs every planted email/phone/ip and nothing else") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q58_pii_redaction")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    val orig = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(orig.keys.exists(_ % 13 == 0) && orig.keys.exists(_ % 13 != 0))
+    orig.foreach { case (id, text) =>
+      val (ne, np, ni, red) = out(id)
+      if (id % 13 == 0) {
+        assert(ne == 1 && np == 1 && ni == 1, s"doc $id: counts ($ne,$np,$ni)")
+        assert(red.contains("[EMAIL]") && red.contains("[PHONE]") &&
+          red.contains("[IP]"), s"doc $id: placeholder missing")
+        assert(!red.contains("@") && !red.contains("555-"),
+          s"doc $id: PII survived redaction")
+        assert(red.startsWith(text), s"doc $id: non-PII prefix was altered")
+      } else {
+        assert(ne == 0 && np == 0 && ni == 0, s"clean doc $id flagged")
+        assert(red == text, s"clean doc $id was altered by redaction")
+      }
+    }
+  }
+
+  test("line filter keeps only terminal-punctuation lines of >=5 words") {
+    val rows = SparkEntry.queries("q59_line_filter")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nLines, nKept) = (r.getInt(1), r.getInt(2))
+      val cleaned = r.getString(3)
+      assert(nKept <= nLines)
+      assert(r.getBoolean(4) == (nKept >= 3), s"flag mismatch at ${r.getLong(0)}")
+      val keptLines = if (cleaned.isEmpty) Array.empty[String] else cleaned.split("\n")
+      assert(keptLines.length == nKept)
+      keptLines.foreach { l =>
+        assert(l.trim.endsWith(".") &&
+          l.trim.split(" ").count(_.nonEmpty) >= 5, s"bad kept line: '$l'")
+      }
+    }
+    // the heuristics must discriminate on this corpus, not pass/fail everything
+    assert(rows.exists(_.getInt(2) > 0) &&
+      rows.exists(r => r.getInt(2) < r.getInt(1)))
+  }
+
   test("batched decode plumbing: per-partition codec, typed output, deterministic") {
     import org.apache.spark.sql.functions._
     val assets = Tables.t(spark, dir, "documents")
