@@ -1254,12 +1254,20 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       case e: Throwable => deleteRecursively(staging); throw e
     }
 
-  /** Reap staging dirs no snapshot references and older than `olderThanMs`
-    * (crashed attempts, lost commit races whose cleanup itself crashed).
-    * The age guard protects concurrent in-flight writers, whose staging is
-    * legitimately unreferenced until their commit lands. */
+  /** Reap write artifacts nothing references and older than `olderThanMs`:
+    * staging dirs (crashed attempts, lost commit races whose cleanup itself
+    * crashed) plus manifest files no retained snapshot points at (a lost
+    * race rebased onto a different parent hashes to a DIFFERENT manifest, so
+    * its first one is referenced by nothing — without this sweep the
+    * manifests directory grows one file per lost data-changing race forever)
+    * and stray `.tmp-` files from writers that died mid-write. The age guard
+    * protects concurrent in-flight writers, whose artifacts are legitimately
+    * unreferenced until their commit lands; manifest REUSE by an in-flight
+    * commit freshens the file's mtime first (see [[externalize]]), so a
+    * reused-then-still-uncommitted manifest is equally protected. */
   def cleanOrphanedStaging(olderThanMs: Long = 3600000L): Int = {
-    val referenced = meta.snapshots
+    val m = meta
+    val referenced = m.snapshots
       .flatMap(_.files.map(f => Paths.get(root).resolve(f.path).getParent.getParent))
       .toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -1270,7 +1278,22 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     val orphans = candidates.filterNot(referenced.contains)
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
     orphans.foreach(deleteRecursively)
-    orphans.size
+
+    val keepManifests = m.snapshots.map(_.manifestFile).filter(_.nonEmpty).toSet
+    val mdir = metaDir.resolve("manifests")
+    val manifestOrphans =
+      if (!Files.isDirectory(mdir)) Seq.empty[Path]
+      else {
+        val s = Files.list(mdir)
+        try s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith("m-") || n.startsWith(".tmp-")) &&
+            !keepManifests.contains(n) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff
+        }.toList finally s.close()
+      }
+    manifestOrphans.foreach(Files.deleteIfExists(_))
+    orphans.size + manifestOrphans.size
   }
 
   /** Read an explicit data-file subset (incremental view maintenance diffs
@@ -1403,11 +1426,43 @@ object LakeTable {
   /** Process-wide cache of hydrated manifest files. Manifests are immutable
     * AND content-addressed (name = sha-256 of content), so a cache entry can
     * never go stale — even a delete-and-recreate of the same name carries
-    * identical content by construction. Bounded crudely: metadata loads
-    * happen every commit/beat, and without the cache a long-lived driver
-    * would re-parse every retained snapshot's manifest on each of them. */
+    * identical content by construction. Metadata loads happen every
+    * commit/beat; without the cache a long-lived driver would re-parse every
+    * retained snapshot's manifest on each of them. Bounded by WEIGHT (total
+    * cached DataFileMeta entries, ~100 B each ⇒ ≲100 MB heap), not entry
+    * count — one 100 TB table's manifest alone holds ~10^5 file entries, so
+    * a count bound either OOMs before it fires or, when it fires, evicts the
+    * hot current-snapshot manifests along with the cold ones. LRU
+    * (access-order) eviction keeps the manifests every load touches. */
+  private val manifestCacheMaxFiles = 1000000L
+  private var manifestCacheFiles = 0L
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileMeta]]()
+    new java.util.LinkedHashMap[String, Seq[DataFileMeta]](64, 0.75f, true)
+
+  /** Get-or-load under the LRU lock (metadata-path only — contention is per
+    * commit/beat, not per row), evicting least-recently-used entries until
+    * the weight bound holds; the entry just touched is never evicted. */
+  private def cachedManifest(path: String): Seq[DataFileMeta] =
+    manifestCache.synchronized {
+      var files = manifestCache.get(path)
+      if (files == null) {
+        files = TableMeta.manifestFromJson(Files.readString(Paths.get(path)))
+        cacheManifestLocked(path, files)
+      }
+      files
+    }
+
+  private def cacheManifestLocked(path: String, files: Seq[DataFileMeta]): Unit = {
+    if (manifestCache.put(path, files) == null) manifestCacheFiles += files.size
+    val it = manifestCache.entrySet().iterator()
+    while (manifestCacheFiles > manifestCacheMaxFiles && it.hasNext) {
+      val e = it.next() // access-order: least recently used first
+      if (e.getKey != path) {
+        manifestCacheFiles -= e.getValue.size
+        it.remove()
+      }
+    }
+  }
 
   /** Fill each snapshot's `files` from its manifest pointer. Legacy version
     * files (inline lists, empty pointer) pass through untouched. */
@@ -1416,12 +1471,7 @@ object LakeTable {
     val dir = metaDir.resolve("manifests")
     raw.copy(snapshots = raw.snapshots.map { s =>
       if (s.manifestFile.isEmpty) s
-      else {
-        if (manifestCache.size > 8192) manifestCache.clear()
-        s.copy(files = manifestCache.computeIfAbsent(
-          dir.resolve(s.manifestFile).toString,
-          p => TableMeta.manifestFromJson(Files.readString(Paths.get(p)))))
-      }
+      else s.copy(files = cachedManifest(dir.resolve(s.manifestFile).toString))
     })
   }
 
@@ -1449,13 +1499,22 @@ object LakeTable {
         if (!Files.exists(f)) {
           Files.createDirectories(dir)
           val tmp = Files.createTempFile(dir, ".tmp-", ".json")
-          Files.writeString(tmp, json)
-          // atomic create-if-absent; a concurrent identical write is benign
-          try Files.createLink(f, tmp)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
-          Files.deleteIfExists(tmp)
+          try {
+            Files.writeString(tmp, json)
+            // atomic create-if-absent; a concurrent identical write is benign
+            try Files.createLink(f, tmp)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          } finally Files.deleteIfExists(tmp)
+        } else {
+          // Reusing a manifest that may currently be ORPHANED (lost race
+          // with an identical file set): freshen its mtime so the
+          // age-guarded orphan reclaim cannot delete it between this check
+          // and our version link landing.
+          try Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+            .fromMillis(System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () }
         }
-        manifestCache.put(f.toString, s.files)
+        manifestCache.synchronized { cacheManifestLocked(f.toString, s.files) }
         s.copy(files = Seq.empty, manifestFile = name)
       }
     })
@@ -1511,16 +1570,25 @@ object LakeTable {
     val target = metaDir.resolve(f"v${m.version}%012d.json")
     if (Files.exists(target)) return false
     val tmp = Files.createTempFile(metaDir, ".tmp-", ".json")
-    Files.writeString(tmp, TableMeta.toJson(externalize(metaDir, m)))
+    val linked =
+      try {
+        Files.writeString(tmp, TableMeta.toJson(externalize(metaDir, m)))
+        Files.createLink(target, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); false
+        case e: Throwable => Files.deleteIfExists(tmp); throw e
+      }
+    // The link decided commit durability; everything below is best-effort
+    // housekeeping that must NEVER make a durable commit look failed — the
+    // data-writing callers wrap this in commitOrClean, which would delete
+    // the staged files the just-published version references.
     try {
-      Files.createLink(target, tmp); Files.deleteIfExists(tmp)
-      pruneOldVersions(metaDir, m.version)
-      true
-    }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp); false
-      case e: Throwable => Files.deleteIfExists(tmp); throw e
-    }
+      Files.deleteIfExists(tmp)
+      if (linked) pruneOldVersions(metaDir, m.version)
+    } catch { case _: Throwable => () }
+    linked
   }
 
   private[lake] def listParquet(dir: Path): Seq[Path] = {

@@ -124,6 +124,30 @@ class ManifestSpec extends SparkTestBase {
     assert(t2.meta.snapshots.nonEmpty)
   }
 
+  test("orphaned manifests and stray tmp files are reaped with an age guard") {
+    val root = tmpDir("mforphan")
+    val t = LakeTable.createOrReplace(spark, root, baseTableSchema,
+      ChangeEvent.keyCols, numBuckets = 4)
+    t.merge(batch(1, "r1"), 1)
+    t.merge(batch(2, "r2"), 2)
+    val referenced = manifestNames(root)
+    assert(referenced.size == 2)
+    // plant what a lost commit race / crashed writer leaves behind: a
+    // manifest no snapshot references and a half-written temp file
+    val mdir = Paths.get(root, "metadata", "manifests")
+    Files.writeString(mdir.resolve("m-00deadbeef.json"), """{"files":[]}""")
+    Files.writeString(mdir.resolve(".tmp-crashed.json"), "{")
+    // age guard: fresh artifacts may belong to an in-flight writer
+    assert(t.cleanOrphanedStaging(olderThanMs = 3600000L) == 0)
+    assert(Files.exists(mdir.resolve("m-00deadbeef.json")))
+    // past the guard they are orphans; referenced manifests are untouched
+    assert(t.cleanOrphanedStaging(olderThanMs = -1L) == 2)
+    assert(!Files.exists(mdir.resolve("m-00deadbeef.json")))
+    assert(!Files.exists(mdir.resolve(".tmp-crashed.json")))
+    assert(manifestNames(root) == referenced)
+    assert(t.currentState().count() == 2)
+  }
+
   test("commit metadata write cost is O(new files), not O(snapshots x files)") {
     val root = tmpDir("mfcost")
     val t = LakeTable.createOrReplace(spark, root, baseTableSchema,
