@@ -1264,36 +1264,51 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * protects concurrent in-flight writers, whose artifacts are legitimately
     * unreferenced until their commit lands; manifest REUSE by an in-flight
     * commit freshens the file's mtime first (see [[externalize]]), so a
-    * reused-then-still-uncommitted manifest is equally protected. */
+    * reused-then-still-uncommitted manifest is equally protected. Deletes
+    * re-stat the mtime immediately before removing (a freshen that landed
+    * after the listing rescues the file; a vanished file is skipped, not an
+    * error), and the committer re-asserts its manifests exist AFTER its
+    * version lands (see [[tryWriteVersion]]) — together these close the
+    * reuse-vs-sweep window down to adjacent syscalls on both sides, and the
+    * post-commit re-assert heals even that by re-creating the
+    * content-addressed file. */
   def cleanOrphanedStaging(olderThanMs: Long = 3600000L): Int = {
     val m = meta
     val referenced = m.snapshots
       .flatMap(_.files.map(f => Paths.get(root).resolve(f.path).getParent.getParent))
       .toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // vanished-while-sweeping is normal on a live table (a committer's tmp
+    // file, a concurrent expiry's reclaim): treat it as "not an orphan"
+    def mtimeBefore(p: Path, t: Long): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < t
+      catch { case _: java.io.IOException => false }
     val candidates = {
       val s = Files.list(dataRoot)
       try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq finally s.close()
     }
     val orphans = candidates.filterNot(referenced.contains)
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .filter(mtimeBefore(_, cutoff))
     orphans.foreach(deleteRecursively)
 
     val keepManifests = m.snapshots.map(_.manifestFile).filter(_.nonEmpty).toSet
-    val mdir = metaDir.resolve("manifests")
-    val manifestOrphans =
-      if (!Files.isDirectory(mdir)) Seq.empty[Path]
-      else {
-        val s = Files.list(mdir)
+    def sweepTmp(dir: Path, alsoManifests: Boolean): Int = {
+      if (!Files.isDirectory(dir)) return 0
+      val listed = {
+        val s = Files.list(dir)
         try s.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
-          (n.startsWith("m-") || n.startsWith(".tmp-")) &&
-            !keepManifests.contains(n) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff
+          (n.startsWith(".tmp-") || (alsoManifests && n.startsWith("m-"))) &&
+            !keepManifests.contains(n) && mtimeBefore(p, cutoff)
         }.toList finally s.close()
       }
-    manifestOrphans.foreach(Files.deleteIfExists(_))
-    orphans.size + manifestOrphans.size
+      // re-stat at the instant of deletion: an in-flight reuse freshens the
+      // mtime (externalize), so a manifest that became referenced since the
+      // listing is rescued here instead of deleted
+      listed.count(p => mtimeBefore(p, cutoff) && Files.deleteIfExists(p))
+    }
+    orphans.size + sweepTmp(metaDir.resolve("manifests"), alsoManifests = true) +
+      sweepTmp(metaDir, alsoManifests = false)
   }
 
   /** Read an explicit data-file subset (incremental view maintenance diffs
@@ -1428,37 +1443,44 @@ object LakeTable {
     * never go stale — even a delete-and-recreate of the same name carries
     * identical content by construction. Metadata loads happen every
     * commit/beat; without the cache a long-lived driver would re-parse every
-    * retained snapshot's manifest on each of them. Bounded by WEIGHT (total
-    * cached DataFileMeta entries, ~100 B each ⇒ ≲100 MB heap), not entry
-    * count — one 100 TB table's manifest alone holds ~10^5 file entries, so
-    * a count bound either OOMs before it fires or, when it fires, evicts the
-    * hot current-snapshot manifests along with the cold ones. LRU
-    * (access-order) eviction keeps the manifests every load touches. */
-  private val manifestCacheMaxFiles = 1000000L
-  private var manifestCacheFiles = 0L
+    * retained snapshot's manifest on each of them. Bounded by approximate
+    * BYTE weight (a stats-bearing DataFileMeta is ~0.5–2 KB: path string +
+    * two per-column min/max maps), not entry count — one 100 TB table's
+    * manifest alone holds ~10^5 file entries, so a count bound either OOMs
+    * before it fires or, when it fires, evicts the hot current-snapshot
+    * manifests along with the cold ones. LRU (access-order) eviction keeps
+    * the manifests every load touches. */
+  private val manifestCacheMaxBytes = 256L << 20
+  private var manifestCacheBytes = 0L
   private val manifestCache =
     new java.util.LinkedHashMap[String, Seq[DataFileMeta]](64, 0.75f, true)
 
-  /** Get-or-load under the LRU lock (metadata-path only — contention is per
-    * commit/beat, not per row), evicting least-recently-used entries until
-    * the weight bound holds; the entry just touched is never evicted. */
-  private def cachedManifest(path: String): Seq[DataFileMeta] =
-    manifestCache.synchronized {
-      var files = manifestCache.get(path)
-      if (files == null) {
-        files = TableMeta.manifestFromJson(Files.readString(Paths.get(path)))
-        cacheManifestLocked(path, files)
-      }
-      files
-    }
+  private def manifestWeight(files: Seq[DataFileMeta]): Long =
+    files.foldLeft(0L)((a, f) => a + 160L + 2L * f.path.length +
+      (f.colMins.size + f.colMaxs.size) * 96L)
+
+  /** Get-or-load. The lock covers only the map check/insert — the disk read
+    * + JSON parse of a miss runs OUTSIDE it, so hydrating one table's large
+    * manifest never blocks another table's cache hit (racing duplicate loads
+    * are benign: content-addressed, same value). Eviction drops
+    * least-recently-used entries until the weight bound holds; the entry
+    * just touched is never evicted. */
+  private def cachedManifest(path: String): Seq[DataFileMeta] = {
+    val hit = manifestCache.synchronized(manifestCache.get(path))
+    if (hit != null) return hit
+    val files = TableMeta.manifestFromJson(Files.readString(Paths.get(path)))
+    manifestCache.synchronized(cacheManifestLocked(path, files))
+    files
+  }
 
   private def cacheManifestLocked(path: String, files: Seq[DataFileMeta]): Unit = {
-    if (manifestCache.put(path, files) == null) manifestCacheFiles += files.size
+    if (manifestCache.put(path, files) == null)
+      manifestCacheBytes += manifestWeight(files)
     val it = manifestCache.entrySet().iterator()
-    while (manifestCacheFiles > manifestCacheMaxFiles && it.hasNext) {
+    while (manifestCacheBytes > manifestCacheMaxBytes && it.hasNext) {
       val e = it.next() // access-order: least recently used first
       if (e.getKey != path) {
-        manifestCacheFiles -= e.getValue.size
+        manifestCacheBytes -= manifestWeight(e.getValue)
         it.remove()
       }
     }
@@ -1495,29 +1517,38 @@ object LakeTable {
       else {
         val json = TableMeta.manifestJson(s.files)
         val name = "m-" + sha256Hex(json).take(32) + ".json"
-        val f = dir.resolve(name)
-        if (!Files.exists(f)) {
-          Files.createDirectories(dir)
-          val tmp = Files.createTempFile(dir, ".tmp-", ".json")
-          try {
-            Files.writeString(tmp, json)
-            // atomic create-if-absent; a concurrent identical write is benign
-            try Files.createLink(f, tmp)
-            catch { case _: java.nio.file.FileAlreadyExistsException => () }
-          } finally Files.deleteIfExists(tmp)
-        } else {
-          // Reusing a manifest that may currently be ORPHANED (lost race
-          // with an identical file set): freshen its mtime so the
-          // age-guarded orphan reclaim cannot delete it between this check
-          // and our version link landing.
-          try Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
-            .fromMillis(System.currentTimeMillis()))
-          catch { case _: java.io.IOException => () }
+        ensureManifestFile(dir, name, json)
+        manifestCache.synchronized {
+          cacheManifestLocked(dir.resolve(name).toString, s.files)
         }
-        manifestCache.synchronized { cacheManifestLocked(f.toString, s.files) }
         s.copy(files = Seq.empty, manifestFile = name)
       }
     })
+  }
+
+  /** Create-or-protect one content-addressed manifest file: write it
+    * atomically if absent; if present (reuse — possibly a currently-ORPHANED
+    * manifest from a lost race with an identical file set), freshen its
+    * mtime so the age-guarded orphan reclaim cannot sweep it between this
+    * check and the version link landing. A freshen failure FAILS the commit
+    * (safe: the caller cleans staging and retries) — silently proceeding
+    * could publish a version whose manifest the sweeper still sees as
+    * expired. Idempotent by content addressing. */
+  private def ensureManifestFile(dir: Path, name: String, json: String): Unit = {
+    val f = dir.resolve(name)
+    if (!Files.exists(f)) {
+      Files.createDirectories(dir)
+      val tmp = Files.createTempFile(dir, ".tmp-", ".json")
+      try {
+        Files.writeString(tmp, json)
+        // atomic create-if-absent; a concurrent identical write is benign
+        try Files.createLink(f, tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } finally Files.deleteIfExists(tmp)
+    } else {
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis()))
+    }
   }
 
   /** Iceberg's previous-versions retention: superseded version files are
@@ -1569,10 +1600,11 @@ object LakeTable {
   private[lake] def tryWriteVersion(metaDir: Path, m: TableMeta): Boolean = {
     val target = metaDir.resolve(f"v${m.version}%012d.json")
     if (Files.exists(target)) return false
+    val ext = externalize(metaDir, m)
     val tmp = Files.createTempFile(metaDir, ".tmp-", ".json")
     val linked =
       try {
-        Files.writeString(tmp, TableMeta.toJson(externalize(metaDir, m)))
+        Files.writeString(tmp, TableMeta.toJson(ext))
         Files.createLink(target, tmp)
         true
       } catch {
@@ -1583,11 +1615,30 @@ object LakeTable {
     // The link decided commit durability; everything below is best-effort
     // housekeeping that must NEVER make a durable commit look failed — the
     // data-writing callers wrap this in commitOrClean, which would delete
-    // the staged files the just-published version references.
+    // the staged files the just-published version references. Non-fatal
+    // failures are logged, never rethrown; interruption is re-flagged.
     try {
       Files.deleteIfExists(tmp)
-      if (linked) pruneOldVersions(metaDir, m.version)
-    } catch { case _: Throwable => () }
+      if (linked) {
+        // Heal the last sliver of the reuse-vs-sweep race: a sweeper that
+        // stat'ed a reused manifest as expired BEFORE our freshen landed may
+        // have deleted it just now — re-create any missing manifest from the
+        // hydrated lists we still hold (content-addressed ⇒ idempotent;
+        // exists() is one stat per retained snapshot).
+        val mdir = metaDir.resolve("manifests")
+        ext.snapshots.zip(m.snapshots).foreach { case (e, orig) =>
+          if (e.manifestFile.nonEmpty && !Files.exists(mdir.resolve(e.manifestFile)))
+            ensureManifestFile(mdir, e.manifestFile,
+              TableMeta.manifestJson(orig.files))
+        }
+        pruneOldVersions(metaDir, m.version)
+      }
+    } catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] post-commit housekeeping failed " +
+          s"(commit v${m.version} is durable): $e")
+    }
     linked
   }
 

@@ -137,13 +137,16 @@ class ManifestSpec extends SparkTestBase {
     val mdir = Paths.get(root, "metadata", "manifests")
     Files.writeString(mdir.resolve("m-00deadbeef.json"), """{"files":[]}""")
     Files.writeString(mdir.resolve(".tmp-crashed.json"), "{")
+    // ... and a version writer killed mid-commit leaves a temp in metadata/
+    Files.writeString(Paths.get(root, "metadata", ".tmp-vcrash.json"), "{")
     // age guard: fresh artifacts may belong to an in-flight writer
     assert(t.cleanOrphanedStaging(olderThanMs = 3600000L) == 0)
     assert(Files.exists(mdir.resolve("m-00deadbeef.json")))
     // past the guard they are orphans; referenced manifests are untouched
-    assert(t.cleanOrphanedStaging(olderThanMs = -1L) == 2)
+    assert(t.cleanOrphanedStaging(olderThanMs = -1L) == 3)
     assert(!Files.exists(mdir.resolve("m-00deadbeef.json")))
     assert(!Files.exists(mdir.resolve(".tmp-crashed.json")))
+    assert(!Files.exists(Paths.get(root, "metadata", ".tmp-vcrash.json")))
     assert(manifestNames(root) == referenced)
     assert(t.currentState().count() == 2)
   }
