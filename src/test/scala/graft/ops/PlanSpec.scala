@@ -198,6 +198,19 @@ class PlanSpec extends SparkTestBase {
       s"scan reads unused columns: $rs")
   }
 
+  test("q58/q59: scrubbing and line filtering are shuffle-free corpus scans") {
+    Seq("q58_pii_redaction", "q59_line_filter").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle:\n$p")
+      assert(p.contains("*(1)"), s"$q fell out of whole-stage codegen:\n$p")
+    }
+    // the scrub pipeline needs only (doc_id, text)
+    val rs = plan("q58_pii_redaction").linesIterator
+      .find(_.contains("ReadSchema")).get
+    assert(!rs.contains("lang") && !rs.contains("source") && !rs.contains("n_chars"),
+      s"scan reads unused columns: $rs")
+  }
+
   test("spread is a no-op when the source already plans enough splits") {
     import org.apache.spark.sql.functions._
     val wide = spark.range(0, 10000, 1,
