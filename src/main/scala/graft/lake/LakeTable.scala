@@ -119,6 +119,15 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         // every later read/merge (bucketExpr resolves keys by name) fails
         keyCols = keyCols.map(k => if (k == from) to else k)
       case WidenType(name, to) =>
+        // widening a KEY column changes bucket routing for every key
+        // (hash(5: Int) != hash(5L: Long)) while stored files keep their
+        // old-layout bucket numbers — the merge would stop reconciling
+        // against stored rows and point lookups would prune to the wrong
+        // bucket. Rebucket-after-widen can't heal it either (the widen
+        // lands first). Refused, like dropping a key column.
+        require(!keyCols.contains(name),
+          s"cannot widen key column $name: the key hash routes bucket " +
+            "placement and would change for every stored row")
         val cur = cols.find(_.name == name).getOrElse(sys.error(s"no column $name"))
         require(canWiden(cur.dataType, to), s"illegal widen ${cur.dataType} -> $to")
         cols = cols.map(c => if (c.name == name) c.copy(dataTypeJson = to.json) else c)
@@ -221,7 +230,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       branch: Option[String] = None): Option[Seq[graft.cdc.PartitionLineage]] = {
     graft.functions.LwwMaxBy.tuneSession(spark)
     val m0 = meta
-    if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return None
+    if (epochId >= 0 && m0.epochCommitted(epochId)) return None
 
     val dataCols = m0.currentSchema.columns.map(_.name)
     require(ChangeCols.forall(changes.columns.contains) &&
@@ -362,7 +371,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
 
   def append(rows: DataFrame, epochId: Long = -1L): Unit = {
     val m0 = meta
-    if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return
+    if (epochId >= 0 && m0.epochCommitted(epochId)) return
     val snapshotId = m0.nextSnapshotId
     val withMeta0 = rows.select((typedDataColsOf(m0) :+
       (if (rows.columns.contains("lsn")) col("lsn").cast(LongType).as(LsnCol)
@@ -392,7 +401,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * express without tombstoning every absent key). */
   def replace(rows: DataFrame, epochId: Long = -1L): Unit = {
     val m0 = meta
-    if (epochId >= 0 && m0.committedEpochs.contains(epochId)) return
+    if (epochId >= 0 && m0.epochCommitted(epochId)) return
     val snapshotId = m0.nextSnapshotId
     val withMeta = rows.select((typedDataColsOf(m0) :+
       (if (rows.columns.contains("lsn")) col("lsn").cast(LongType).as(LsnCol)
@@ -451,7 +460,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     try {
       val snapshotId = m0.nextSnapshotId
       val staging = stageWrite(surviving, snapshotId)
-      val newFiles = statsFromFooters(staging, m0.currentSchemaId)
+      val newFiles = commitOrClean(staging)(
+        statsFromFooters(staging, m0.currentSchemaId))
       val removed = candidates.map(_.rowCount).sum - newFiles.map(_.rowCount).sum
       commitOrClean(staging) {
         retryCommit { m =>
@@ -547,7 +557,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       case None => repacked.sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
     }
     val staging = stageWrite(packed, snapshotId)
-    val newFiles = statsFromFooters(staging, m0.currentSchemaId)
+    val newFiles = commitOrClean(staging)(
+      statsFromFooters(staging, m0.currentSchemaId))
     commitOrClean(staging) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
@@ -616,6 +627,13 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     require(newBuckets > 0, "newBuckets must be positive")
     val m0 = meta
     if (m0.numBuckets == newBuckets) return
+    // open write branches staged their state under the CURRENT layout: a
+    // later branch merge would mix old-layout file bucket numbers with the
+    // new bucket function and silently corrupt the audit state — publish or
+    // drop branches first
+    require(m0.branches.isEmpty,
+      s"cannot rebucket with open write branches (${m0.branches.keys.toSeq.sorted
+        .mkString(", ")}): publish or drop them first")
     val snap = m0.currentSnapshot.getOrElse {
       // empty table: just flip the metadata
       retryCommit { m =>
@@ -630,14 +648,15 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .withColumn(BucketCol, pmod(hash(keyCols: _*), lit(newBuckets)))
       .repartition(newBuckets, col(BucketCol))
     val staging = stageWrite(rerouted, snapshotId)
-    val newFiles = statsFromFooters(staging, m0.currentSchemaId)
+    val newFiles = commitOrClean(staging)(statsFromFooters(staging, m0.currentSchemaId))
     commitOrClean(staging) {
       retryCommit { m =>
         require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+        require(m.branches.isEmpty, "branch opened during rebucket")
         requireSnapshotIdFree(m, snapshotId)
         val s = childSnapshot(m, snapshotId, -1, "rebucket", newFiles)
         m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId,
-          numBuckets = newBuckets)
+          numBuckets = newBuckets, rebucketAtSnapshot = snapshotId)
       }
     }
   }
@@ -673,6 +692,11 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     val target = m0.snapshotById(toSnapshotId).getOrElse(
       sys.error(s"no snapshot $toSnapshotId (expired by retention?)"))
     if (toSnapshotId == m0.currentSnapshotId) return m0.currentSnapshotId
+    // the durable marker survives retention; the retained-snapshot scan
+    // covers legacy tables whose metadata predates the marker
+    if (toSnapshotId < m0.rebucketAtSnapshot) sys.error(
+      s"cannot roll back across rebucket snapshot ${m0.rebucketAtSnapshot}: " +
+        s"the restored files' bucket layout predates numBuckets=${m0.numBuckets}")
     m0.snapshots.find(s => s.snapshotId > toSnapshotId && s.operation == "rebucket")
       .foreach(s => sys.error(
         s"cannot roll back across rebucket snapshot ${s.snapshotId}: the " +
@@ -737,7 +761,10 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * branch name (its current head) — for every surface that time-travels
     * by user input. Tags win a tag/branch name collision. */
   def resolveRef(ref: String): Long = {
-    if (ref.nonEmpty && ref.forall(_.isDigit)) return ref.toLong
+    // toLongOption: an all-digit ref beyond Long range (corrupted id) must
+    // fall through to the descriptive no-such-ref error, not crash parsing
+    if (ref.nonEmpty && ref.forall(_.isDigit))
+      ref.toLongOption.foreach(id => return id)
     val m = meta
     m.tags.get(ref).orElse(m.branches.get(ref)).getOrElse(
       sys.error(s"no tag or branch '$ref' on table (tags: " +
@@ -928,7 +955,13 @@ class LakeTable private (val spark: SparkSession, val root: String) {
   private def enforceConstraints(m: TableMeta, rows: DataFrame,
       opAware: Boolean): Unit = {
     if (m.constraints.isEmpty) return
-    val checks = applicableConstraints(rows.columns.toSeq)
+    // filter the WRITE's own metadata snapshot `m` — applicableConstraints
+    // re-loads meta from disk, which both costs a metadata load per write
+    // and can disagree with the emptiness check above under a concurrent
+    // add/drop constraint
+    val cols = rows.columns.toSet
+    val checks = m.constraints.filter(_.cols.forall(cols.contains))
+      .map(c => violationCond(c) -> c.name)
     if (checks.isEmpty) return
     val aggs = checks.map { case (cond, name) =>
       val c = if (opAware) cond && col("op") =!= "D" else cond
@@ -1057,9 +1090,15 @@ class LakeTable private (val spark: SparkSession, val root: String) {
         keep.map(_.manifestFile).toSet
       // fold expired snapshots' epoch ids into the durable ledger: retention
       // must not reopen the exactly-once window (a replayed old epoch would
-      // re-append rows or resurrect vacuumed deletes)
-      val retired = (m.retiredEpochs ++ expired.map(_.epochId).filter(_ >= 0)).distinct.sorted
-      m.copy(snapshots = keep, retiredEpochs = retired)
+      // re-append rows or resurrect vacuumed deletes). Compacted to merged
+      // SPANS (plus the legacy flat list, migrated here): a streaming table
+      // retires one contiguous epoch per beat forever — the span form stays
+      // O(gaps) instead of O(table lifetime) per metadata version.
+      val spans = LsnSpan.normalize(m.retiredEpochSpans ++
+        (m.retiredEpochs ++ expired.map(_.epochId).filter(_ >= 0))
+          .map(e => LsnSpan(e - 1, e)))
+      m.copy(snapshots = keep, retiredEpochs = Seq.empty,
+        retiredEpochSpans = spans)
     }
     // physical deletion strictly AFTER the metadata commit — a failed commit
     // must never orphan-reference deleted files

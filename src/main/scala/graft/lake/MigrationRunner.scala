@@ -87,6 +87,10 @@ object MigrationRunner {
   /** Kahn topological order, deterministic (ready set processed in id order).
     * Fails on unknown dependencies and cycles. */
   def topoSort(ms: Seq[Migration]): Seq[Migration] = {
+    // duplicate ids (a copy-pasted file keeping a stale `-- id:` header)
+    // would silently collapse in the map and never apply the losing file
+    val dup = ms.groupBy(_.id).collect { case (id, fs) if fs.size > 1 => id }
+    require(dup.isEmpty, s"duplicate migration id(s): ${dup.toSeq.sorted.mkString(", ")}")
     val byId = ms.map(m => m.id -> m).toMap
     ms.foreach(m => m.depends.foreach(d =>
       require(byId.contains(d), s"migration ${m.id} depends on unknown '$d'")))

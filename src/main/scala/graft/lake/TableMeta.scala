@@ -176,7 +176,19 @@ case class TableMeta(
     // Epoch ids whose snapshots were expired: snapshot retention must never
     // erase commit idempotence (Iceberg separates the two the same way) — a
     // replayed epoch whose snapshot aged out would otherwise re-apply.
+    // Legacy form: an explicit id list. Expiry now compacts into
+    // `retiredEpochSpans` (below) and leaves this empty — a long-lived
+    // streaming table retires one epoch per beat forever, so the flat list
+    // grows O(lifetime) and is re-parsed and re-written with every metadata
+    // version; spans stay O(gaps).
     retiredEpochs: Seq[Long] = Seq.empty,
+    // Compacted form of retired epoch ids: merged half-open spans
+    // `(afterLsn, toLsn]` (LsnSpan reused — values are epoch ids here).
+    // Safe because retirement is FINAL: expiry pins open branch chains, so
+    // a retired epoch can never be retracted back out of the ledger (only
+    // dropBranch retracts epochs, and only branch-exclusive — hence
+    // unexpired — ones).
+    retiredEpochSpans: Seq[LsnSpan] = Seq.empty,
     // Ledger of applied migration-file ids (reference: yoyo's _yoyo_migration
     // table) — recorded in the SAME commit as the schema change they carry.
     appliedMigrations: Seq[String] = Seq.empty,
@@ -218,6 +230,13 @@ case class TableMeta(
     // payload would break the engine-wide LWW invariant. 0 = never
     // retracted.
     retractedLsn: Long = 0L,
+    // Snapshot id of the most recent rebucket commit (-1 = never / legacy).
+    // Survives retention where the rebucket SNAPSHOT may not: the rollback
+    // guard and the SQL layout proof (storage-partitioned joins) must know
+    // the boundary even after the snapshot itself expires — a rollback
+    // across it, or a pre-rebucket time-travel scan claiming the current
+    // bucket layout, silently corrupts routing/joins.
+    rebucketAtSnapshot: Long = -1L,
     // Monotone count of rollback commits over the table's lifetime. This is
     // what lets a downstream sink tell rollback INSTANCES apart: exclusion
     // spans are identical when the same snapshot is rolled back to twice,
@@ -268,8 +287,24 @@ case class TableMeta(
   def schemaById(id: Int): SchemaVersion = schemas.find(_.schemaId == id).get
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.snapshotId == currentSnapshotId)
   def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+  /** Enumerable committed epochs (live snapshots + the legacy retired-id
+    * list). Span-compacted retirements are NOT enumerated — use
+    * [[epochCommitted]] for membership and [[committedEpochCount]] /
+    * [[epochHighWater]] for totals. */
   def committedEpochs: Set[Long] =
     (snapshots.map(_.epochId).filter(_ >= 0) ++ retiredEpochs).toSet
+  /** THE exactly-once membership test: epoch already applied to this table
+    * (on a live snapshot, in the legacy retired list, or inside a
+    * compacted retired span). */
+  def epochCommitted(e: Long): Boolean =
+    e >= 0 && (committedEpochs.contains(e) ||
+      retiredEpochSpans.exists(s => e > s.afterLsn && e <= s.toLsn))
+  def committedEpochCount: Long =
+    committedEpochs.size + retiredEpochSpans.map(s => s.toLsn - s.afterLsn).sum
+  /** Highest committed epoch id, -1 when none. */
+  def epochHighWater: Long =
+    (snapshots.map(_.epochId) ++ retiredEpochs ++
+      retiredEpochSpans.map(_.toLsn) :+ -1L).max
   /** The highest lsn this table has EVER assigned or absorbed, across all
     * retained snapshots (not just the current one — a rollback or replace
     * can lower the visible maximum) plus excluded-span and vacuum

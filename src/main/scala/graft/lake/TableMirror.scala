@@ -28,12 +28,17 @@ import org.apache.spark.sql.functions._
   *
   * The destination is ownership-stamped (`tableId = mirror:<source-id>`):
   * syncOnce refuses to clobber an unrelated table that happens to live at
-  * the destination path. Source schema evolution is mirrored by NAME before
-  * each beat (add / widen / drop; a rename arrives as drop+add — the data
-  * still replicates exactly, column history does not).
+  * the destination path. Source schema evolution is mirrored before each
+  * beat by diffing the source's OWN schema history by column id (the last
+  * mirrored schemaId is recorded on the destination): a source rename is
+  * replayed as a true rename — never drop+add, which would null the column
+  * for every key not later rewritten (and permanently wedge the mirror if
+  * the renamed column is a key). Legacy mirrors without the recorded
+  * schemaId fall back to a by-name diff once, then record it.
   */
 object TableMirror {
   val WatermarkProp = "mirror.source.snapshot"
+  val SchemaProp = "mirror.source.schema"
 
   def destTableId(srcTableId: String): String = s"mirror:$srcTableId"
 
@@ -89,24 +94,66 @@ object TableMirror {
     sync
   }
 
-  /** Mirror the source's CURRENT schema onto the destination by column
-    * name: add missing columns, widen narrower ones, drop extras. Fails
-    * loudly on a narrowing (a mirror must never lose source data). */
+  /** Mirror the source's CURRENT schema onto the destination. The exact
+    * path diffs the source's schema HISTORY by column id (source column ids
+    * are stable across renames — TableMeta's Iceberg-style rule), from the
+    * last schemaId this mirror aligned to (`mirror.source.schema` property)
+    * to the current one: same id + new name → RenameColumn, new id →
+    * AddColumn, vanished id → DropColumn, same id + wider type → WidenType
+    * (evolveSchema rejects narrowing — a mirror must never lose source
+    * data). A legacy destination without the recorded schemaId (or whose
+    * recorded version aged out of the source's history) falls back to a
+    * BY-NAME diff once — renames degrade to drop+add there — and records
+    * the schemaId for every later beat. */
   private def alignSchema(srcMeta: TableMeta, dest: LakeTable): Unit = {
-    val want = srcMeta.currentSchema.columns
-    val have = dest.meta.currentSchema.columns
+    val baseId = dest.meta.properties.get(SchemaProp).map(_.toInt)
+    val changes: Seq[SchemaChange] = baseId match {
+      case Some(b) if b == srcMeta.currentSchemaId => Seq.empty
+      case Some(b) if srcMeta.schemas.exists(_.schemaId == b) =>
+        diffById(srcMeta.schemaById(b), srcMeta.currentSchema)
+      case _ =>
+        diffByName(srcMeta.currentSchema.columns, dest.meta.currentSchema.columns)
+    }
+    if (changes.nonEmpty) dest.evolveSchema(changes)
+    if (!baseId.contains(srcMeta.currentSchemaId))
+      dest.setProperty(SchemaProp, Some(srcMeta.currentSchemaId.toString))
+  }
+
+  /** Exact change list between two versions of the SOURCE schema, keyed by
+    * column id. Order matters for sequential apply: drops first (freeing
+    * names a rename may take), then renames, then widens (which refer to
+    * post-rename names), then adds. A name-swap pair of renames (a→b, b→a)
+    * is refused downstream by evolveSchema's target-exists check — loud,
+    * not silent. */
+  private def diffById(old: SchemaVersion, now: SchemaVersion): Seq[SchemaChange] = {
+    val oldById = old.byId
+    val nowById = now.byId
+    val drops = old.columns.filterNot(c => nowById.contains(c.id))
+      .map(c => DropColumn(c.name))
+    val renames = now.columns.flatMap(c => oldById.get(c.id).collect {
+      case o if o.name != c.name => RenameColumn(o.name, c.name)
+    })
+    val widens = now.columns.flatMap(c => oldById.get(c.id).collect {
+      case o if o.dataTypeJson != c.dataTypeJson => WidenType(c.name, c.dataType)
+    })
+    val adds = now.columns.filterNot(c => oldById.contains(c.id))
+      .map(c => AddColumn(c.name, c.dataType, c.nullable))
+    drops ++ renames ++ widens ++ adds
+  }
+
+  /** Fallback by-name diff (legacy mirrors only): renames are indistinguishable
+    * from drop+add here. */
+  private def diffByName(want: Seq[ColumnDef], have: Seq[ColumnDef]): Seq[SchemaChange] = {
     val haveByName = have.map(c => c.name -> c).toMap
     val wantNames = want.map(_.name).toSet
-    val changes: Seq[SchemaChange] =
-      have.collect { case c if !wantNames.contains(c.name) => DropColumn(c.name) } ++
-        want.flatMap { c =>
-          haveByName.get(c.name) match {
-            case None => Some(AddColumn(c.name, c.dataType, c.nullable))
-            case Some(d) if d.dataTypeJson != c.dataTypeJson =>
-              Some(WidenType(c.name, c.dataType)) // evolveSchema rejects narrowing
-            case _ => None
-          }
+    have.collect { case c if !wantNames.contains(c.name) => DropColumn(c.name) } ++
+      want.flatMap { c =>
+        haveByName.get(c.name) match {
+          case None => Some(AddColumn(c.name, c.dataType, c.nullable))
+          case Some(d) if d.dataTypeJson != c.dataTypeJson =>
+            Some(WidenType(c.name, c.dataType)) // evolveSchema rejects narrowing
+          case _ => None
         }
-    if (changes.nonEmpty) dest.evolveSchema(changes)
+      }
   }
 }

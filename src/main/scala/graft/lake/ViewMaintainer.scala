@@ -187,7 +187,7 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String,
     val m = base.meta
     val cur = m.currentSnapshot.getOrElse(return 0L)
     var applied: Long = existingViewTable(r.name)
-      .map(_.meta.committedEpochs.foldLeft(-1L)(math.max)).getOrElse(-1L)
+      .map(_.meta.epochHighWater).getOrElse(-1L)
     if (applied >= cur.snapshotId) return 0L // up to date
     var scanned = 0L
     // exclude staged branch state: an unpublished write-branch merge must
@@ -286,7 +286,7 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String,
     val m = base.meta
     val cur = m.currentSnapshot.getOrElse(return 0L)
     val applied: Long = existingViewTable(d.name)
-      .map(_.meta.committedEpochs.foldLeft(-1L)(math.max)).getOrElse(-1L)
+      .map(_.meta.epochHighWater).getOrElse(-1L)
     if (applied >= cur.snapshotId) return 0L // up to date
     val from = m.snapshotById(applied)
     val floor = from.map(_.files.map(_.lsnMax).foldLeft(-1L)(math.max)).getOrElse(-1L)

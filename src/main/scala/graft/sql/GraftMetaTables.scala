@@ -85,7 +85,7 @@ object GraftMetaTables {
         LakeTable.metaAt(path).tableId ==
           graft.lake.ViewMaintainer.viewTableId(m.tableId, v.name)
       val refreshedTo =
-        if (owned) LakeTable.metaAt(path).committedEpochs.foldLeft(-1L)(math.max)
+        if (owned) LakeTable.metaAt(path).epochHighWater
         else -1L
       new GenericInternalRow(Array[Any](
         UTF8String.fromString(v.name), UTF8String.fromString(v.kind),

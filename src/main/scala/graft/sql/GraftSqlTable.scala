@@ -59,8 +59,13 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long],
     * laid out under the OLD bucket count, and reporting the current one
     * would let Spark skip a needed exchange — silent wrong joins. */
   private def layoutBuckets: Option[Int] =
-    if (snap.forall(s => !meta.snapshots.exists(r =>
-      r.operation == "rebucket" && r.snapshotId > s.snapshotId)))
+    // durable marker first (survives retention of the rebucket snapshot
+    // itself — without it an expired rebucket would let a tag-pinned
+    // pre-rebucket read claim the current layout); retained-snapshot scan
+    // covers legacy metadata that predates the marker
+    if (snap.forall(s => s.snapshotId >= meta.rebucketAtSnapshot &&
+      !meta.snapshots.exists(r =>
+        r.operation == "rebucket" && r.snapshotId > s.snapshotId)))
       Some(meta.numBuckets)
     else None
   override def properties(): util.Map[String, String] =

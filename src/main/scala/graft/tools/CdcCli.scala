@@ -140,7 +140,7 @@ object CdcCli {
       val nq = if (new java.io.File(s"$tableDir/_quarantine").exists())
         spark.read.parquet(s"$tableDir/_quarantine").count() else 0L
       println(f"[stream] done in $sec%.1f s; snapshots=${m.snapshots.size} " +
-        f"currentSnapshot=${m.currentSnapshotId} epochs=${m.committedEpochs.size}" +
+        f"currentSnapshot=${m.currentSnapshotId} epochs=${m.committedEpochCount}" +
         (if (nq > 0) s" quarantined=$nq" else ""))
 
     case "show" :: tableDir :: Nil =>

@@ -298,8 +298,12 @@ class LakeTableSpec extends SparkTestBase {
     t.merge(batch(3, "three"), 2)
     t.expireSnapshots(keepLast = 1)
     // epochs 0 and 1 only exist in expired snapshots — they must STILL be
-    // treated as committed, or a checkpoint replay re-applies them
-    assert(t.meta.committedEpochs == Set(0L, 1L, 2L))
+    // treated as committed, or a checkpoint replay re-applies them. They
+    // retire as compacted SPANS (O(gaps) metadata, not O(lifetime)), so the
+    // contiguous 0..1 collapse into one span and the flat list stays empty
+    assert(Seq(0L, 1L, 2L).forall(t.meta.epochCommitted))
+    assert(t.meta.committedEpochCount == 3)
+    assert(t.meta.retiredEpochs.isEmpty && t.meta.retiredEpochSpans.size == 1)
     assert(t.merge(batch(1, "one"), epochId = 0).isEmpty)
     assert(t.currentState().head().getAs[String]("content") == "three")
   }
@@ -333,5 +337,15 @@ class LakeTableSpec extends SparkTestBase {
     intercept[Exception](t.evolveSchema(Seq(DropColumn("repo"))))
     intercept[Exception](t.evolveSchema(Seq(AddColumn("content", StringType))))
     intercept[Exception](t.evolveSchema(Seq(WidenType("content", LongType))))
+  }
+
+  test("widening a key column is refused (bucket routing would change)") {
+    val t = freshTable()
+    val e = intercept[IllegalArgumentException](
+      t.evolveSchema(Seq(WidenType("repo", LongType))))
+    assert(e.getMessage.contains("widen key column"))
+    // non-key widens remain legal (schema has no widenable non-key column
+    // in the base fixture, so the refusal above must be the KEY guard, not
+    // the widen-legality check — message asserted)
   }
 }

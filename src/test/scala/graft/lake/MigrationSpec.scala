@@ -91,4 +91,14 @@ class MigrationSpec extends SparkTestBase {
     intercept[Exception](topoSort(Seq(a)))
     intercept[Exception](parseStatement("CREATE INDEX foo"))
   }
+
+  test("duplicate migration ids are rejected, not silently collapsed") {
+    import MigrationRunner._
+    // a copy-pasted file keeping a stale `-- id:` header must fail loudly:
+    // the old toMap collapse would silently never apply one of the files
+    val m1 = Migration("0002_add_x", Seq.empty, Seq.empty)
+    val m2 = Migration("0002_add_x", Seq.empty, Seq.empty)
+    val e = intercept[IllegalArgumentException](topoSort(Seq(m1, m2)))
+    assert(e.getMessage.contains("duplicate migration id"))
+  }
 }

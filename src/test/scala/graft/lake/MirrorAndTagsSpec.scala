@@ -118,6 +118,32 @@ class MirrorAndTagsSpec extends SparkTestBase {
     assert(liveSet(dest) == liveSet(src))
   }
 
+  test("mirror: a source column rename replays as a rename — data intact") {
+    val src = freshTable()
+    src.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    val destRoot = tmpDir("mirren") + "/dst"
+    TableMirror.syncOnce(src, destRoot)
+    // metadata-only rename on the source: no file changes, so nothing
+    // incremental ever rewrites the untouched key — a drop+add alignment
+    // would null the column on the destination forever
+    src.evolveSchema(Seq(RenameColumn("lang", "language")))
+    val r = TableMirror.syncOnce(src, destRoot)
+    val dest = LakeTable.forPath(spark, destRoot)
+    assert(dest.schema.fieldNames.contains("language") &&
+      !dest.schema.fieldNames.contains("lang"))
+    assert(dest.currentState().select("language").head().getString(0) == "scala",
+      "rename must preserve existing destination values")
+    // a KEY column rename must not wedge the mirror either (drop+add would
+    // throw 'cannot drop key column')
+    src.evolveSchema(Seq(RenameColumn("repo", "repository")))
+    src.merge(Seq((2L, "U", "r1", "p", "c", "scala", "v2"))
+      .toDF("lsn", "op", "repository", "path", "commit", "language", "content"), 1)
+    TableMirror.syncOnce(src, destRoot)
+    val dest2 = LakeTable.forPath(spark, destRoot)
+    assert(dest2.meta.keyCols == Seq("repository", "path", "commit"))
+    assert(liveSet(dest2) == liveSet(src))
+  }
+
   test("mirror refuses to clobber an unrelated table at the destination") {
     val src = freshTable()
     src.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)

@@ -86,6 +86,37 @@ class RollbackSpec extends SparkTestBase {
     assert(e.getMessage.contains("rebucket"))
   }
 
+  test("rollback refuses a rebucket boundary even after its snapshot expired") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    val s1 = t.meta.currentSnapshotId
+    t.createTag("pin", Some(s1)) // keep the target itself retained
+    t.merge(batch((2L, "I", "r2", "p", "c", "scala", "v2")), 1)
+    t.rebucket(8)
+    t.merge(batch((3L, "I", "r3", "p", "c", "scala", "v3")), 2)
+    t.expireSnapshots(keepLast = 1)
+    // the rebucket SNAPSHOT is gone; only the durable marker knows the
+    // boundary — without it this rollback would silently restore
+    // old-layout files under numBuckets=8
+    assert(!t.meta.snapshots.exists(_.operation == "rebucket"))
+    val e = intercept[RuntimeException](t.rollback(s1))
+    assert(e.getMessage.contains("rebucket"))
+    // and a pinned pre-rebucket snapshot must not claim the current layout
+    // on the SQL scan (layout proof uses the same marker)
+    assert(t.meta.rebucketAtSnapshot > s1)
+  }
+
+  test("rebucket refuses while write branches are open") {
+    val t = freshTable()
+    t.merge(batch((1L, "I", "r1", "p", "c", "scala", "v1")), 0)
+    t.createBranch("wap")
+    val e = intercept[IllegalArgumentException](t.rebucket(8))
+    assert(e.getMessage.contains("open write branches"))
+    t.dropBranch("wap")
+    t.rebucket(8) // legal once the branch is gone
+    assert(t.meta.numBuckets == 8)
+  }
+
   test("rolling back a layout-only commit records no gap; feeds keep working") {
     val t = freshTable()
     t.merge(batch((1 to 30).map(i =>
