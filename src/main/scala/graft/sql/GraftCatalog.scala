@@ -181,7 +181,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val props = properties.asScala
     val keys = props.get("keys").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq(schema.fieldNames.head))
-    val buckets = props.get("buckets").map(_.toInt).getOrElse(32)
+    // the ONLY physical layout this format has is bucket(keys): accept a
+    // matching PARTITIONED BY (bucket(n, key...)) clause as the bucket
+    // count; refuse anything else LOUDLY — silently dropping a
+    // PARTITIONED BY (days(ts)) would leave the user believing their
+    // retention/pruning layout exists
+    val bucketFromPartitioning: Option[Int] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        val parsed = "bucket\\((\\d+), (.+)\\)".r
+        t.describe() match {
+          case parsed(n, cols) if cols.split(", ").map(_.stripPrefix("`")
+              .stripSuffix("`")).toSeq == keys => Some(n.toInt)
+          case other => sys.error(
+            s"unsupported partitioning '$other': this format is hash-bucketed " +
+              s"by its key columns (${keys.mkString(", ")}) only — declare " +
+              "PARTITIONED BY (bucket(n, <keys...>)) or the 'buckets' property")
+        }
+      case other => sys.error(
+        s"unsupported partitioning ${other.map(_.describe()).mkString(", ")}: " +
+          "one bucket(n, <keys...>) transform at most")
+    }
+    val buckets = bucketFromPartitioning
+      .orElse(props.get("buckets").map(_.toInt)).getOrElse(32)
     cat.createTable(ident.namespace()(0), ident.name, schema, keys, buckets)
     loadTable(ident)
   }
@@ -223,8 +245,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         props :+= p.property -> None; None
       case other => throw new UnsupportedOperationException(s"table change $other")
     }
-    if (props.nonEmpty) t.setProperties(props)
+    // schema changes FIRST: evolveSchema still validates per-op (key-column
+    // guards), so a mixed list must not land its property commit before a
+    // schema refusal — properties only fail on I/O, schema ops on semantics
     if (ops.nonEmpty) t.evolveSchema(ops)
+    if (props.nonEmpty) t.setProperties(props)
     loadTable(ident)
   }
 

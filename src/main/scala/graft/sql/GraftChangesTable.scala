@@ -111,7 +111,8 @@ class GraftChangesScan(root: String, options: CaseInsensitiveStringMap,
     // whole-scan columnar decision, like GraftScan: Spark rejects mixed
     // row/columnar scans, so vectorize iff every selected file qualifies
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftChangesReaderFactory(parts.nonEmpty && parts.forall(_.columnar))
+      new GraftChangesReaderFactory(parts.nonEmpty && parts.forall(_.columnar),
+        GraftStreamingWrite.sessionHadoopConf())
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -291,19 +292,26 @@ class GraftChangesStream(root: String, target: SchemaVersion,
   // row readers only: the factory is created once for the stream's life but
   // columnar eligibility varies per micro-batch's file set
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftChangesReaderFactory(allColumnar = false)
+    new GraftChangesReaderFactory(allColumnar = false,
+      GraftStreamingWrite.sessionHadoopConf())
 }
 
 case class GraftChangesPartition(filePath: String, cols: Array[ColSpec],
     lsnFloor: Long, wantChangeType: Boolean, wantLsn: Boolean,
     columnar: Boolean) extends InputPartition
 
-class GraftChangesReaderFactory(allColumnar: Boolean) extends PartitionReaderFactory {
+/** Ships the driver-captured session hadoop conf to executor readers — a
+  * bare `new Configuration()` there misses every `spark.hadoop.*` setting
+  * (defaultFS, object-store credentials); see [[GraftReaderFactory]]. */
+class GraftChangesReaderFactory(allColumnar: Boolean,
+    hadoopConf: Map[String, String]) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = allColumnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftChangesPartitionReader(partition.asInstanceOf[GraftChangesPartition])
+    new GraftChangesPartitionReader(partition.asInstanceOf[GraftChangesPartition],
+      GraftStreamingWrite.toConfiguration(hadoopConf))
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftChangesColumnarReader(partition.asInstanceOf[GraftChangesPartition])
+    new GraftChangesColumnarReader(partition.asInstanceOf[GraftChangesPartition],
+      GraftStreamingWrite.toConfiguration(hadoopConf))
 }
 
 /** Vectorized read of one tombstone-free, above-floor, identity-mapped added
@@ -311,9 +319,10 @@ class GraftChangesReaderFactory(allColumnar: Boolean) extends PartitionReaderFac
   * VectorizedParquetRecordReader untouched, and `_change_type` — constant
   * "upsert" for such a file — is a ConstantColumnVector spliced into each
   * batch. No per-row materialization anywhere. */
-class GraftChangesColumnarReader(p: GraftChangesPartition)
+class GraftChangesColumnarReader(p: GraftChangesPartition,
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedBridge, VectorizedParquetRecordReader}
   import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -321,7 +330,21 @@ class GraftChangesColumnarReader(p: GraftChangesPartition)
     p.cols.map(_.storedName) ++ (if (p.wantLsn) Array(LakeTable.LsnCol) else Array.empty[String])
   private val reader = new VectorizedParquetRecordReader(
     /* useOffHeap = */ false, /* capacity = */ 4096)
-  reader.initialize(p.filePath, java.util.Arrays.asList(storedNames: _*))
+  locally {
+    // manual open with the SHIPPED conf (the one-call initialize builds a
+    // bare Configuration internally) — same path as GraftColumnarReader
+    import org.apache.parquet.HadoopReadOptions
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hPath = new org.apache.hadoop.fs.Path(p.filePath)
+    val fr = new ParquetFileReader(HadoopInputFile.fromPath(hPath, conf),
+      HadoopReadOptions.builder(conf, hPath).build())
+    val fileSchema = fr.getFooter.getFileMetaData.getSchema
+    val want = storedNames.toSet
+    val requested = new org.apache.parquet.schema.MessageType(fileSchema.getName,
+      fileSchema.getFields.asScala.filter(f => want.contains(f.getName)).asJava)
+    GraftVectorizedBridge.initFiltered(reader, requested, fileSchema, fr)
+  }
   private val fileBatch = reader.resultBatch()
   reader.enableReturningBatches()
 
@@ -351,7 +374,8 @@ class GraftChangesColumnarReader(p: GraftChangesPartition)
 /** Row reader over one added data file: rows at or under the lsn floor are
   * rewrite carry-overs (skipped); live rows emit as "upsert" post-images,
   * tombstones as "delete" (key columns + whatever the delete stored). */
-class GraftChangesPartitionReader(p: GraftChangesPartition)
+class GraftChangesPartitionReader(p: GraftChangesPartition,
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
   import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -359,7 +383,6 @@ class GraftChangesPartitionReader(p: GraftChangesPartition)
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.schema.MessageType
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
   private val hPath = new org.apache.hadoop.fs.Path(p.filePath)
 
   private val reader: ParquetReader[Group] = {
@@ -401,9 +424,7 @@ class GraftChangesPartitionReader(p: GraftChangesPartition)
   }
 
   private def toRow(g: Group, lsn: Long): InternalRow = {
-    val deleted = g.getType.containsField(LakeTable.DeletedCol) &&
-      g.getFieldRepetitionCount(LakeTable.DeletedCol) > 0 &&
-      g.getBoolean(LakeTable.DeletedCol, 0)
+    val deleted = GroupReads.isDeleted(g)
     val vals = new Array[Any](p.cols.length +
       (if (p.wantChangeType) 1 else 0) + (if (p.wantLsn) 1 else 0))
     var i = 0

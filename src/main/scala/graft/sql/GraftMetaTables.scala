@@ -81,12 +81,14 @@ object GraftMetaTables {
     val parent = java.nio.file.Paths.get(root).toAbsolutePath.getParent
     m.maintainedViews.map { v =>
       val path = parent.resolve(v.name).toString
-      val owned = LakeTable.exists(path) &&
-        LakeTable.metaAt(path).tableId ==
-          graft.lake.ViewMaintainer.viewTableId(m.tableId, v.name)
-      val refreshedTo =
-        if (owned) LakeTable.metaAt(path).epochHighWater
-        else -1L
+      // ONE metadata load per view (exists + scala.util.Try absorbs a
+      // concurrent drop between the listing and the load), reused for both
+      // the ownership check and the refresh watermark
+      val vm = if (LakeTable.exists(path))
+        scala.util.Try(LakeTable.metaAt(path)).toOption else None
+      val owned = vm.exists(_.tableId ==
+        graft.lake.ViewMaintainer.viewTableId(m.tableId, v.name))
+      val refreshedTo = if (owned) vm.get.epochHighWater else -1L
       new GenericInternalRow(Array[Any](
         UTF8String.fromString(v.name), UTF8String.fromString(v.kind),
         UTF8String.fromString(v.groupCols.mkString(",")),

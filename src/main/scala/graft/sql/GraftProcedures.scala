@@ -150,7 +150,11 @@ object GraftProcedures {
         .add("to_snapshot", LongType, nullable = false)
         .add("rows_applied", LongType, nullable = false),
       (wh, input) => {
-        val Array(dns, dt) = input.getUTF8String(1).toString.split('.')
+        val destIdent = input.getUTF8String(1).toString
+        val parts = destIdent.split('.')
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"dest must be 'namespace.table', got '$destIdent'")
+        val Array(dns, dt) = parts
         val destRoot = java.nio.file.Paths.get(wh, dns, dt).toString
         require(new java.io.File(java.nio.file.Paths.get(wh, dns).toString).isDirectory,
           s"namespace $dns does not exist")

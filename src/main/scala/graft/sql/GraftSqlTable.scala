@@ -144,7 +144,9 @@ class GraftSqlTable(root: String, displayName: String, snapshotId: Option[Long],
     // files are still row-filtered by `cond`), so delete semantics are
     // identical to scanning everything.
     val files = m.currentSnapshot.map(_.files).getOrElse(Seq.empty)
-    val candidates = GraftScanBuilder.pruneFiles(m, m.currentSchemaId, files, filters)
+    // deleteWhere acts on the CURRENT snapshot: layout always proven
+    val candidates = GraftScanBuilder.pruneFiles(m, m.currentSchemaId, files, filters,
+      bucketLayout = Some(m.numBuckets))
     val dataCols = m.currentSchema.columns.map(c => col(c.name))
     t.merge(t.readFileSubset(candidates, m.currentSchemaId)
       .filter(!col(LakeTable.DeletedCol))
@@ -298,11 +300,23 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
     * warehouse scale this turns `SELECT count(*)`/`max(lsn)` monitoring
     * queries on a 100 TB table into metadata lookups (Iceberg answers the
     * same from its manifests). */
+  // Spark calls supportCompletePushDown then pushAggregation back to back:
+  // memoize the manifest stats walk so it runs once per aggregate query
+  private var answered: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation, Option[(StructType, Seq[Any])])] = None
+  private def answerMemo(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(StructType, Seq[Any])] =
+    answered match {
+      case Some((a, r)) if a eq aggregation => r
+      case _ =>
+        val r = answer(aggregation)
+        answered = Some((aggregation, r))
+        r
+    }
+
   override def supportCompletePushDown(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    answer(aggregation).isDefined
+    answerMemo(aggregation).isDefined
 
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    agg = answer(aggregation)
+    agg = answerMemo(aggregation)
     agg.isDefined
   }
 
@@ -380,7 +394,8 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
     *     gets the equivalent from Postgres indexes; Iceberg from manifest
     *     stats). Columns or files without usable stats are never pruned. */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
-    prunedFiles = GraftScanBuilder.pruneFiles(meta, schemaId, prunedFiles, filters)
+    prunedFiles = GraftScanBuilder.pruneFiles(meta, schemaId, prunedFiles, filters,
+      layoutBuckets)
     residual = filters.toSeq // also evaluated per-file against row-group stats
     filters
   }
@@ -433,16 +448,26 @@ object GraftScanBuilder {
   }
 
   /** Manifest file skipping shared by the SQL scan and `deleteWhere` (one
-    * pruner — a fix to its comparison semantics must reach both). */
+    * pruner — a fix to its comparison semantics must reach both).
+    * `bucketLayout` is the bucket count the SCANNED FILES are proven to be
+    * laid out under (the scan's layoutBuckets proof), or None when unproven
+    * — a time-travel read pinned BEFORE a later rebucket carries files
+    * numbered under the OLD count, and hashing the key with the current
+    * count would prune the very file that holds it (file pruning is
+    * exactness-bearing: the post-scan filter cannot recover unread rows).
+    * Min/max stat pruning is layout-independent and always applies. */
   def pruneFiles(meta: TableMeta, schemaId: Int,
       files: Seq[graft.lake.DataFileMeta],
-      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[graft.lake.DataFileMeta] = {
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      bucketLayout: Option[Int]): Seq[graft.lake.DataFileMeta] = {
     import org.apache.spark.sql.sources._
     var prunedFiles = files
     val eqs = filters.collect { case EqualTo(a, v) if meta.keyCols.contains(a) => a -> v }.toMap
-    if (meta.keyCols.forall(eqs.contains)) {
-      val b = GraftScanBuilder.bucketOf(meta.keyCols.map(eqs), meta.numBuckets)
-      prunedFiles = prunedFiles.filter(_.bucket == b)
+    bucketLayout.foreach { n =>
+      if (meta.keyCols.forall(eqs.contains)) {
+        val b = GraftScanBuilder.bucketOf(meta.keyCols.map(eqs), n)
+        prunedFiles = prunedFiles.filter(_.bucket == b)
+      }
     }
     val colId: Map[String, String] = meta.schemaById(schemaId).columns
       .map(c => c.name -> c.id.toString).toMap
@@ -527,16 +552,19 @@ object GraftScanBuilder {
     * clustered compaction). */
   def pruneFilesIn(meta: TableMeta, schemaId: Int,
       files: Seq[graft.lake.DataFileMeta], attr: String,
-      values: Seq[Any]): Seq[graft.lake.DataFileMeta] = {
+      values: Seq[Any],
+      bucketLayout: Option[Int]): Seq[graft.lake.DataFileMeta] = {
     var sel = files
     val hashable = values.forall {
       case _: String | _: Int | _: Long | _: Short | _: Byte | _: Boolean |
            _: Float | _: Double => true
       case _ => false
     }
-    if (meta.keyCols == Seq(attr) && hashable) {
-      val buckets = values.map(v => bucketOf(Seq(v), meta.numBuckets)).toSet
-      sel = sel.filter(f => buckets.contains(f.bucket))
+    bucketLayout.foreach { n =>
+      if (meta.keyCols == Seq(attr) && hashable) {
+        val buckets = values.map(v => bucketOf(Seq(v), n)).toSet
+        sel = sel.filter(f => buckets.contains(f.bucket))
+      }
     }
     meta.schemaById(schemaId).columns.find(_.name == attr).foreach { c =>
       val cid = c.id.toString
@@ -595,7 +623,8 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
     predicates.foreach { p =>
       GraftScanBuilder.inPredicate(p).foreach { case (attr, values) =>
         val before = selected.size
-        selected = GraftScanBuilder.pruneFilesIn(meta, schemaId, selected, attr, values)
+        selected = GraftScanBuilder.pruneFilesIn(meta, schemaId, selected, attr, values,
+          layoutBuckets)
         runtimeSkipped += before - selected.size
         runtimeIn :+= org.apache.spark.sql.sources.In(attr, values.toArray)
       }
@@ -661,7 +690,20 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
     }
   }
 
-  private def plannedPartitions: Array[GraftInputPartition] = {
+  // planInputPartitions() and createReaderFactory() both need the planned
+  // set; per-file ColSpec resolution + parquet predicate building over a
+  // large selection is driver work worth doing once. Keyed on the selected
+  // list, which runtime filter() can shrink between calls.
+  private var plannedCache: Option[(Seq[graft.lake.DataFileMeta], Array[GraftInputPartition])] = None
+  private def plannedPartitions: Array[GraftInputPartition] = plannedCache match {
+    case Some((sel, parts)) if sel eq selected => parts
+    case _ =>
+      val parts = buildPartitions()
+      plannedCache = Some((selected, parts))
+      parts
+  }
+
+  private def buildPartitions(): Array[GraftInputPartition] = {
     val target = meta.schemaById(schemaId)
     selected.map { f =>
       val storedById = meta.schemaById(f.schemaId).byId
@@ -699,7 +741,8 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
     * the selection carries deletes or needs column-ID remapping. */
   override def createReaderFactory(): PartitionReaderFactory = {
     val parts = plannedPartitions
-    new GraftReaderFactory(parts.nonEmpty && parts.forall(_.columnar))
+    new GraftReaderFactory(parts.nonEmpty && parts.forall(_.columnar),
+      GraftStreamingWrite.sessionHadoopConf())
   }
 }
 
@@ -740,47 +783,54 @@ case class GraftInputPartition(filePath: String, cols: Array[ColSpec],
     new GenericInternalRow(Array[Any](bucket))
 }
 
-class GraftReaderFactory(allColumnar: Boolean) extends PartitionReaderFactory {
+/** `hadoopConf` is the session hadoop conf captured ON THE DRIVER (a bare
+  * `new Configuration()` on an executor misses every `spark.hadoop.*`
+  * setting — defaultFS, object-store credentials — so reads would only ever
+  * work against local paths; the write path ships its staging conf the same
+  * way). One map per factory, not per partition. */
+class GraftReaderFactory(allColumnar: Boolean,
+    hadoopConf: Map[String, String]) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = allColumnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition],
+      GraftStreamingWrite.toConfiguration(hadoopConf))
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition])
+    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition],
+      GraftStreamingWrite.toConfiguration(hadoopConf))
 }
 
 /** Vectorized read of one tombstone-free, identity-mapped data file via
   * Spark's own VectorizedParquetRecordReader — ColumnarBatches flow straight
   * into the query (no per-row object materialization), putting the SQL scan
   * on the same engine the native parquet source uses. */
-class GraftColumnarReader(p: GraftInputPartition)
+class GraftColumnarReader(p: GraftInputPartition,
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.{GraftVectorizedBridge, VectorizedParquetRecordReader}
 
   private val reader = new VectorizedParquetRecordReader(
     /* useOffHeap = */ false, /* capacity = */ 4096)
-  p.pred match {
-    case None => // unfiltered: Spark's own one-call path
-      reader.initialize(p.filePath,
-        java.util.Arrays.asList(p.cols.map(_.storedName): _*))
-    case Some(pred) =>
-      // filtered: open the file reader OURSELVES with a record filter so
-      // parquet-mr drops row groups by statistics up front, then hand the
-      // surviving groups to the vectorized reader (GraftVectorizedBridge —
-      // the row-group hook is package-private in Spark)
-      import org.apache.parquet.HadoopReadOptions
-      import org.apache.parquet.filter2.compat.FilterCompat
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val hPath = new org.apache.hadoop.fs.Path(p.filePath)
-      val fr = new ParquetFileReader(HadoopInputFile.fromPath(hPath, conf),
-        HadoopReadOptions.builder(conf, hPath)
-          .withRecordFilter(FilterCompat.get(pred)).build())
-      val fileSchema = fr.getFooter.getFileMetaData.getSchema
-      val want = p.cols.map(_.storedName).toSet
-      val requested = new org.apache.parquet.schema.MessageType(fileSchema.getName,
-        fileSchema.getFields.asScala.filter(f => want.contains(f.getName)).asJava)
-      GraftVectorizedBridge.initFiltered(reader, requested, fileSchema, fr)
+  locally {
+    // one path for filtered AND unfiltered: open the file reader OURSELVES
+    // with the driver-captured conf (Spark's one-call initialize builds a
+    // bare Configuration internally) and an optional record filter so
+    // parquet-mr drops row groups by statistics up front, then hand the
+    // surviving groups to the vectorized reader (GraftVectorizedBridge —
+    // the row-group hook is package-private in Spark)
+    import org.apache.parquet.HadoopReadOptions
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hPath = new org.apache.hadoop.fs.Path(p.filePath)
+    val opts = HadoopReadOptions.builder(conf, hPath)
+    p.pred.foreach(pr => opts.withRecordFilter(FilterCompat.get(pr)))
+    val fr = new ParquetFileReader(HadoopInputFile.fromPath(hPath, conf),
+      opts.build())
+    val fileSchema = fr.getFooter.getFileMetaData.getSchema
+    val want = p.cols.map(_.storedName).toSet
+    val requested = new org.apache.parquet.schema.MessageType(fileSchema.getName,
+      fileSchema.getFields.asScala.filter(f => want.contains(f.getName)).asJava)
+    GraftVectorizedBridge.initFiltered(reader, requested, fileSchema, fr)
   }
   reader.resultBatch() // allocate the batch vectors
   reader.enableReturningBatches()
@@ -794,7 +844,8 @@ class GraftColumnarReader(p: GraftInputPartition)
   * stored columns the query needs plus `_deleted` (tombstone filter). Not
   * vectorized — acceptable for the SQL convenience surface; wide analytical
   * scans belong on the engine's native read path. */
-class GraftPartitionReader(p: GraftInputPartition)
+class GraftPartitionReader(p: GraftInputPartition,
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
   import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -802,7 +853,6 @@ class GraftPartitionReader(p: GraftInputPartition)
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.schema.MessageType
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
   private val hPath = new org.apache.hadoop.fs.Path(p.filePath)
 
   // projection: the file's own schema filtered to needed fields (reading the
@@ -833,10 +883,7 @@ class GraftPartitionReader(p: GraftInputPartition)
     false
   }
 
-  private def isDeleted(g: Group): Boolean =
-    g.getType.containsField(LakeTable.DeletedCol) &&
-      g.getFieldRepetitionCount(LakeTable.DeletedCol) > 0 &&
-      g.getBoolean(LakeTable.DeletedCol, 0)
+  private def isDeleted(g: Group): Boolean = GroupReads.isDeleted(g)
 
   private def toRow(g: Group): InternalRow = {
     val vals = new Array[Any](p.cols.length)
@@ -867,6 +914,11 @@ class GraftPartitionReader(p: GraftInputPartition)
   * readers (live-row scan and change feed). */
 private[sql] object GroupReads {
   import org.apache.parquet.example.data.Group
+
+  def isDeleted(g: Group): Boolean =
+    g.getType.containsField(LakeTable.DeletedCol) &&
+      g.getFieldRepetitionCount(LakeTable.DeletedCol) > 0 &&
+      g.getBoolean(LakeTable.DeletedCol, 0)
 
   def read(g: Group, name: String, dt: DataType): Any = dt match {
     case StringType => UTF8String.fromBytes(g.getBinary(name, 0).getBytes)

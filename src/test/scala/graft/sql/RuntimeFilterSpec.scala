@@ -96,19 +96,24 @@ class RuntimeFilterSpec extends SparkTestBase {
     // key values → exactly their buckets' files
     val keyVals = Seq[Any](5L, 42L)
     val buckets = keyVals.map(v => GraftScanBuilder.bucketOf(Seq(v), m.numBuckets)).toSet
-    val byKey = GraftScanBuilder.pruneFilesIn(m, sid, files, "id", keyVals)
+    val byKey = GraftScanBuilder.pruneFilesIn(m, sid, files, "id", keyVals, Some(m.numBuckets))
     assert(byKey.map(_.bucket).toSet == buckets && byKey.size < files.size)
+    // unproven layout (time travel below a rebucket): bucket pruning is OFF
+    // — hashing with the wrong count would prune the file holding the key —
+    // while layout-independent stat pruning still applies
+    val unproven = GraftScanBuilder.pruneFilesIn(m, sid, files, "id", keyVals, None)
+    assert(unproven.size == files.size)
 
     // a stat column value outside every file's range prunes everything;
     // an in-range value keeps a (possibly full) subset
-    assert(GraftScanBuilder.pruneFilesIn(m, sid, files, "day", Seq(Long.box(999L))).isEmpty)
-    assert(GraftScanBuilder.pruneFilesIn(m, sid, files, "day", Seq(Long.box(3L))).nonEmpty)
+    assert(GraftScanBuilder.pruneFilesIn(m, sid, files, "day", Seq(Long.box(999L)), Some(m.numBuckets)).isEmpty)
+    assert(GraftScanBuilder.pruneFilesIn(m, sid, files, "day", Seq(Long.box(3L)), Some(m.numBuckets)).nonEmpty)
     // one matching value among misses is enough to keep a file (IN = any)
     assert(GraftScanBuilder.pruneFilesIn(m, sid, files, "day",
-      Seq(Long.box(999L), Long.box(3L))).nonEmpty)
+      Seq(Long.box(999L), Long.box(3L)), Some(m.numBuckets)).nonEmpty)
     // unknown column or incomparable value: keep everything (sound default)
-    assert(GraftScanBuilder.pruneFilesIn(m, sid, files, "nope", Seq(Long.box(1L))).size == files.size)
-    assert(GraftScanBuilder.pruneFilesIn(m, sid, files, "day", Seq(new Object)).size == files.size)
+    assert(GraftScanBuilder.pruneFilesIn(m, sid, files, "nope", Seq(Long.box(1L)), Some(m.numBuckets)).size == files.size)
+    assert(GraftScanBuilder.pruneFilesIn(m, sid, files, "day", Seq(new Object), Some(m.numBuckets)).size == files.size)
   }
 
   test("inPredicate decomposes the IN and = shapes runtime filtering emits") {

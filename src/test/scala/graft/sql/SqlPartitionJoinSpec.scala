@@ -144,6 +144,15 @@ class SqlPartitionJoinSpec extends SparkTestBase {
            |JOIN spj4.ns.tb b ON a.doc_id = b.doc_id""".stripMargin)
       assert(planOf(tt).contains("Exchange"), "stale layout must not co-locate")
       assert(tt.count() == 24)
+      // ... and key-equality file pruning must not hash with the NEW bucket
+      // count against OLD-layout file numbers: every key must still be found
+      // in the pre-rebucket snapshot (file pruning is exactness-bearing —
+      // a wrongly pruned file silently loses the row)
+      (0 until 24).foreach { i =>
+        assert(spark.sql(
+          s"SELECT * FROM spj4.ns.ta VERSION AS OF $oldSnap WHERE doc_id = 'd$i'")
+          .count() == 1, s"key d$i lost to stale-layout bucket pruning")
+      }
     }
   }
 }

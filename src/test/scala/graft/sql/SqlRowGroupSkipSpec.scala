@@ -73,11 +73,12 @@ class SqlRowGroupSkipSpec extends SparkTestBase {
     assert(pred.isDefined)
 
     def rowRead(p: Option[org.apache.parquet.filter2.predicate.FilterPredicate]) = {
-      val r = new GraftPartitionReader(GraftInputPartition(path, cols, pred = p))
+      val r = new GraftPartitionReader(GraftInputPartition(path, cols, pred = p),
+        new org.apache.hadoop.conf.Configuration())
       var n = 0L; while (r.next()) n += 1; r.close(); n
     }
     def colRead(p: Option[org.apache.parquet.filter2.predicate.FilterPredicate]) = {
-      val r = new GraftColumnarReader(
+      val r = new GraftColumnarReader(conf = new org.apache.hadoop.conf.Configuration(), p = 
         GraftInputPartition(path, cols, columnar = true, pred = p))
       var n = 0L; while (r.next()) n += r.get().numRows(); r.close(); n
     }
@@ -127,7 +128,7 @@ class SqlRowGroupSkipSpec extends SparkTestBase {
     } finally fr.close()
     val cols = Array(cs("k", StringType, "k", StringType))
     def colRead(p: Option[org.apache.parquet.filter2.predicate.FilterPredicate]) = {
-      val r = new GraftColumnarReader(
+      val r = new GraftColumnarReader(conf = new org.apache.hadoop.conf.Configuration(), p = 
         GraftInputPartition(path, cols, columnar = true, pred = p))
       var n = 0L; while (r.next()) n += r.get().numRows(); r.close(); n
     }
