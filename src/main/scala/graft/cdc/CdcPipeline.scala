@@ -35,10 +35,27 @@ object CdcPipeline {
     * analogue: yoyo migration runner (`cron_tasks.py:31-59`). */
   def evolveTo(maxV: Int, table: LakeTable,
       plan: Map[Int, Seq[SchemaChange]], tableVersionTracker: TableVersions): Unit = {
-    var cur = tableVersionTracker.get(table.root)
+    var cur = tableVersionTracker.get(table.root, plan)
     while (cur < maxV) {
       cur += 1
-      plan.get(cur).filter(_.nonEmpty).foreach(table.evolveSchema)
+      plan.get(cur).filter(_.nonEmpty).foreach { changes =>
+        // a KEY column rename cannot be applied mid-stream: the stream's
+        // envelope schema is fixed at start, so every later batch still
+        // carries the OLD name, toMergeInput would fill the new key with
+        // null and the merge would refuse — fail here with the real cause
+        changes.foreach {
+          case RenameColumn(from, _) if table.meta.keyCols.contains(from) =>
+            sys.error(s"evolution step $cur renames key column '$from': " +
+              "unsupported mid-stream (the envelope schema is fixed at " +
+              "start) — stop the stream, rename via the table API, and " +
+              "restart with an envelope carrying the new key name")
+          case _ => ()
+        }
+        // each step lands through the migration ledger, so a crash between
+        // the schema commit and the tracker update replays as a no-op
+        // instead of a 'column exists' poison pill
+        table.applyMigration(s"envelope-v$cur", changes)
+      }
       tableVersionTracker.set(table.root, cur)
     }
   }
@@ -112,7 +129,8 @@ object CdcPipeline {
   }
 
   def batchStats(batch: DataFrame, bucket: Column,
-      invalid: Column = lit(false)): BatchStats = {
+      invalid: Column = lit(false),
+      keyCols: Seq[String] = ChangeEvent.keyCols): BatchStats = {
     val sv = if (batch.columns.contains("schema_version")) col("schema_version")
       else lit(1)
     // Two-level aggregation: per (bucket, key) first — its partial (map-side)
@@ -126,7 +144,7 @@ object CdcPipeline {
     // precomputed plan never count rows that will be filtered out.
     val perKey = batch
       .groupBy(when(invalid, lit(-1)).otherwise(bucket).as("__b"),
-        xxhash64(ChangeEvent.keyCols.map(col): _*).as("__kh"))
+        xxhash64(keyCols.map(col): _*).as("__kh"))
       .agg(count(lit(1)).as("c"), min(coalesce(col("lsn"), lit(-1L))).as("mn"),
         max(coalesce(col("lsn"), lit(-1L))).as("mx"), max(sv).as("sv"))
     val rows = perKey.groupBy(col("__b"))
@@ -182,17 +200,30 @@ object CdcPipeline {
     // merge). Everything driver-side decisions need comes out of it —
     // including the malformed-row count (pseudo-bucket −1), so the common
     // all-valid batch detects quarantine for free.
-    val keyColsBefore = table.meta.keyCols
+    // ONE metadata load per batch: keyCols, constraints and bucketing must
+    // come from the SAME snapshot (and each .meta call is a disk load)
+    val m0 = table.meta
+    val keyCols = m0.keyCols
     // envelope validity first (null lsn/key, bad op), then the table's
     // declared constraints — violating events dead-letter with
     // constraint:<name> instead of failing the stream, riding the SAME
     // stats probe (zero extra cost for clean batches; deletes exempt)
-    val reason = table.applicableConstraints(batch.columns.toSeq)
-      .foldLeft(quarantineReason()) { case (r, (cond, name)) =>
+    val reason = table.applicableConstraints(batch.columns.toSeq, m0)
+      .foldLeft(quarantineReason(keyCols)) { case (r, (cond, name)) =>
         r.when(col("op") =!= "D" && cond, s"constraint:$name")
       }
+    // bucket stats hash the keys AFTER casting to their declared types,
+    // exactly as merge does (hash(5: Int) != hash(5L: Long)): an uncast
+    // probe could mark bucket A touched while merge writes bucket B,
+    // leaving B's stored file un-reconciled
+    val castBucket = {
+      val byName = m0.currentSchema.columns.map(c => c.name -> c).toMap
+      pmod(hash(keyCols.map(k => byName.get(k)
+        .map(c => col(k).cast(c.dataType)).getOrElse(col(k))): _*),
+        lit(m0.numBuckets))
+    }
     val stats = phase("stats")(
-      batchStats(batch, table.bucketExpr(table.meta), invalid = reason.isNotNull))
+      batchStats(batch, castBucket, invalid = reason.isNotNull, keyCols = keyCols))
     // Dead-letter path: malformed envelopes either land in the quarantine
     // sink (one idempotent overwrite per epoch — crash-replay safe) or fail
     // the batch loudly. They are NEVER silently merged: a null key would
@@ -208,31 +239,25 @@ object CdcPipeline {
     }
     val cleanBatch = if (stats.invalidRows > 0) batch.filter(reason.isNull) else batch
     if (stats.isEmpty) return
-    val versionBefore = versions.get(table.root)
+    val versionBefore = versions.get(table.root, evolution)
     val planExhausted = evolution.isEmpty || versionBefore >= evolution.keys.max
     if (!planExhausted) evolveTo(stats.maxSchemaVersion, table, evolution, versions)
-    // stats were computed with the PRE-evolution bucketing; if an evolution
-    // step applied this batch renamed a key column, merge's post-evolution
-    // buckets can diverge from the precomputed touched set — recompute in
-    // that (rare) case rather than miss existing rows in touched buckets
-    val keyRenamed = !planExhausted &&
-      (versionBefore + 1 to stats.maxSchemaVersion).flatMap(evolution.get).flatten.exists {
-        case RenameColumn(from, _) => keyColsBefore.contains(from)
-        case _ => false
-      }
+    // the precomputed touched-bucket set stays valid across evolution:
+    // evolveTo refuses key-column renames mid-stream (the one change that
+    // could move bucket assignment), and bucket count is rebucket-only
 
     val hist = stats.hist
     val effectiveSalts =
       if (salts > 1) salts
       else hist.saltsFor(stormThreshold = autoSaltThreshold, targetPerSalt = autoSaltThreshold / 4)
     val deduped = if (effectiveSalts > 1)
-      Dedup.lwwDf(cleanBatch, ChangeEvent.keyCols, effectiveSalts)
+      Dedup.lwwDf(cleanBatch, keyCols, effectiveSalts)
     else cleanBatch
 
     // lineage row counts are change events routed to the bucket (pre-dedup):
     // the number the source delivered, which is what throughput reports mean
     val lineage = phase("merge")(table.merge(toMergeInput(deduped, table), epochId,
-      precomputedStats = if (keyRenamed) None else Some(stats.perBucket)))
+      precomputedStats = Some(stats.perBucket)))
     // view refresh runs UNCONDITIONALLY for non-empty batches: if the process
     // crashed after the base commit but before the refresh, the replayed
     // epoch's merge is a no-op (None) — skipping refresh then would leave the
@@ -318,17 +343,30 @@ object CdcPipeline {
 }
 
 /** Tracks the envelope schema_version each table has been evolved to.
-  * Persisted implicitly: on restart it is re-derived from the table's
-  * current schema (count of applied evolution steps). */
+  * Persisted in the table's migration ledger (`envelope-v<N>` ids recorded
+  * by [[CdcPipeline.evolveTo]] in the SAME commit as the schema change), so
+  * a restart recovers the exact applied version — sparse plans (gaps with
+  * no changes) and out-of-band schema commits (operator migrations, SQL
+  * ALTERs) do not skew it the way the old currentSchemaId heuristic did.
+  * Legacy tables evolved before the ledger ids existed fall back to that
+  * heuristic once (their currentSchemaId counted only envelope steps). */
 class TableVersions {
   private val m = scala.collection.concurrent.TrieMap.empty[String, Int]
-  def get(root: String): Int = m.getOrElseUpdate(root, {
-    // schemaId starts at 1 and each applied envelope version bumps it by
-    // at most one metadata commit, so the table's currentSchemaId equals
-    // the last applied envelope version with a non-empty change list.
-    // metaAt is session-free file I/O — no SparkSession needed (or allowed:
-    // this can run before the session is fully wired).
-    LakeTable.metaAt(root).currentSchemaId
-  })
+  def get(root: String, plan: Map[Int, Seq[SchemaChange]]): Int =
+    m.getOrElseUpdate(root, {
+      // metaAt is session-free file I/O — no SparkSession needed (or
+      // allowed: this can run before the session is fully wired)
+      val meta = LakeTable.metaAt(root)
+      val applied = meta.appliedMigrations.toSet
+      if (!applied.exists(_.startsWith("envelope-v")) && meta.currentSchemaId > 1)
+        meta.currentSchemaId // legacy heuristic (pre-ledger tables)
+      else {
+        // highest version whose every non-empty step at or below it is in
+        // the ledger (empty steps need no commit to count as applied)
+        val vmax = plan.keys.foldLeft(1)(math.max)
+        (2 to vmax).takeWhile(v => plan.get(v).forall(_.isEmpty) ||
+          applied.contains(s"envelope-v$v")).lastOption.getOrElse(1)
+      }
+    })
   def set(root: String, v: Int): Unit = m.put(root, v)
 }

@@ -108,14 +108,16 @@ object CdcRouter {
       discriminator: String = "table",
       quarantineDir: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      salts: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(logDir).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        processBatch(batch, epochId, routes, discriminator, quarantineDir)
+        processBatch(batch, epochId, routes, discriminator, quarantineDir,
+          salts = salts)
       }
       .start()
   }
@@ -125,8 +127,9 @@ object CdcRouter {
       routes: Map[String, RouteTarget], checkpoint: String,
       discriminator: String = "table",
       quarantineDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): Unit =
+      maxFilesPerTrigger: Option[Int] = None,
+      salts: Int = 0): Unit =
     start(spark, logDir, schema, routes, checkpoint, discriminator,
-      quarantineDir, Trigger.AvailableNow(), maxFilesPerTrigger)
+      quarantineDir, Trigger.AvailableNow(), maxFilesPerTrigger, salts)
       .awaitTermination()
 }

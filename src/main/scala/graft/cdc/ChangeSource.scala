@@ -86,6 +86,13 @@ object IncrementalSync {
     table.meta.currentSnapshot.map(_.files.map(_.lsnMax).foldLeft(-1L)(math.max))
       .getOrElse(-1L)
 
+  /** Beat epoch ids live in their own range so they can NEVER collide with
+    * the dense 0,1,2,... ids a streaming CdcPipeline commits to the same
+    * table's single epoch ledger — a collision (e.g. source maxLsn == some
+    * past stream epoch) would make the merge silently no-op and the beat
+    * stall forever, error-free. */
+  val SyncEpochBase: Long = 1L << 61
+
   /** One sync beat: read (watermark, sourceMax], merge exactly-once.
     * Returns the number of lsn positions advanced (0 = nothing new). */
   def syncOnce(source: ChangeSource, table: LakeTable,
@@ -94,8 +101,8 @@ object IncrementalSync {
     val wm = tableWatermark(table)
     val hi = source.maxLsn()
     if (hi <= wm) return 0L
-    CdcPipeline.processBatch(source.batch(wm, hi), epochId = hi, table,
-      evolution, versions, lineageDir = None, salts = salts)
+    CdcPipeline.processBatch(source.batch(wm, hi), epochId = SyncEpochBase + hi,
+      table, evolution, versions, lineageDir = None, salts = salts)
     hi - wm
   }
 }

@@ -342,7 +342,7 @@ object JdbcWarehouseSync {
       val upserts = changed.filter(!col(LakeTable.DeletedCol))
         .select(dataCols.map(col): _*)
       val deletes = changed.filter(col(LakeTable.DeletedCol))
-        .select(lake.meta.keyCols.map(col): _*)
+        .select(m.keyCols.map(col): _*) // the beat's own snapshot, no reload
       val n = sink.upsert(upserts) + sink.deleteKeys(deletes)
       sink.setWatermark(newWm) // last: a crash before this replays the beat
       n

@@ -49,14 +49,28 @@ object Reconciler {
       .join(table.currentState().select(keyCols.map(col): _*), keyCols, "left_anti")
   }
 
-  /** Rows whose table state disagrees with the expected winner (content
-    * compared by sha-256, the per-row invariant from BASELINE.json). */
+  /** Rows whose table state disagrees with the expected winner. The whole
+    * payload is compared — every non-key data column of the table's current
+    * schema present on BOTH sides, hashed per row via sha-256 over a
+    * length-prefixed render (the per-row invariant from BASELINE.json;
+    * length prefixes keep ("ab","c") ≠ ("a","bc")). Generic over routed
+    * tables of any schema — nothing is hard-coded to `content` — and a
+    * stale value in ANY replicated column is caught. */
   def stale(log: DataFrame, table: LakeTable): DataFrame = {
     val keyCols = table.meta.keyCols
+    val payloadCols = table.meta.currentSchema.columns.map(_.name)
+      .filterNot(keyCols.contains).filter(log.columns.contains).sorted
+    def rowHash: Column =
+      if (payloadCols.isEmpty) sha2(lit(""), 256) // key-only table: presence IS the state
+      else sha2(concat(payloadCols.map { c =>
+        val s = col(c).cast("string")
+        concat(coalesce(length(s), lit(-1)).cast("string"), lit(":"),
+          coalesce(s, lit("")))
+      }: _*), 256)
     val exp = expectedFromLog(log, keyCols, contractOf(log, table))
-      .select((keyCols.map(col) :+ sha2(coalesce(col("content"), lit("")), 256).as("h")): _*)
+      .select((keyCols.map(col) :+ rowHash.as("h")): _*)
     val got = table.currentState()
-      .select((keyCols.map(col) :+ sha2(coalesce(col("content"), lit("")), 256).as("h")): _*)
+      .select((keyCols.map(col) :+ rowHash.as("h")): _*)
     exp.join(got, keyCols, "full_outer")
       .filter(not(exp("h") <=> got("h")))
   }

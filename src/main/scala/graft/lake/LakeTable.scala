@@ -943,9 +943,14 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * column an old-schema batch does not carry yet is skipped (it will bind
     * from the first schema version that has the column). Callers must
     * exempt op = "D" rows themselves (tombstone payloads are not rows). */
-  def applicableConstraints(batchCols: Seq[String]): Seq[(Column, String)] = {
+  def applicableConstraints(batchCols: Seq[String]): Seq[(Column, String)] =
+    applicableConstraints(batchCols, meta)
+
+  /** Same, against a caller-held metadata snapshot — hot paths that already
+    * loaded `meta` must not pay (or race) a second disk load. */
+  def applicableConstraints(batchCols: Seq[String], m: TableMeta): Seq[(Column, String)] = {
     val cols = batchCols.toSet
-    meta.constraints.filter(_.cols.forall(cols.contains))
+    m.constraints.filter(_.cols.forall(cols.contains))
       .map(c => violationCond(c) -> c.name)
   }
 
