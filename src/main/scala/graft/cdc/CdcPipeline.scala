@@ -347,26 +347,24 @@ object CdcPipeline {
   * by [[CdcPipeline.evolveTo]] in the SAME commit as the schema change), so
   * a restart recovers the exact applied version — sparse plans (gaps with
   * no changes) and out-of-band schema commits (operator migrations, SQL
-  * ALTERs) do not skew it the way the old currentSchemaId heuristic did.
-  * Legacy tables evolved before the ledger ids existed fall back to that
-  * heuristic once (their currentSchemaId counted only envelope steps). */
+  * ALTERs, mirror syncs) do not skew it the way a schema-id count would:
+  * the ledger is the ONLY authority. The failure mode this buys: if an
+  * operator hand-applies an envelope step's DDL out of band (ALTER ADD of
+  * the same column), the replayed step fails loudly ('column exists')
+  * instead of silently skipping a different step — recover by recording
+  * `applyMigration("envelope-v<N>", Nil)` for the hand-applied version. */
 class TableVersions {
   private val m = scala.collection.concurrent.TrieMap.empty[String, Int]
   def get(root: String, plan: Map[Int, Seq[SchemaChange]]): Int =
     m.getOrElseUpdate(root, {
       // metaAt is session-free file I/O — no SparkSession needed (or
       // allowed: this can run before the session is fully wired)
-      val meta = LakeTable.metaAt(root)
-      val applied = meta.appliedMigrations.toSet
-      if (!applied.exists(_.startsWith("envelope-v")) && meta.currentSchemaId > 1)
-        meta.currentSchemaId // legacy heuristic (pre-ledger tables)
-      else {
-        // highest version whose every non-empty step at or below it is in
-        // the ledger (empty steps need no commit to count as applied)
-        val vmax = plan.keys.foldLeft(1)(math.max)
-        (2 to vmax).takeWhile(v => plan.get(v).forall(_.isEmpty) ||
-          applied.contains(s"envelope-v$v")).lastOption.getOrElse(1)
-      }
+      val applied = LakeTable.metaAt(root).appliedMigrations.toSet
+      // highest version whose every non-empty step at or below it is in
+      // the ledger (empty steps need no commit to count as applied)
+      val vmax = plan.keys.foldLeft(1)(math.max)
+      (2 to vmax).takeWhile(v => plan.get(v).forall(_.isEmpty) ||
+        applied.contains(s"envelope-v$v")).lastOption.getOrElse(1)
     })
   def set(root: String, v: Int): Unit = m.put(root, v)
 }
