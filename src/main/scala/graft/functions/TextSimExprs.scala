@@ -22,10 +22,15 @@ object TextSimHelpers {
       .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
   /** Jaccard over two string arrays that are already sets (distinct):
-    * |A∩B| / (|A| + |B| - |A∩B|). One set build + one probe pass. */
+    * |A∩B| / (|A| + |B| - |A∩B|). One set build + one probe pass.
+    * J(∅,∅) = 0.0: two blank documents share no evidence of similarity,
+    * and the SQL oracles' 0/0 is NaN/NULL — which a `jac >= t` threshold
+    * drops, exactly as 0.0 is dropped here (t > 0 always). Returning 1.0
+    * would instead report every pair of blank docs as an exact near-dup
+    * on the Spark side only. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
-    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 && nb == 0) return 0.0
     val set = new java.util.HashSet[UTF8String](na * 2)
     var i = 0
     while (i < na) { set.add(a.getUTF8String(i)); i += 1 }

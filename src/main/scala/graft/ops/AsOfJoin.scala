@@ -28,18 +28,32 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  private val K = "__graft_asof_k"; private val T = "__graft_asof_t"
+  private val SIDE = "__graft_asof_side"; private val P = "__graft_asof_p"
+  private val CARRY = "__graft_asof_carry"
+
   def asOf(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // internal scratch names must not collide with caller columns (the
+    // select below would produce ambiguous references), and a payload name
+    // equal to a left column would emit two same-named output columns —
+    // both silently poisonous downstream; refuse loudly instead
+    require(!leftCols.exists(_.startsWith("__graft_asof")),
+      "left input uses the reserved __graft_asof* column-name prefix")
+    val clash = payload.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"payload column(s) ${clash.mkString(", ")} collide with left " +
+        "columns: alias one side before the as-of join")
     val payloadStruct = struct(payload.map(col): _*)
     val nullPayload = lit(null).cast(
       org.apache.spark.sql.types.StructType(payload.map(right.schema(_))))
 
     val taggedLeft = left.select(
-      col(leftKey).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
-        nullPayload.as("_p") +: leftCols.map(col): _*)
+      col(leftKey).as(K) +: col(leftTime).as(T) +: lit(1).as(SIDE) +:
+        nullPayload.as(P) +: leftCols.map(col): _*)
     // A right row with a null key or null time can never legitimately match:
     // key equality fails on NULL and `null <= t` holds for no t. Left as-is
     // it WOULD match here — null `_t` sorts first (asc nulls-first) so its
@@ -50,18 +64,18 @@ object AsOfJoin {
     val taggedRight = right
       .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(
-      col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
-        payloadStruct.as("_p") +:
+      col(rightKey).as(K) +: col(rightTime).as(T) +: lit(0).as(SIDE) +:
+        payloadStruct.as(P) +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    // At equal time the right row sorts first (_side 0 < 1) so it is
+    // At equal time the right row sorts first (side 0 < 1) so it is
     // already carried when the left row is scanned: inclusive as-of.
-    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+    val w = Window.partitionBy(col(K)).orderBy(col(T), col(SIDE))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedLeft.unionByName(taggedRight)
-      .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"_asof.$c").as(c)): _*)
+      .withColumn(CARRY, last(col(P), ignoreNulls = true).over(w))
+      .filter(col(SIDE) === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"$CARRY.$c").as(c)): _*)
   }
 }

@@ -15,17 +15,32 @@ import Tables._
   * measure the read path, not ingest. */
 object CatalogOps {
 
-  private val initialized = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val initialized =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Idempotent per JVM: wire the catalog conf (pure function of the sf dir,
     * so cached catalog instances never see a conf change) and ingest the two
-    * SQL-surface tables. */
+    * SQL-surface tables. Concurrent callers block until the first finishes
+    * (computeIfAbsent is the completion barrier), and a failed ingest
+    * never records the key (a throwing mapper inserts nothing) so the next
+    * call retries instead of reading a half-built warehouse forever. */
   private def ensureCatalog(s: SparkSession, d: String): Unit = {
     val wh = s"${System.getProperty("java.io.tmpdir")}/graft-sqlwh-" +
       Integer.toHexString(d.hashCode)
+    // Spark's CatalogManager caches the instantiated catalog with the
+    // warehouse it FIRST saw; re-pointing the conf at a second dir in the
+    // same JVM would silently keep reading the old warehouse. Refuse.
+    val prev = s.conf.getOption("spark.sql.catalog.graftsql.warehouse")
+    require(prev.forall(_ == wh),
+      s"graftsql catalog already bound to ${prev.get} in this JVM; " +
+        s"cannot re-point it at $wh (cached catalog instances keep the " +
+        "first warehouse) — use a fresh SparkSession for a different sf dir")
     s.conf.set("spark.sql.catalog.graftsql", classOf[graft.sql.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
-    if (!initialized.add(wh)) return
+    initialized.computeIfAbsent(wh, _ => { ingest(s, d, wh); java.lang.Boolean.TRUE })
+  }
+
+  private def ingest(s: SparkSession, d: String, wh: String): Unit = {
     val cat = new graft.lake.LakeCatalog(s, wh)
     cat.createNamespace("main")
 

@@ -16,7 +16,12 @@ object DedupOps {
 
   // ---------------------------------------------------------------- helpers
 
-  private def tokens(c: Column): Column =
+  /** THE tokenization of the text-analysis suite: lowercase, space-split,
+    * drop empties. Shared across DedupOps and TextOps (q47/q48/q55-q57) —
+    * every DuckDB oracle inlines the same `list_filter(string_split(
+    * lower(text), ' '), x -> x <> '')`, so a change here must change all
+    * of those strings in lockstep. */
+  private[ops] def tokens(c: Column): Column =
     filter(split(lower(c), " "), x => x =!= "")
 
   /** Word w-shingles via sequence+transform (pure Column, codegen'd). */

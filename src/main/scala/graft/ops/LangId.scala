@@ -138,7 +138,12 @@ object LangId {
     * occurrence counts; ×3 cancels in the argmax). Same result as
     * `scores`+`argmax` and the generated DuckDB oracle SQL. */
   def predict(text: Column): Column =
-    ColumnShim.column(LangIdPredict(ColumnShim.expression(normalize(text))))
+    // NULL text classifies as 'unknown', matching predictSql (its CASE
+    // falls through every NULL-valued WHEN into the ELSE); without the
+    // coalesce the null-in-null-out expression returns NULL here only
+    coalesce(
+      ColumnShim.column(LangIdPredict(ColumnShim.expression(normalize(text)))),
+      lit("unknown"))
 
   // ----------------------------------------------------------- oracle side
 

@@ -14,8 +14,7 @@ object TextOps {
     * sort → join → md5 (reference analogue: the composite-modality
     * canonicalizer, sync/modalities.py:56-101 / utils.py:20-31). */
   def canonicalDigest(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(
-      filter(split(lower(text), " "), x => x =!= ""))), ","))
+    md5(array_join(array_sort(array_distinct(DedupOps.tokens(text))), ","))
 
   /** Whitespace-collapsed lowercase fingerprint (document identity under
     * formatting noise). */
@@ -30,9 +29,6 @@ object TextOps {
   val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val piiPhoneRe = "\\b555-[0-9]{4}\\b"
   val piiIpRe = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
-
-  private def tokenArr(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
 
   val all: Seq[OpQuery] = Seq(
 
@@ -226,7 +222,7 @@ object TextOps {
     OpQuery("q48_chunking",
       (s, d) => {
         val chunkSize = 32; val stride = 24
-        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        val toks = DedupOps.tokens(col("text"))
         val chunks = transform(
           sequence(lit(0), floor((size(toks) - 1) / stride).cast("int")),
           k => slice(toks, k * stride + 1, lit(chunkSize)))
@@ -338,7 +334,7 @@ object TextOps {
         import org.apache.spark.sql.expressions.Window
         val counts = t(s, d, "documents")
           .select(col("lang"),
-            explode(filter(split(lower(col("text")), " "), x => x =!= "")).as("term"))
+            explode(DedupOps.tokens(col("text"))).as("term"))
           .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
         val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term").asc)
         counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
@@ -367,8 +363,7 @@ object TextOps {
       (s, d) => {
         val docs = t(s, d, "documents")
         val docTerms = docs.select(col("doc_id"),
-          explode(array_distinct(filter(split(lower(col("text")), " "),
-            x => x =!= ""))).as("term"))
+          explode(array_distinct(DedupOps.tokens(col("text")))).as("term"))
         val dfT = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val total = docs.agg(count(lit(1)).as("n_corpus"))
         docTerms
@@ -405,7 +400,7 @@ object TextOps {
     OpQuery("q57_sequence_packing",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = size(filter(split(lower(col("text")), " "), x => x =!= ""))
+        val toks = size(DedupOps.tokens(col("text")))
           .cast("long")
         val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
         t(s, d, "documents")
@@ -523,13 +518,17 @@ object TextOps {
     // shuffle, corpus-scan cost, embarrassingly parallel at 100 TB.
     OpQuery("q47_repetition_quality",
       (s, d) => {
-        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        val toks = DedupOps.tokens(col("text"))
         val tris = DedupOps.shingles(col("text"), 3)
         val nTok = size(toks).cast("long")
         val nDTok = size(array_distinct(toks)).cast("long")
         val nTri = size(tris).cast("long")
         val nDTri = size(array_distinct(tris)).cast("long")
-        val dupTokFrac = round(lit(1.0) - nDTok / nTok, 6)
+        // zero-token docs: 0/0 is NULL in Spark but NaN in DuckDB — pin
+        // both sides to 0.0 (no tokens = no repetition); trigrams never
+        // divide by zero (shingles of an empty doc yield [""], n=1)
+        val dupTokFrac =
+          when(nTok > 0, round(lit(1.0) - nDTok / nTok, 6)).otherwise(lit(0.0))
         val dupTriFrac = round(lit(1.0) - nDTri / nTri, 6)
         t(s, d, "documents").select(
           col("doc_id"),
@@ -551,7 +550,9 @@ object TextOps {
              |                i -> array_to_string(tk[i:i+2], ' ')) END AS tris
              |  FROM g)
              |SELECT doc_id, n_tokens, n_distinct_tokens,
-             |  round(1.0 - n_distinct_tokens / n_tokens, 6) AS dup_token_frac,
+             |  CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+             |       ELSE round(1.0 - n_distinct_tokens / n_tokens, 6)
+             |  END AS dup_token_frac,
              |  len(tris) AS n_trigrams, len(list_distinct(tris)) AS n_distinct_trigrams,
              |  round(1.0 - len(list_distinct(tris)) / len(tris), 6) AS dup_trigram_frac,
              |  round(1.0 - len(list_distinct(tris)) / len(tris), 6) < 0.05 AS passes_repetition

@@ -63,7 +63,10 @@ class LangIdSpec extends SparkTestBase {
 
   test("degenerate inputs classify as unknown, never throw") {
     import spark.implicits._
-    val df = Seq("", "12345 67890 !!!", "a").toDF("text")
+    // NULL text included: the oracle's CASE ladder lands NULL in the ELSE
+    // 'unknown' branch, so the engine must too (not null-propagate)
+    val df = Seq(Some(""), Some("12345 67890 !!!"), Some("a"), None)
+      .toDF("text")
       .select(LangId.predict(col("text")).as("pred"))
     assert(df.collect().map(_.getString(0)).forall(_ == "unknown"))
   }
