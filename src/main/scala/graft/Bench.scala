@@ -34,11 +34,20 @@ object BenchJobs {
   def genConfig(events: Long): GenConfig =
     GenConfig(numEvents = events, numRepos = 400, pathsPerRepo = 50, commitsPerFile = 8)
 
+  /** Scratch-root policy shared by every bench-comparable main (Bench,
+    * QTime): RAM-backed /dev/shm when writable, else the JVM tmpdir —
+    * measured numbers must not depend on disk writeback mood. */
+  def workRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
   /** Per-stage task-metric dump (GRAFT_PHASE_LOG=1 only): wall vs summed
     * run/cpu/GC time and shuffle/input volume per stage — separates "the
     * tasks ran slower" (cpu < run ⇒ stalls) from "the stage had a ragged
     * wave" (wall × cores >> run) when decomposing scaling efficiency. */
-  private class StageLog extends org.apache.spark.scheduler.SparkListener {
+  class StageLog extends org.apache.spark.scheduler.SparkListener {
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val si = sc.stageInfo
@@ -176,13 +185,17 @@ object BenchScale {
     try java.nio.file.Files.createFile(p)
     catch { case _: java.nio.file.FileAlreadyExistsException => }
   }
+  private var degraded = false
   /** Wait for the partner's turn token; on timeout (partner died) proceed —
-    * a degraded-but-complete run beats a deadlock. */
-  private def await(p: java.nio.file.Path, timeoutMs: Long = 1800000L): Unit = {
+    * a degraded-but-complete run beats a deadlock — but RECORD the
+    * degradation: the parent must not publish a 'paired' efficiency whose
+    * reps actually overlapped. */
+  private def await(p: java.nio.file.Path, timeoutMs: Long): Unit = {
     val t0 = System.currentTimeMillis()
     while (!java.nio.file.Files.exists(p)) {
       if (System.currentTimeMillis() - t0 > timeoutMs) {
         System.err.println(s"[benchscale] timed out waiting for $p — continuing unpaired")
+        degraded = true
         return
       }
       Thread.sleep(100)
@@ -192,17 +205,23 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val Array(coresS, repsS, logDir, work, eventsS) = args.take(5)
     val cores = coresS.toInt
+    val events = eventsS.toLong
+    // partner-death timeout ∝ input size (a 2-core rep at 48M runs ~2 min;
+    // the 30-min floor covers warmup pathologies) — a fixed cap would
+    // silently unpair long-input runs (e.g. probes toward the 10^10 regime)
+    val awaitMs = math.max(1800000L, events / 48000000L * 1800000L)
     val paired = args.length >= 7
     val s = BenchJobs.session(cores, s"$work/local-$cores")
     try {
       var chk = ""
       val e2e = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var comp: Seq[Double] = Seq.empty
       if (paired) {
         val sync = java.nio.file.Paths.get(args(5))
         val role = args(6) // "A" | "B"
         val pairs = repsS.toInt
         (1 to pairs).foreach { i =>
-          await(sync.resolve(s"turn-$role-$i"))
+          await(sync.resolve(s"turn-$role-$i"), awaitMs)
           val tableDir = s"$work/scale-$cores-$i"
           val (t, c) = BenchJobs.replayJob(s, logDir, tableDir)
           chk = c; e2e += t
@@ -213,12 +232,10 @@ object BenchScale {
           touch(sync.resolve(if (role == "A") s"turn-B-$i" else s"turn-A-${i + 1}"))
         }
         // compute probes run serialized the same way (A fully, then B)
-        if (role == "A") await(sync.resolve(s"turn-A-${pairs + 1}"))
-        else await(sync.resolve("compute-B"))
-        val comp = (1 to 2).map(_ => BenchJobs.timeSec(BenchJobs.computeJob(s, eventsS.toLong)))
+        if (role == "A") await(sync.resolve(s"turn-A-${pairs + 1}"), awaitMs)
+        else await(sync.resolve("compute-B"), awaitMs)
+        comp = (1 to 2).map(_ => BenchJobs.timeSec(BenchJobs.computeJob(s, events)))
         if (role == "A") touch(sync.resolve("compute-B"))
-        def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-        println(s"""BENCHSCALE {"cores":$cores,"e2e_secs":${arr(e2e.toSeq)},"compute_secs":${arr(comp)},"checksum":"$chk"}""")
       } else {
         // adaptive reps: JIT/codegen warmup bleeds into the first runs
         // unevenly across core counts — keep going until the best stops
@@ -236,12 +253,15 @@ object BenchScale {
           e2e += t
         }
         // compute probe is a secondary diagnostic — half the reps suffice
-        val comp = (1 to math.max(2, repsS.toInt / 2)).map { _ =>
-          BenchJobs.timeSec(BenchJobs.computeJob(s, eventsS.toLong))
+        comp = (1 to math.max(2, repsS.toInt / 2)).map { _ =>
+          BenchJobs.timeSec(BenchJobs.computeJob(s, events))
         }
-        def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-        println(s"""BENCHSCALE {"cores":$cores,"e2e_secs":${arr(e2e.toSeq)},"compute_secs":${arr(comp)},"checksum":"$chk"}""")
       }
+      // ONE emit site for both modes: Bench.parseScale binds to this exact
+      // line shape, and two copies would have to stay byte-compatible
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      println(s"""BENCHSCALE {"cores":$cores,"e2e_secs":${arr(e2e.toSeq)},""" +
+        s""""compute_secs":${arr(comp)},"checksum":"$chk","degraded":$degraded}""")
     } finally s.stop()
   }
 }
@@ -313,7 +333,13 @@ object Bench {
     // and every rep re-pays multi-second page-fault heap growth — measured
     // as a 4N level swinging 45→131 s with an improving trend while the
     // N level (smaller heap, longer reps) sat rock-stable
-    Seq(javaBin) ++ moduleOpts ++ Seq(
+    // the split count must match between the parent (which lays the scale
+    // log out as `splits` files) and each child's split planner — propagate
+    // a non-default -Dgraft.bench.splits or the children fall back to 16,
+    // see 32 files > 16 splits and silently drop into legacy bin-packing
+    val splitsProp = sys.props.get("graft.bench.splits")
+      .map(v => s"-Dgraft.bench.splits=$v").toSeq
+    Seq(javaBin) ++ moduleOpts ++ splitsProp ++ Seq(
       s"-Xms${heap}g", s"-Xmx${heap}g", "-XX:+AlwaysPreTouch",
       "-XX:+UseParallelGC",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -321,15 +347,22 @@ object Bench {
       "graft.BenchScale", cores.toString) ++ extra
   }
 
-  private def parseScale(lines: Seq[String], cores: Int): Option[(Seq[Double], Seq[Double], String)] =
+  /** Parsed child record: rep timings, compute timings, checksum, and
+    * whether the child's turn-file pairing degraded (a timeout made it run
+    * unpaired — its reps overlapped the partner's arbitrarily). */
+  private case class ScaleRec(e2e: Seq[Double], comp: Seq[Double],
+      chk: String, degraded: Boolean)
+
+  private def parseScale(lines: Seq[String], cores: Int): Option[ScaleRec] =
     lines.find(_.startsWith("BENCHSCALE ")).map { line =>
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       implicit val fmts: Formats = DefaultFormats
       val j = JsonMethods.parse(line.stripPrefix("BENCHSCALE "))
-      ((j \ "e2e_secs").extract[Seq[Double]],
+      ScaleRec((j \ "e2e_secs").extract[Seq[Double]],
         (j \ "compute_secs").extract[Seq[Double]],
-        (j \ "checksum").extract[String])
+        (j \ "checksum").extract[String],
+        (j \ "degraded").extractOpt[Boolean].getOrElse(false))
     }.orElse {
       System.err.println(s"[bench] level $cores produced no BENCHSCALE line; " +
         lines.takeRight(5).mkString(" | "))
@@ -340,7 +373,7 @@ object Bench {
     * (see [[BenchScale]] paired mode): rep i of each level samples the same
     * host-noise window, so the per-pair efficiency is drift-immune. */
   private def pairedLevels(n: Int, logDir: String, work: String, events: Long,
-      pairs: Int): Option[((Seq[Double], Seq[Double], String), (Seq[Double], Seq[Double], String))] = {
+      pairs: Int): Option[(ScaleRec, ScaleRec)] = {
     try {
       val sync = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(work), "sync")
@@ -364,7 +397,7 @@ object Bench {
       for {
         a <- parseScale(bufA.synchronized(bufA.toSeq), n)
         b <- parseScale(bufB.synchronized(bufB.toSeq), 4 * n)
-        if a._1.nonEmpty && b._1.nonEmpty
+        if a.e2e.nonEmpty && b.e2e.nonEmpty
       } yield (a, b)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] paired spawn failed: $e"); None
@@ -381,7 +414,7 @@ object Bench {
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
       proc.waitFor()
-      parseScale(out, cores)
+      parseScale(out, cores).map(r => (r.e2e, r.comp, r.chk))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] child spawn failed: $e"); None
     }
@@ -413,10 +446,8 @@ object Bench {
     // one burst decide a whole pair (measured on this host: identical reps
     // swing up to 7× across an evening). Both levels use the SAME input.
     val scalingEvents = sys.env.getOrElse("SPARK_GRAFT_SCALING_EVENTS", "48000000").toLong
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val workRoot = if (java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val work = java.nio.file.Files.createTempDirectory(workRoot, "graft-bench").toString
+    val work = java.nio.file.Files.createTempDirectory(
+      BenchJobs.workRoot, "graft-bench").toString
     val localDir = s"$work/sparklocal"
 
     try {
@@ -494,22 +525,34 @@ object Bench {
       def measuredPairs(): Seq[Double] =
         if (pairEffs.length > warmupPairs) pairEffs.drop(warmupPairs) else pairEffs
       pairedLevels(n, scaleLog, work, scalingEvents, pairCount) match {
-        case Some(((eA, cA, kA), (eB, cB, kB))) =>
-          e2eNs = eA; compNs = cA; chkN = kA
-          e2e4Ns = eB; comp4Ns = cB; chk4N = kB
-          pairEffs = eA.zip(eB).map { case (a, b) => (a / b) / 4.0 }
-          // regression guard: one extra (shorter) paired round before the
-          // record is final if the median lands under the 0.8 bar
-          if (median(measuredPairs()) < 0.8) {
-            System.err.println(f"[bench] paired median ${median(measuredPairs())}%.3f < 0.8 — extra paired round")
-            pairedLevels(n, scaleLog, work, scalingEvents, 4).foreach {
-              case ((eA2, cA2, _), (eB2, cB2, _)) =>
-                e2eNs ++= eA2; compNs ++= cA2; e2e4Ns ++= eB2; comp4Ns ++= cB2
-                // drop that round's own warmup pair
-                pairEffs = pairEffs ++ eA2.zip(eB2).map { case (a, b) => (a / b) / 4.0 }.drop(1)
+        case Some((a, b)) =>
+          e2eNs = a.e2e; compNs = a.comp; chkN = a.chk
+          e2e4Ns = b.e2e; comp4Ns = b.comp; chk4N = b.chk
+          if (a.degraded || b.degraded) {
+            // a turn-file timeout made at least one child run unpaired:
+            // its reps overlapped the partner's arbitrarily, so per-pair
+            // ratios are exactly the drift-contaminated numbers the paired
+            // protocol exists to exclude — fall back to best-of-level
+            System.err.println("[bench] pairing DEGRADED (turn-file timeout) — " +
+              "reporting best-of-level efficiency, not a paired median")
+          } else {
+            pairEffs = a.e2e.zip(b.e2e).map { case (x, y) => (x / y) / 4.0 }
+            // regression guard: one extra (shorter) paired round before the
+            // record is final if the median lands under the 0.8 bar
+            if (median(measuredPairs()) < 0.8) {
+              System.err.println(f"[bench] paired median ${median(measuredPairs())}%.3f < 0.8 — extra paired round")
+              pairedLevels(n, scaleLog, work, scalingEvents, 4).foreach {
+                case (a2, b2) =>
+                  e2eNs ++= a2.e2e; compNs ++= a2.comp
+                  e2e4Ns ++= b2.e2e; comp4Ns ++= b2.comp
+                  // drop that round's own warmup pair
+                  if (!a2.degraded && !b2.degraded)
+                    pairEffs = pairEffs ++
+                      a2.e2e.zip(b2.e2e).map { case (x, y) => (x / y) / 4.0 }.drop(1)
+              }
+              if (median(measuredPairs()) < 0.8)
+                System.err.println(f"[bench] EFFICIENCY REGRESSION: paired median ${median(measuredPairs())}%.3f < 0.8 after retry")
             }
-            if (median(measuredPairs()) < 0.8)
-              System.err.println(f"[bench] EFFICIENCY REGRESSION: paired median ${median(measuredPairs())}%.3f < 0.8 after retry")
           }
         case None =>
           def level(cores: Int, reps: Int): (Seq[Double], Seq[Double], String) =
@@ -546,8 +589,11 @@ object Bench {
         f""""compute_efficiency":$effComp%.3f,""" +
         s""""checksum_equal":${chkN == chk4N}}"""
       val pairEffsJson = pairEffs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      // "pairs" = the ACTUAL pair_effs length (a <0.8 retry round appends
+      // entries), so a consumer recomputing median(pair_effs.drop(
+      // warmup_pairs)) always reproduces e2e_efficiency
       val scalingFull = scalingCompact.dropRight(1) + "," +
-        f""""pairs":$pairCount,"warmup_pairs":$warmupPairs,"pair_effs":$pairEffsJson,""" +
+        f""""pairs":${pairEffs.length},"warmup_pairs":$warmupPairs,"pair_effs":$pairEffsJson,""" +
         f""""e2e_efficiency_best_level":${(best(e2eNs) / best(e2e4Ns)) / 4.0}%.3f,""" +
         f""""e2e_secs_n":${arr(e2eNs)},"e2e_secs_4n":${arr(e2e4Ns)},""" +
         f""""compute_secs_n":${arr(compNs)},"compute_secs_4n":${arr(comp4Ns)},""" +

@@ -17,26 +17,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
+  /** Builders receive whatever arg list the parser produced — guard arity
+    * (and literal-ness where required) with a real error message instead of
+    * an IndexOutOfBounds/ClassCast from deep inside analysis. */
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.length}")
+
+  private def intLit(name: String, e: Expression, what: String): Int = {
+    // constant folding has not run at function-build time, so accept any
+    // foldable integral expression (a bare literal, CAST(64 AS BIGINT), …)
+    // and evaluate it now
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val ok = e.foldable && (e.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    })
+    val v = if (ok) e.eval() else null
+    v match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$name: $what must be an integer literal (e.g. 64), got ${e.sql}")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two double arrays"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("cosine_similarity", args, 2)
+        CosineSimilarity(args(0), args(1)) }))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("dot_product", args, 2)
+        DotProduct(args(0), args(1)) }))
     ext.injectFunction((FunctionIdentifier("jaccard_sim"),
       info("jaccard_sim", "jaccard_sim(a, b) - set jaccard of two string arrays"),
-      (args: Seq[Expression]) => JaccardSim(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("jaccard_sim", args, 2)
+        JaccardSim(args(0), args(1)) }))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit simhash of a token array"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => { arity("simhash64", args, 1)
+        SimHash64(args(0)) }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k-entry minhash signature"),
-      (args: Seq[Expression]) => MinHashSig(args(0),
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+      (args: Seq[Expression]) => { arity("minhash_sig", args, 2)
+        MinHashSig(args(0), intLit("minhash_sig", args(1), "k")) }))
     ext.injectFunction((FunctionIdentifier("lww_max_by"),
       info("lww_max_by", "lww_max_by(row, lsn, pri) - last-writer-wins winner row"),
-      (args: Seq[Expression]) => LwwMaxBy(args(0), args(1), args(2))
-        .toAggregateExpression()))
+      (args: Seq[Expression]) => { arity("lww_max_by", args, 3)
+        LwwMaxBy(args(0), args(1), args(2)).toAggregateExpression() }))
   }
 }

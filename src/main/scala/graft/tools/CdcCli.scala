@@ -44,25 +44,20 @@ object CdcCli {
     try run(spark, args.toList) finally spark.stop()
   }
 
+  /** One shared per-stage metrics listener (graft.BenchJobs.StageLog) for
+    * CLI and bench alike — two drifting [stage] printers was a review
+    * finding; a metrics fix must land once. */
   def addStageListener(spark: SparkSession): Unit =
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val wall = for { s <- si.submissionTime; e <- si.completionTime } yield e - s
-        println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d " +
-          f"wall=${wall.getOrElse(-1L) / 1000.0}%7.2fs " +
-          f"taskTime=${si.taskMetrics.executorRunTime / 1000.0}%8.2fs " +
-          f"gc=${si.taskMetrics.jvmGCTime / 1000.0}%6.2fs " +
-          f"shufW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
-          f"name=${si.name.take(60)}")
-      }
-    })
+    spark.sparkContext.addSparkListener(new graft.BenchJobs.StageLog)
 
   def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "gen" :: logDir :: n :: rest =>
+      // `multi` is a flag, not a positional: `gen <dir> <n> multi` must not
+      // try to parse "multi" as numRepos
+      val pos = rest.filterNot(_ == "multi")
       val cfg = GenConfig(numEvents = n.toLong,
-        numRepos = rest.headOption.map(_.toInt).getOrElse(200))
-      val files = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+        numRepos = pos.headOption.map(_.toInt).getOrElse(200))
+      val files = pos.drop(1).headOption.map(_.toInt).getOrElse(8)
       val base = CdcPipeline.envelopeDf(ChangeLogGen.generate(spark, cfg))
       // optional trailing `multi`: stamp a table discriminator (Debezium-
       // style multi-table feed) for the `route` subcommand
@@ -113,6 +108,12 @@ object CdcCli {
         case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
       }
       if (beat.isDefined) println(s"[stream] scheduled mode: beat=${beat.get}s (ctrl-c to stop)")
+      // quarantine rows present BEFORE this run (epoch subdirs persist
+      // across checkpointed runs) — the completion line reports the DELTA
+      def quarantineCount(): Long =
+        if (new java.io.File(s"$tableDir/_quarantine").exists())
+          spark.read.parquet(s"$tableDir/_quarantine").count() else 0L
+      val nqBefore = quarantineCount()
       val t0 = System.nanoTime()
       // declared maintained views (CALL <cat>.system.create_view / the Scala
       // API) refresh on every ingest commit — the reference runs its rollup
@@ -137,8 +138,7 @@ object CdcCli {
         quarantineDir = Some(s"$tableDir/_quarantine"))
       val sec = (System.nanoTime() - t0) / 1e9
       val m = table.meta
-      val nq = if (new java.io.File(s"$tableDir/_quarantine").exists())
-        spark.read.parquet(s"$tableDir/_quarantine").count() else 0L
+      val nq = quarantineCount() - nqBefore
       println(f"[stream] done in $sec%.1f s; snapshots=${m.snapshots.size} " +
         f"currentSnapshot=${m.currentSnapshotId} epochs=${m.committedEpochCount}" +
         (if (nq > 0) s" quarantined=$nq" else ""))
@@ -260,7 +260,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] [multi] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] [multi] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }

@@ -10,9 +10,7 @@ object QTime {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
     val work = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(if (java.nio.file.Files.isWritable(
-        java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else
-        System.getProperty("java.io.tmpdir")), "graft-qtime").toString
+      graft.BenchJobs.workRoot, "graft-qtime").toString
     val spark = graft.BenchJobs.session(cpus, s"$work/local")
     try {
       args.foreach { q =>

@@ -39,6 +39,16 @@ class ExtensionsAndStreamingSpec extends SparkTestBase {
           |GROUP BY k ORDER BY k""".stripMargin).collect()
       assert(agg(0).getStruct(1).getAs[String]("v") == "new")
       assert(agg(1).getStruct(1).getAs[String]("v") == "only")
+      // BIGINT literal k still works (the old blind Literal[Int] cast threw
+      // ClassCastException); bad arity / non-literal k fail with a REAL
+      // message instead of IndexOutOfBounds / ClassCast
+      assert(s2.sql("SELECT size(minhash_sig(array('a','b'), CAST(8 AS BIGINT))) n")
+        .head().getInt(0) == 8)
+      val e1 = intercept[Exception](s2.sql("SELECT cosine_similarity(array(1.0d)) c"))
+      assert(e1.getMessage.contains("expects 2 argument"), e1.getMessage)
+      val e2 = intercept[Exception](
+        s2.sql("SELECT minhash_sig(array('a'), k) FROM VALUES (4) t(k)"))
+      assert(e2.getMessage.contains("integer literal"), e2.getMessage)
     } finally {
       // restore the shared session as active/default (same SparkContext)
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
