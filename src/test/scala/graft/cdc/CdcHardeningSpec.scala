@@ -170,14 +170,15 @@ class CdcHardeningSpec extends SparkTestBase {
       .withColumn("table",
         when(pmod(xxhash64(col("repo")), lit(2)) === 0, lit("a")).otherwise(lit("b")))
     feed.repartitionByRange(2, col("lsn")).write.mode("overwrite").parquet(s"$dir/log")
-    def routes(sub: String) = Map(
+    def routes(sub: String, lineage: Boolean = false) = Map(
       "a" -> CdcRouter.RouteTarget(LakeTable.createOrReplace(spark, s"$dir/$sub/a",
-        CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 4)),
+        CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 4),
+        lineageDir = if (lineage) Some(s"$dir/$sub/a-lineage") else None),
       "b" -> CdcRouter.RouteTarget(LakeTable.createOrReplace(spark, s"$dir/$sub/b",
         CdcPipeline.baseTableSchema, ChangeEvent.keyCols, numBuckets = 4)))
     val schema = StructType(CdcPipeline.envelopeSchema :+
       StructField("table", StringType, nullable = true))
-    val salted = routes("salted")
+    val salted = routes("salted", lineage = true)
     CdcRouter.run(spark, s"$dir/log", schema, salted, s"$dir/ckpt", salts = 3)
     val plain = routes("plain")
     CdcRouter.processBatch(feed, -1L, plain)
@@ -185,5 +186,11 @@ class CdcHardeningSpec extends SparkTestBase {
       t.currentState().collect().map(_.toString).sorted.toSeq
     assert(dump(salted("a").table) == dump(plain("a").table))
     assert(dump(salted("b").table) == dump(plain("b").table))
+    // the override must REACH the merge, not just produce equal results
+    // (equality holds even with salting silently dropped): lineage records
+    // the salt count each batch actually deduped with
+    val saltsUsed = spark.read.parquet(s"$dir/salted/a-lineage")
+      .select("salts_used").distinct().collect().map(_.getInt(0)).toSet
+    assert(saltsUsed == Set(3), s"salts_used=$saltsUsed, override not plumbed")
   }
 }
