@@ -179,7 +179,60 @@ object DedupOps {
              |  l.doc_id = l.cluster_id AS is_canonical
              |FROM labels l
              |JOIN (SELECT cluster_id, count(*) AS cluster_size
-             |      FROM labels GROUP BY 1) s USING (cluster_id)""".stripMargin)))
+             |      FROM labels GROUP BY 1) s USING (cluster_id)""".stripMargin)),
+
+    // Survivor SELECTION: q45 keeps the min-id document per cluster — a
+    // production pipeline keeps the BEST one (here: most content, n_chars
+    // desc, doc_id asc tiebreak — the "longest version wins" heuristic
+    // every web-corpus dedup applies to near-dup clusters). The pick is a
+    // partial-aggregable struct-max (max over (n_chars, -doc_id) pairs),
+    // NOT a per-cluster sort window: the agg combines map-side, so the
+    // exchange carries one candidate per cluster per task — at corpus scale
+    // the cluster table is near-dup-sized, never corpus-sized, and no
+    // single giant cluster funnels raw rows through one task.
+    OpQuery("q61_dedup_keep_best",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = exactJaccardPairs(docs, threshold = 0.8,
+          name = "q61_dedup_keep_best (exact edge reference)",
+          scalePath = "q27_dedup_minhash_lsh + connectedComponents")
+        val cc = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        cc.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"),
+            max(struct(col("n_chars").as("nc"),
+              (-col("doc_id")).as("nid"))).as("best"))
+          .select(col("cluster_id"), col("cluster_size"),
+            (-col("best.nid")).as("keep_doc_id"),
+            col("best.nc").as("keep_n_chars"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, lang,
+             |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |        UNION SELECT id_b, id_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM und
+             |  UNION
+             |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a),
+             |labels AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+             |ranked AS (
+             |  SELECT l.cluster_id, l.doc_id, d.n_chars,
+             |    row_number() OVER (PARTITION BY l.cluster_id
+             |      ORDER BY d.n_chars DESC, l.doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+             |  FROM labels l JOIN documents d USING (doc_id))
+             |SELECT cluster_id, cluster_size, doc_id AS keep_doc_id,
+             |  n_chars AS keep_n_chars
+             |FROM ranked WHERE rn = 1""".stripMargin)))
 
   /** Exact all-pairs unigram-set Jaccard near-dup pairs within a language —
     * the small-scale reference (q21) and the deterministic edge feed for

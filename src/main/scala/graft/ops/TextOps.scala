@@ -420,6 +420,39 @@ object TextOps {
              |SELECT doc_id, lang, n_tokens, start_tok // 512 AS seq_id,
              |  start_tok % 512 AS tok_offset FROM c""".stripMargin)),
 
+    // Deterministic shard layout — the data-loader handoff after curation:
+    // every kept document gets its (shard_id, shard_pos) in a pseudo-random
+    // but fully REPRODUCIBLE global order (training-order shuffles must be
+    // auditable and identical across re-runs and engines — a rand() shuffle
+    // is neither). The shuffle key is the same engine-neutral arithmetic
+    // hash as q44 (bounded product, pmod spelled sign-safely in SQL); ties
+    // are impossible to matter because doc_id totalizes the order. Plan
+    // shape: ONE hash exchange on shard_id + a partition-local sort. Shard
+    // count scales with the corpus (16 here; thousands at 100 TB), and a
+    // shard too large for one task uses the same (shard, subshard) two-pass
+    // offset fix-up documented on q57.
+    OpQuery("q60_shard_layout",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L),
+          lit(1000000007L))
+        val w = Window.partitionBy(col("shard_id"))
+          .orderBy(col("h"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("shard_id", pmod(col("h"), lit(16L)))
+          .withColumn("shard_pos", row_number().over(w))
+          .select(col("doc_id"), col("shard_id"), col("shard_pos"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  (((doc_id % 100003) + 100003) % 100003 * 2654435761)
+             |    % 1000000007 AS h
+             |  FROM documents)
+             |SELECT doc_id, h % 16 AS shard_id,
+             |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+             |    AS INT) AS shard_pos
+             |FROM h""".stripMargin)),
+
     // PII detection + redaction — the scrubbing pass every shipped training
     // corpus runs: find emails / phone numbers / IPv4 addresses, count them,
     // and replace each with a typed placeholder. The synthetic corpus is

@@ -180,4 +180,23 @@ class DedupSpec extends SparkTestBase {
           s"pair (${r.getLong(0)},${r.getLong(1)}) split across clusters")
       }
   }
+
+  test("q61 keep-best: survivor is the longest member of its q45 cluster, min-id tiebreak") {
+    val clusters = SparkEntry_queriesHelper("q45_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)) // (doc_id, cluster_id)
+    val nChars = docs.select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = clusters.groupBy(_._2).map { case (cid, members) =>
+      val ids = members.map(_._1)
+      // best = max n_chars, then min doc_id — the struct-max tiebreak
+      val best = ids.minBy(id => (-nChars(id), id))
+      cid -> (best, ids.length.toLong, nChars(best))
+    }
+    val got = SparkEntry_queriesHelper("q61_dedup_keep_best")(spark, dir)
+      .select("cluster_id", "keep_doc_id", "cluster_size", "keep_n_chars")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty, "no clusters at sf0.001 — recalibrate")
+    assert(got == expected, s"keep-best mismatch: got $got expected $expected")
+  }
 }

@@ -106,6 +106,25 @@ class OpsSmokeSpec extends SparkTestBase {
       rows.exists(r => r.getInt(2) < r.getInt(1)))
   }
 
+  test("shard layout: complete, contiguous positions per shard, stable across partitionings") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("q60_shard_layout")
+    val out = q(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val nDocs = Tables.t(spark, dir, "documents").count()
+    assert(out.length == nDocs, "every document must land in exactly one shard slot")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 16, s"shard $shard out of range")
+      val pos = rows.map(_._3).sorted
+      assert(pos.toSeq == (1 to rows.length), s"shard $shard positions not contiguous: ${pos.toSeq}")
+    }
+    // determinism: the layout is a pure function of doc_id — independent of
+    // input partitioning (the audit property a rand() shuffle cannot give)
+    val again = q(spark, dir).repartition(7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == out.toSet, "layout changed across partitionings")
+  }
+
   test("batched decode plumbing: per-partition codec, typed output, deterministic") {
     import org.apache.spark.sql.functions._
     val assets = Tables.t(spark, dir, "documents")

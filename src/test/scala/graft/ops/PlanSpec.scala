@@ -198,6 +198,26 @@ class PlanSpec extends SparkTestBase {
       s"scan reads unused columns: $rs")
   }
 
+  test("q60: shard layout is ONE exchange + partition-local sort, scan pruned to doc_id") {
+    val p = plan("q60_shard_layout")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges:\n$p")
+    val sorts = p.linesIterator.count(_.contains("Sort ["))
+    assert(sorts <= 1, s"layout re-sorted:\n$p")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("text") && !rs.contains("n_chars"),
+      s"scan reads unused columns: $rs")
+  }
+
+  test("q61: survivor pick is a partial-aggregated struct-max, not a window sort") {
+    val p = plan("q61_dedup_keep_best")
+    // the keep-best agg must combine map-side (partial_max of the struct);
+    // a window formulation would funnel every cluster member through a sort
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      s"survivor agg lost partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"survivor pick degraded to a window:\n$p")
+  }
+
   test("q58/q59: scrubbing and line filtering are shuffle-free corpus scans") {
     Seq("q58_pii_redaction", "q59_line_filter").foreach { q =>
       val p = plan(q)
