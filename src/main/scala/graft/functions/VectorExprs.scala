@@ -92,11 +92,54 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd Euclidean distance (k-means assignment kernel). Sequential
+  * index-order accumulation of squared differences, then one sqrt — the
+  * same evaluation order as DuckDB's `list_distance`, so rounded distances
+  * agree across engines (the k-means oracle compares cluster assignments,
+  * which are argmins over these values). */
+case class L2Distance(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_distance"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimilarity(
       ColumnShim.expression(a), ColumnShim.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  def l2Distance(a: Column, b: Column): Column =
+    ColumnShim.column(L2Distance(
       ColumnShim.expression(a), ColumnShim.expression(b)))
 }

@@ -132,7 +132,152 @@ object SimilarityOps {
     OpQuery("q30_embedding_neardup_lsh",
       (s, d) => lshNearDup(t(s, d, "embeddings"), nPlanes = 6, tables = 8,
         dim = 64, floor = 0.40),
-      None))
+      None),
+
+    // Distributed Lloyd's k-means over the embedding corpus — the
+    // clustering pass behind SemDeDup-style semantic dedup and topic
+    // bucketing. Deterministic strided init (same device as q35's IVF
+    // centroids), a FIXED iteration count, and round-to-6-decimals
+    // stabilization of both distances and centroid means make the whole
+    // computation engine-neutral → exact DuckDB oracle with the two update
+    // iterations unrolled as CTEs. Scale shape: each iteration is one
+    // corpus scan (k codegen'd L2 kernels per row, centroids are broadcast
+    // literals) + one partial-agg'd (cluster, dim) mean — driver state is
+    // k×d doubles, never rows. At 100 TB: k scales with the corpus
+    // (SemDeDup uses ~50k clusters) and the final assignment is written as
+    // an ingest-time partition column.
+    OpQuery("q62_kmeans_clusters",
+      (s, d) => {
+        val a = kmeansAssign(t(s, d, "embeddings"), k = 8, iters = 2)
+        val sizes = a.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        a.select(col("vec_id"), col("label"), col("cluster_id"))
+          .join(broadcast(sizes), Seq("cluster_id"))
+          .select(col("vec_id"), col("label"), col("cluster_id"),
+            col("cluster_size"))
+      },
+      Some(kmeansOracleCtes + """
+             |SELECT a.vec_id, a.label, a.cluster_id, s.cluster_size
+             |FROM a3 a JOIN (SELECT cluster_id, count(*) AS cluster_size
+             |                FROM a3 GROUP BY 1) s USING (cluster_id)""".stripMargin)),
+
+    // SemDeDup-style semantic near-dup: verify cosine ONLY within each
+    // k-means cluster. The within-cluster all-pairs is the scale trade —
+    // quadratic work is bounded per cluster, and cluster count (not size)
+    // grows with the corpus, so total verify cost stays ~n·(n/k) with k
+    // chosen to cap cluster size. Recall loss (pairs straddling clusters)
+    // is measured in SimilaritySpec vs the exact q26; precision is 1.0 by
+    // construction (the verify is exact cosine).
+    OpQuery("q63_semantic_dedup",
+      (s, d) => {
+        val a = kmeansAssign(t(s, d, "embeddings"), k = 8, iters = 2)
+          .select(col("cluster_id"), col("vec_id"), col("v"))
+        val l = a.select(col("cluster_id"), col("vec_id").as("id_a"),
+          col("v").as("va"))
+        val r = a.select(col("cluster_id"), col("vec_id").as("id_b"),
+          col("v").as("vb"))
+        l.join(r, Seq("cluster_id")).filter(col("id_a") < col("id_b"))
+          .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+          .filter(col("sim") >= 0.40)
+          .select(col("id_a"), col("id_b"), col("cluster_id"), col("sim"))
+      },
+      Some(kmeansOracleCtes + """
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
+             |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+             |FROM a3 a JOIN a3 b
+             |  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.40""".stripMargin)))
+
+  /** The k-means pipeline as DuckDB CTEs (shared by q62/q63): strided init
+    * `c0`, two unrolled assign→update iterations (`a1`/`c1`, `a2`/`c2`),
+    * final assignment `a3`. Mirrors `kmeansAssign(k = 8, iters = 2)`
+    * decision for decision — argmin by lexicographic (rounded distance,
+    * cell), per-dimension means rounded to 6 decimals, empty cluster keeps
+    * its previous centroid. */
+  private def kmeansOracleCtes: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |c0 AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+             |  FROM (SELECT * FROM e
+             |        WHERE vec_id % GREATEST(1, (SELECT count(*) FROM embeddings) // 8) = 0
+             |        ORDER BY vec_id LIMIT 8)),
+             |a1 AS (
+             |  SELECT e.vec_id, CAST(min([round(list_distance(e.v, c.v), 6),
+             |    CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cell
+             |  FROM e, c0 c GROUP BY e.vec_id),
+             |c1 AS (
+             |  SELECT p.cell, coalesce(u.v, p.v) AS v
+             |  FROM c0 p LEFT JOIN (
+             |    SELECT cell, list(m ORDER BY i) AS v FROM (
+             |      SELECT a.cell AS cell, t.i AS i, round(avg(e.v[t.i]), 6) AS m
+             |      FROM a1 a JOIN e USING (vec_id), range(1, 65) t(i)
+             |      GROUP BY a.cell, t.i)
+             |    GROUP BY cell) u ON p.cell = u.cell),
+             |a2 AS (
+             |  SELECT e.vec_id, CAST(min([round(list_distance(e.v, c.v), 6),
+             |    CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cell
+             |  FROM e, c1 c GROUP BY e.vec_id),
+             |c2 AS (
+             |  SELECT p.cell, coalesce(u.v, p.v) AS v
+             |  FROM c1 p LEFT JOIN (
+             |    SELECT cell, list(m ORDER BY i) AS v FROM (
+             |      SELECT a.cell AS cell, t.i AS i, round(avg(e.v[t.i]), 6) AS m
+             |      FROM a2 a JOIN e USING (vec_id), range(1, 65) t(i)
+             |      GROUP BY a.cell, t.i)
+             |    GROUP BY cell) u ON p.cell = u.cell),
+             |a3 AS (
+             |  SELECT e.vec_id, e.label, e.v,
+             |    CAST(min([round(list_distance(e.v, c.v), 6),
+             |      CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cluster_id
+             |  FROM e, c2 c GROUP BY e.vec_id, e.label, e.v)""".stripMargin
+
+  /** Lloyd's k-means, Spark-first: centroids live on the driver as k×d
+    * doubles (aggregate-result-sized — the corpus never does), every
+    * assignment pass is one scan with k codegen'd L2 kernels against
+    * broadcast centroid literals, every update is one partial-aggregated
+    * (cluster, dim) mean. Determinism: strided init in vec_id order,
+    * distances and means rounded to 6 decimals (absorbs float accumulation
+    * order across engines and partitionings), argmin tiebreak on cell id,
+    * empty clusters keep their previous centroid. Returns the input with a
+    * `cluster_id` column (plus the cast `v` used for the assignment). */
+  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = Tables.spread(embeddings)
+      .select(col("vec_id"), col("label"), emb(col("embedding")).as("v"))
+    val n = e.count()
+    val stride = math.max(1L, n / k)
+    var centroids: Seq[(Int, Seq[Double])] =
+      e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy(col("vec_id")).limit(k)
+        .select(col("v")).collect().toSeq
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    require(centroids.nonEmpty, "no centroids sampled")
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      // argmin via array_min over (dist, cell) structs — linear expression
+      // size, lexicographic tiebreak identical to the oracle's list-min
+      val cellOf = array_min(array(cents.map { case (id, cv) =>
+        struct(
+          round(graft.functions.VectorExprs.l2Distance(col("v"),
+            typedlit(cv)), 6).as("d"),
+          lit(id.toLong).as("c"))
+      }: _*)).getField("c")
+      e.withColumn("cluster_id", cellOf)
+    }
+    (1 to iters).foreach { _ =>
+      val updated = assign(centroids)
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cluster_id"), col("i"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .collect() // k×d rows — driver state, not data
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid.toInt -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      centroids = centroids.map { case (id, old) =>
+        (id, updated.getOrElse(id, old)) // empty cluster keeps its centroid
+      }
+    }
+    assign(centroids)
+  }
 
   /** IVF top-k: centroid cells from a deterministic corpus sample, probe the
     * `nProbe` cells nearest the query. At 100 TB the assignment pass runs

@@ -453,6 +453,110 @@ object TextOps {
              |    AS INT) AS shard_pos
              |FROM h""".stripMargin)),
 
+    // DSIR-style importance resampling — score every corpus document by how
+    // much its hashed-unigram distribution looks like a target slice (here
+    // q46's held-out benchmark slice, doc_id % 97 = 0), the data-selection
+    // pass behind "train on web data that resembles the target domain".
+    // Features are md5-bucketed words (md5 is the engine-neutral string
+    // hash, as in q25; bucket = last two hex chars % 64), the weight is the
+    // standard log-likelihood ratio under Laplace smoothing, and the final
+    // per-doc score is rounded to 6 decimals so double accumulation order
+    // never flips a rank (ties totalized by doc_id). Scale shape: the
+    // 64-row bucket dictionary broadcasts; the corpus pays one tokenize +
+    // one partial-agg'd per-doc sum; top-k is TakeOrderedAndProject.
+    OpQuery("q64_importance_resample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val b = docs.select(col("doc_id"), col("lang"),
+            explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+              .as("w"))
+          .select(col("doc_id"), col("lang"),
+            pmod(conv(substring(md5(col("w")), 31, 2), 16, 10).cast("long"),
+              lit(64L)).as("bucket"))
+        val tgt = b.filter(col("doc_id") % 97 === 0)
+          .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+        val raw = b.filter(col("doc_id") % 97 =!= 0)
+          .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+        val grid = tgt.join(raw, Seq("bucket"), "full_outer")
+        val totals = grid.agg(
+          sum(coalesce(col("ct"), lit(0L))).as("t"),
+          sum(coalesce(col("cr"), lit(0L))).as("r"))
+        val ratio = grid.crossJoin(broadcast(totals)).select(col("bucket"),
+          log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("t") + lit(64))) /
+              ((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("r") + lit(64))))
+            .as("lr"))
+        val scored = b.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(ratio), Seq("bucket"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(round(sum(col("lr")), 6).as("score"))
+        rankedTopK(scored, 50, col("score").desc, col("doc_id").asc)
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, lang,
+             |    ((strpos('0123456789abcdef', substr(md5(w), 31, 1)) - 1) * 16 +
+             |     (strpos('0123456789abcdef', substr(md5(w), 32, 1)) - 1)) % 64 AS bucket
+             |  FROM words),
+             |tgt AS (SELECT bucket, count(*) AS c FROM b WHERE doc_id % 97 = 0 GROUP BY 1),
+             |raw AS (SELECT bucket, count(*) AS c FROM b WHERE doc_id % 97 <> 0 GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(c) FROM tgt) AS t, (SELECT sum(c) FROM raw) AS r),
+             |ratio AS (
+             |  SELECT g.bucket,
+             |    ln(((coalesce(tg.c, 0) + 1.0) / (tot.t + 64)) /
+             |       ((coalesce(rw.c, 0) + 1.0) / (tot.r + 64))) AS lr
+             |  FROM (SELECT DISTINCT bucket FROM b) g
+             |  LEFT JOIN tgt tg USING (bucket) LEFT JOIN raw rw USING (bucket), tot),
+             |scored AS (
+             |  SELECT b.doc_id, b.lang, round(sum(r.lr), 6) AS score
+             |  FROM b JOIN ratio r USING (bucket)
+             |  WHERE b.doc_id % 97 <> 0
+             |  GROUP BY 1, 2)
+             |SELECT doc_id, lang, score, rk FROM (
+             |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+             |  FROM scored)
+             |WHERE rk <= 50""".stripMargin)),
+
+    // Corpus mixing / language rebalancing — downsample over-represented
+    // strata to a uniform target mix (the Pile/ROOTS-style source-balancing
+    // pass before training). Acceptance is decided per document by the q44
+    // engine-neutral arithmetic hash against an INTEGER cross-multiplied
+    // threshold (u · n_docs · n_langs < total · 10⁶) — exact, reproducible,
+    // and engine-neutral where a float acceptance rate would be none of
+    // those. The products stay far under 2^63 at test scale; at 10⁹+ docs
+    // the same predicate runs with the u-threshold precomputed per stratum
+    // as a double (documented trade: one rounding boundary per stratum).
+    // Scale shape: the stratum-count dictionary broadcasts; one corpus scan.
+    OpQuery("q65_rebalance_mix",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum(col("n_docs")).as("total"),
+          count(lit(1)).as("n_langs"))
+        val u = pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L),
+          lit(1000000L))
+        val kept = docs.join(broadcast(counts), Seq("lang"))
+          .crossJoin(broadcast(tot))
+          .filter(u * col("n_docs") * col("n_langs") <
+            col("total") * lit(1000000L))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        counts.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      },
+      Some("""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(n_docs) AS total, count(*) AS n_langs FROM counts),
+             |kept AS (
+             |  SELECT d.lang FROM documents d JOIN counts c USING (lang), tot
+             |  WHERE (((d.doc_id % 100003) + 100003) % 100003 * 2654435761) % 1000000
+             |        * c.n_docs * tot.n_langs < tot.total * 1000000)
+             |SELECT c.lang, c.n_docs, coalesce(k.n_kept, 0) AS n_kept
+             |FROM counts c
+             |LEFT JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY 1) k
+             |  USING (lang)""".stripMargin)),
+
     // PII detection + redaction — the scrubbing pass every shipped training
     // corpus runs: find emails / phone numbers / IPv4 addresses, count them,
     // and replace each with a typed placeholder. The synthetic corpus is

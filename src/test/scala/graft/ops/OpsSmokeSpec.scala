@@ -125,6 +125,44 @@ class OpsSmokeSpec extends SparkTestBase {
     assert(again == out.toSet, "layout changed across partitionings")
   }
 
+  test("q64 importance resample: target slice excluded, ranks total-ordered, deterministic") {
+    val q = SparkEntry.queries("q64_importance_resample")
+    val out = q(spark, dir).collect()
+    assert(out.length == 50)
+    assert(out.forall(_.getLong(0) % 97 != 0),
+      "benchmark/target docs must not be scored into the training selection")
+    val byRank = out.sortBy(_.getInt(3))
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getDouble(2), b.getDouble(2))
+      assert(sa > sb || (sa == sb && a.getLong(0) < b.getLong(0)),
+        s"rank order violated: $a before $b")
+    }
+    val again = q(spark, dir).collect().map(_.toSeq)
+    assert(again.toSeq == out.map(_.toSeq).toSeq, "selection not reproducible")
+  }
+
+  test("q65 rebalance: under-represented strata kept whole, over-represented downsampled") {
+    val out = SparkEntry.queries("q65_rebalance_mix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val total = out.map(_._2).sum
+    val nLangs = out.length
+    out.foreach { case (lang, nDocs, nKept) =>
+      assert(nKept <= nDocs, s"$lang kept more than it has")
+      if (nDocs.toDouble * nLangs <= total)
+        assert(nKept == nDocs, s"under-represented $lang was downsampled ($nKept/$nDocs)")
+      else
+        assert(nKept < nDocs, s"over-represented $lang not downsampled ($nKept/$nDocs)")
+    }
+    // downsampled strata land near the uniform target share
+    out.filter { case (_, nDocs, _) => nDocs.toDouble * nLangs > total }
+      .foreach { case (lang, _, nKept) =>
+        val target = total.toDouble / nLangs
+        assert(math.abs(nKept - target) / target < 0.25,
+          s"$lang kept $nKept vs uniform target $target")
+      }
+  }
+
   test("batched decode plumbing: per-partition codec, typed output, deterministic") {
     import org.apache.spark.sql.functions._
     val assets = Tables.t(spark, dir, "documents")

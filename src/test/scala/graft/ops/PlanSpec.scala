@@ -218,6 +218,40 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"survivor pick degraded to a window:\n$p")
   }
 
+  test("q62: k-means assignment kernels are codegen'd; size join broadcasts; no window") {
+    val p = plan("q62_kmeans_clusters")
+    assert(p.contains("l2_distance"), s"assignment lost the native L2 kernel:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"k-sized size join must broadcast:\n$p")
+    assert(!p.contains("Window"), s"k-means degraded to a window:\n$p")
+    assert(!p.toLowerCase.contains("codegenfallback"), s"kernel fell out of codegen:\n$p")
+    // the L2 kernel itself fuses into whole-stage codegen (probe on a
+    // join-free plan — q62's own plan is AQE-wrapped and unexecuted here)
+    import org.apache.spark.sql.functions._
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val probe = e.select(graft.functions.VectorExprs
+        .l2Distance(col("v"), col("v")).as("dist"))
+      .filter(col("dist") >= 0.0)
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("*("), s"l2_distance fell out of codegen:\n$probe")
+  }
+
+  test("q63: within-cluster verify is an equijoin on cluster_id, never cartesian") {
+    val p = plan("q63_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup planned an all-pairs join:\n$p")
+    assert(p.contains("cluster_id"), s"join key lost:\n$p")
+  }
+
+  test("q65: stratum dictionary broadcasts; corpus scan pruned to doc_id+lang") {
+    val p = plan("q65_rebalance_mix")
+    assert(p.contains("BroadcastHashJoin"), s"counts join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dictionary join degraded to SMJ:\n$p")
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rs.nonEmpty && rs.forall(l => !l.contains("text")),
+      s"corpus scan reads text for a count-only query:\n${rs.mkString("\n")}")
+  }
+
   test("q58/q59: scrubbing and line filtering are shuffle-free corpus scans") {
     Seq("q58_pii_redaction", "q59_line_filter").foreach { q =>
       val p = plan(q)

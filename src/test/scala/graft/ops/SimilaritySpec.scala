@@ -66,6 +66,70 @@ class SimilaritySpec extends SparkTestBase {
     assert(takeOrdered == windowed)
   }
 
+  test("q62 k-means ≡ a plain-Scala Lloyd's reference (same init/round/tiebreak rules)") {
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    val k = 8; val iters = 2
+    val stride = math.max(1L, vecs.size.toLong / k)
+    var cents: Seq[(Int, Array[Double])] =
+      vecs.filter(_._1 % stride == 0).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    def assign(cs: Seq[(Int, Array[Double])]): Map[Long, Int] =
+      vecs.map { case (id, v) =>
+        id -> cs.map { case (c, cv) => (r6(dist(v, cv)), c) }.min._2
+      }.toMap
+    (1 to iters).foreach { _ =>
+      val a = assign(cents)
+      val byC = vecs.groupBy { case (id, _) => a(id) }
+      cents = cents.map { case (c, old) =>
+        byC.get(c).map { members =>
+          c -> Array.tabulate(old.length)(j =>
+            r6(members.map(_._2(j)).sum / members.size))
+        }.getOrElse(c -> old)
+      }
+    }
+    val expected = assign(cents)
+    val got = SparkEntry_q("q62_kmeans_clusters")(spark, dir)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got.size == vecs.size, "every vector must be assigned")
+    assert(got == expected, {
+      val diff = got.collect { case (id, c) if expected(id) != c => (id, c, expected(id)) }
+      s"assignments diverge from the Lloyd's reference: $diff"
+    })
+  }
+
+  test("q62 assignment is partitioning-invariant") {
+    val base = SimilarityOps.kmeansAssign(emb, k = 8, iters = 2)
+      .select("vec_id", "cluster_id").collect().map(_.toSeq).toSet
+    val reparted = SimilarityOps.kmeansAssign(emb.repartition(7), k = 8, iters = 2)
+      .select("vec_id", "cluster_id").collect().map(_.toSeq).toSet
+    assert(base == reparted, "k-means result depends on physical partitioning")
+  }
+
+  test("q63 semantic dedup: perfect precision, bounded recall loss vs exact q26") {
+    val exact = SparkEntry_q("q26_embedding_neardup_pairs")(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = SparkEntry_q("q63_semantic_dedup")(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.nonEmpty, "no within-cluster pairs at floor 0.40 — recalibrate")
+    // precision 1.0 by construction: the within-cluster verify is exact cosine
+    assert(sem.subsetOf(exact), s"semantic dedup emitted non-near-dup pairs: ${sem -- exact}")
+    // recall = the SemDeDup trade (pairs straddling cluster boundaries are
+    // missed); measured 0.379 at this corpus/k — assert a safe floor
+    val recall = exact.count(sem.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall over ${exact.size} exact pairs")
+  }
+
   test("cosine of a vector with itself is 1") {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bad = e.withColumn("c", SimilarityOps.cosine(col("v"), col("v")))
