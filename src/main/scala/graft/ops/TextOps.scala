@@ -557,6 +557,108 @@ object TextOps {
              |LEFT JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY 1) k
              |  USING (lang)""".stripMargin)),
 
+    // End-to-end curation funnel — the whole training-data pipeline as ONE
+    // declarative DAG, with per-stage audit counts (the report every corpus
+    // release ships): raw ∪ injected exact dupes ∪ planted benchmark quotes
+    // → exact dedup (q20's digest, min-id survivor) → decontamination
+    // (q46's 8-gram screen vs the held-out bench slice) → rebalance to a
+    // uniform language mix (q65's integer acceptance). Every stage has
+    // planted ground truth so both engines must agree on exactly what each
+    // stage removes. Scale shape: one digest shuffle, one broadcast gram
+    // screen, one broadcast stratum dictionary — stage counts are
+    // aggregate-sized; Catalyst reuses the shared lineage across stages.
+    OpQuery("q66_curation_funnel",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        val dupes = base.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val quotes = bench.select(
+            (col("doc_id") + 2000000L).as("doc_id"), lit("en").as("lang"),
+            array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        val raw = base.unionByName(dupes).unionByName(quotes)
+        val winners = raw.groupBy(fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        val s1 = raw.withColumn("fp", fingerprint(col("text")))
+          .join(winners, Seq("fp"))
+          .filter(col("doc_id") === col("keep_id"))
+          .drop("fp", "keep_id")
+        val bgrams = bench.select(explode(array_distinct(
+          DedupOps.shingles(col("text"), 8))).as("gram")).distinct()
+        val contaminated = s1.select(col("doc_id"), explode(array_distinct(
+            DedupOps.shingles(col("text"), 8))).as("gram"))
+          .join(broadcast(bgrams), Seq("gram"))
+          .select(col("doc_id")).distinct()
+        val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
+        val counts = s2.groupBy(col("lang")).agg(count(lit(1)).as("n_docs_l"))
+        val tot = counts.agg(sum(col("n_docs_l")).as("total"),
+          count(lit(1)).as("n_langs"))
+        val u = pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L),
+          lit(1000000L))
+        val s3 = s2.join(broadcast(counts), Seq("lang"))
+          .crossJoin(broadcast(tot))
+          .filter(u * col("n_docs_l") * col("n_langs") <
+            col("total") * lit(1000000L))
+        def stage(df: org.apache.spark.sql.DataFrame, id: Int, name: String) =
+          df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+            .select(lit(id).as("stage_id"), lit(name).as("stage"),
+              col("n_docs"), col("n_chars"))
+        stage(raw, 0, "raw")
+          .unionByName(stage(s1, 1, "exact_dedup"))
+          .unionByName(stage(s2, 2, "decontaminated"))
+          .unionByName(stage(s3, 3, "rebalanced"))
+      },
+      Some("""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+             |base AS (SELECT doc_id, lang, text, n_chars FROM documents WHERE doc_id % 97 <> 0),
+             |raw AS (
+             |  SELECT * FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, text, n_chars FROM base WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT b.doc_id + 2000000, 'en',
+             |    array_to_string(string_split(b.text, ' ')[1:12], ' '),
+             |    len(array_to_string(string_split(b.text, ' ')[1:12], ' '))
+             |  FROM bench b),
+             |s1 AS (
+             |  SELECT r.* FROM raw r
+             |  JOIN (SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             |               min(doc_id) AS keep_id
+             |        FROM raw GROUP BY 1) w
+             |    ON md5(regexp_replace(lower(r.text), '\s+', ' ', 'g')) = w.fp
+             |       AND r.doc_id = w.keep_id),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_transform(generate_series(1, len(tk) - 7),
+             |                i -> array_to_string(tk[i:i+7], ' ')) END)) AS gram
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             |        FROM s1)),
+             |bgrams AS (
+             |  SELECT DISTINCT unnest(list_distinct(
+             |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+             |         ELSE list_transform(generate_series(1, len(tk) - 7),
+             |                i -> array_to_string(tk[i:i+7], ' ')) END)) AS gram
+             |  FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             |        FROM bench)),
+             |contaminated AS (SELECT DISTINCT doc_id FROM grams JOIN bgrams USING (gram)),
+             |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+             |counts AS (SELECT lang, count(*) AS n_docs FROM s2 GROUP BY 1),
+             |tot AS (SELECT sum(n_docs) AS total, count(*) AS n_langs FROM counts),
+             |s3 AS (
+             |  SELECT d.* FROM s2 d JOIN counts c USING (lang), tot
+             |  WHERE (((d.doc_id % 100003) + 100003) % 100003 * 2654435761) % 1000000
+             |        * c.n_docs * tot.n_langs < tot.total * 1000000)
+             |SELECT 0 AS stage_id, 'raw' AS stage, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS n_chars FROM raw
+             |UNION ALL SELECT 1, 'exact_dedup', count(*), CAST(sum(n_chars) AS BIGINT) FROM s1
+             |UNION ALL SELECT 2, 'decontaminated', count(*), CAST(sum(n_chars) AS BIGINT) FROM s2
+             |UNION ALL SELECT 3, 'rebalanced', count(*), CAST(sum(n_chars) AS BIGINT) FROM s3""".stripMargin)),
+
     // PII detection + redaction — the scrubbing pass every shipped training
     // corpus runs: find emails / phone numbers / IPv4 addresses, count them,
     // and replace each with a typed placeholder. The synthetic corpus is

@@ -163,6 +163,24 @@ class OpsSmokeSpec extends SparkTestBase {
       }
   }
 
+  test("q66 funnel: every stage removes exactly its planted ground truth") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, dir, "documents")
+    val nBench = docs.filter(col("doc_id") % 97 === 0).count()
+    val nBase = docs.filter(col("doc_id") % 97 =!= 0).count()
+    val nDupes = docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 7 === 0).count()
+    val stages = SparkEntry.queries("q66_curation_funnel")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(stages.keySet == Set(0, 1, 2, 3))
+    val (raw, s1, s2, s3) = (stages(0), stages(1), stages(2), stages(3))
+    assert(raw._1 == nBase + nDupes + nBench, "raw = base + injected dupes + planted quotes")
+    assert(s1._1 == raw._1 - nDupes, "exact dedup removes exactly the injected duplicates")
+    assert(s2._1 <= s1._1 - nBench, "decontamination removes at least the planted quotes")
+    assert(s3._1 < s2._1, "rebalancing must downsample the over-represented language")
+    // chars shrink monotonically with docs
+    assert(raw._2 > s1._2 && s1._2 > s2._2 && s2._2 > s3._2)
+  }
+
   test("batched decode plumbing: per-partition codec, typed output, deterministic") {
     import org.apache.spark.sql.functions._
     val assets = Tables.t(spark, dir, "documents")

@@ -252,6 +252,12 @@ class PlanSpec extends SparkTestBase {
       s"corpus scan reads text for a count-only query:\n${rs.mkString("\n")}")
   }
 
+  test("q66: funnel joins broadcast (grams, strata); no cartesian product") {
+    val p = plan("q66_curation_funnel")
+    assert(p.contains("BroadcastHashJoin"), s"gram/stratum screens must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"funnel planned a cartesian join:\n$p")
+  }
+
   test("q58/q59: scrubbing and line filtering are shuffle-free corpus scans") {
     Seq("q58_pii_redaction", "q59_line_filter").foreach { q =>
       val p = plan(q)
