@@ -232,7 +232,89 @@ object DedupOps {
              |  FROM labels l JOIN documents d USING (doc_id))
              |SELECT cluster_id, cluster_size, doc_id AS keep_doc_id,
              |  n_chars AS keep_n_chars
-             |FROM ranked WHERE rn = 1""".stripMargin)))
+             |FROM ranked WHERE rn = 1""".stripMargin)),
+
+    // C4-style CROSS-DOCUMENT exact line dedup — the other dedup axis: q20
+    // removes duplicate documents, this removes duplicate LINES across
+    // documents (C4 dropped every repeated 3-sentence span corpus-wide; the
+    // line granularity is what made it tractable). Each distinct line
+    // survives only at its first occurrence — (min doc_id, then min line
+    // position), encoded as one BIGINT so the winner is a partial-agg'd
+    // min() — and every document is rebuilt from its surviving lines with
+    // audit counts. Line structure is synthesized as in q59 (' a ' → '.\n'),
+    // and planted cross-doc duplicates guarantee ground truth in both
+    // engines: every doc gets a shared boilerplate footer line, every 7th
+    // doc a shared promo line — exactly one doc corpus-wide keeps each.
+    // Scale shape: posexplode → ONE line-keyed exchange for the min
+    // (map-side combined: hot boilerplate lines collapse to one candidate
+    // per map task) → winner join back (the winner side is ONE row per
+    // distinct line; the occurrence side is skewed on boilerplate keys —
+    // AQE skew-join splits it, and each occurrence needs only its line's
+    // single winner row) → one doc-keyed exchange to rebuild. Nothing
+    // touches the driver; no window over the corpus.
+    OpQuery("q67_line_dedup",
+      (s, d) => {
+        val footer = "subscribe to the newsletter for more updates today."
+        val promo = "visit the site now to read the full story online."
+        val raw = concat(col("text"), lit("\n" + footer),
+          when(col("doc_id") % 7 === 0, lit("\n" + promo)).otherwise(lit("")))
+        val lineArr = filter(
+          transform(split(regexp_replace(raw, " a ", ".\n"), "\n"), l => trim(l)),
+          l => l =!= "")
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), lineArr.as("lines"))
+        val exploded = docs
+          .select(col("doc_id"), posexplode(col("lines")))
+          .withColumnRenamed("col", "line")
+        // first-occurrence key: doc_id * 2^20 + pos (line counts per doc are
+        // tiny; doc ids to 2^43 fit) — a single BIGINT min() partial-aggs
+        // where a min_by struct would not stay in HashAggregate
+        val enc = col("doc_id") * lit(1048576L) + col("pos")
+        val winners = exploded.groupBy(col("line")).agg(min(enc).as("wk"))
+        val kept = exploded.join(winners, Seq("line"))
+          .filter(enc === col("wk"))
+        val rebuilt = kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept_lines"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("line")))),
+              x => x.getField("line")), "\n").as("cleaned_text"))
+        docs.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_lines"),
+            coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+            (col("n_lines") - coalesce(col("n_kept_lines"), lit(0L))).as("n_dup_removed"),
+            coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    text || chr(10) || 'subscribe to the newsletter for more updates today.'
+             |      || CASE WHEN doc_id % 7 = 0
+             |           THEN chr(10) || 'visit the site now to read the full story online.'
+             |           ELSE '' END AS rawt
+             |  FROM documents),
+             |l AS (
+             |  SELECT doc_id,
+             |    list_filter(list_transform(
+             |      string_split(replace(rawt, ' a ', '.' || chr(10)), chr(10)),
+             |      x -> trim(x)), x -> x <> '') AS lines
+             |  FROM raw),
+             |e AS (
+             |  SELECT doc_id, pos, lines[pos] AS line
+             |  FROM (SELECT doc_id, lines,
+             |          unnest(generate_series(1, len(lines))) AS pos
+             |        FROM l)),
+             |w AS (SELECT line, min(doc_id * 1048576 + pos) AS wk FROM e GROUP BY 1),
+             |k AS (SELECT e.doc_id, e.pos, e.line
+             |      FROM e JOIN w ON e.line = w.line
+             |      WHERE e.doc_id * 1048576 + e.pos = w.wk),
+             |a AS (SELECT doc_id, count(*) AS n_kept_lines,
+             |        string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+             |      FROM k GROUP BY 1)
+             |SELECT l.doc_id, len(l.lines) AS n_lines,
+             |  coalesce(a.n_kept_lines, 0) AS n_kept_lines,
+             |  len(l.lines) - coalesce(a.n_kept_lines, 0) AS n_dup_removed,
+             |  coalesce(a.cleaned_text, '') AS cleaned_text
+             |FROM l LEFT JOIN a USING (doc_id)""".stripMargin)))
 
   /** Exact all-pairs unigram-set Jaccard near-dup pairs within a language —
     * the small-scale reference (q21) and the deterministic edge feed for

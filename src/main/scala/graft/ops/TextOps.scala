@@ -453,6 +453,38 @@ object TextOps {
              |    AS INT) AS shard_pos
              |FROM h""".stripMargin)),
 
+    // Per-domain diversity capping — keep at most K documents per domain
+    // (source = the domain stand-in), the longest first: the web-pipeline
+    // pass that stops one boilerplate-heavy domain from dominating the
+    // corpus mix. The oracle spells it as the standard
+    // row_number-over-window ≤ K — but that window shuffles EVERY corpus
+    // row to its domain's reducer and sorts whole domains there, which at a
+    // billion docs per hot domain is the job. The Spark plan instead uses
+    // the native bounded-buffer aggregate [[graft.functions.TopKBy]]
+    // (ObjectHashAggregate, map-side partial): each map task retains ≤ K
+    // winner rows per domain, the exchange carries ≤ K rows per (domain,
+    // map task), and no Window/global sort appears (PlanSpec-guarded).
+    // Ranking is totalized — (n_chars DESC, doc_id ASC) — for replay
+    // determinism.
+    OpQuery("q68_domain_topk",
+      (s, d) => {
+        graft.functions.LwwMaxBy.tuneSession(s) // keep ObjectHashAgg hashing past 128 groups
+        t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(graft.functions.TopKBy.topKBy(
+            struct(col("doc_id"), col("n_chars")),
+            col("n_chars").cast("long"), col("doc_id").cast("long"), 3).as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.doc_id").as("doc_id"), col("col.n_chars").as("n_chars"))
+      },
+      Some("""SELECT source, rank, doc_id, n_chars FROM (
+             |  SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rank
+             |  FROM documents)
+             |WHERE rank <= 3""".stripMargin)),
+
     // DSIR-style importance resampling — score every corpus document by how
     // much its hashed-unigram distribution looks like a target slice (here
     // q46's held-out benchmark slice, doc_id % 97 = 0), the data-selection

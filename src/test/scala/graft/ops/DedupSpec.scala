@@ -199,4 +199,51 @@ class DedupSpec extends SparkTestBase {
     assert(got.nonEmpty, "no clusters at sf0.001 — recalibrate")
     assert(got == expected, s"keep-best mismatch: got $got expected $expected")
   }
+
+  test("q67 line dedup: planted boilerplate survives in exactly one document") {
+    val footer = "subscribe to the newsletter for more updates today."
+    val promo = "visit the site now to read the full story online."
+    val out = graft.SparkEntry.queries("q67_line_dedup")(spark, dir)
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("n_dup_removed"), col("cleaned_text"))
+      .collect()
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(byDoc.size == docs.count(), "one output row per document")
+    // audit counts are consistent and every doc has at least one line
+    byDoc.values.foreach { case (nl, nk, nd, _) =>
+      assert(nd == nl - nk && nl >= 1 && nk >= 0)
+    }
+    // the shared footer line was injected into EVERY doc → exactly one
+    // document corpus-wide keeps it, and the winner is the lowest doc_id
+    val keepsFooter = byDoc.filter(_._2._4.linesIterator.contains(footer)).keySet
+    assert(keepsFooter == Set(byDoc.keySet.min),
+      s"footer survived in $keepsFooter, expected only doc ${byDoc.keySet.min}")
+    // the promo line went to every 7th doc → exactly one of those keeps it
+    val keepsPromo = byDoc.filter(_._2._4.linesIterator.contains(promo)).keySet
+    val promoDocs = byDoc.keySet.filter(_ % 7 == 0)
+    assert(keepsPromo.size == 1 && keepsPromo.subsetOf(promoDocs) &&
+      keepsPromo == Set(promoDocs.min))
+    // every non-winner doc lost at least its footer copy
+    byDoc.foreach { case (id, (_, _, nd, _)) =>
+      if (id != byDoc.keySet.min) assert(nd >= 1, s"doc $id removed nothing")
+    }
+    // global invariant: kept lines across the corpus = distinct lines
+    val totalKept = byDoc.values.map(_._2).sum
+    val distinctLines = out.flatMap(_.getString(4).linesIterator)
+      .filter(_.nonEmpty).distinct.length
+    assert(totalKept == distinctLines,
+      s"kept $totalKept lines but corpus has $distinctLines distinct lines")
+  }
+
+  test("q67 line dedup is invariant to the shuffle layout") {
+    def run() = graft.SparkEntry.queries("q67_line_dedup")(spark, dir)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = run()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() == a, "winner selection changed with the exchange layout")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }

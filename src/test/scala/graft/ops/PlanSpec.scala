@@ -218,6 +218,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"survivor pick degraded to a window:\n$p")
   }
 
+  test("q67: line-dedup winner is a partial-aggregated min, never a window") {
+    val p = plan("q67_line_dedup")
+    // the first-occurrence pick must combine map-side: hot boilerplate
+    // lines (in EVERY doc at corpus scale) collapse to one candidate per
+    // map task before the line-keyed exchange
+    assert(p.contains("partial_min"), s"winner agg lost partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"line dedup degraded to a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winner join degraded to a non-equi join:\n$p")
+  }
+
   test("q62: k-means assignment kernels are codegen'd; size join broadcasts; no window") {
     val p = plan("q62_kmeans_clusters")
     assert(p.contains("l2_distance"), s"assignment lost the native L2 kernel:\n$p")
