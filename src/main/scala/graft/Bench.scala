@@ -492,6 +492,21 @@ object Bench {
       sB.stop()
       val replaySec = best(replaySecs)
 
+      // Probe mode (SPARK_GRAFT_PROBE_ONLY=1): emit phase B's host-window
+      // markers and exit WITHOUT running the ~55-min scaling phase and
+      // WITHOUT touching BENCH.json. Calibration from the run history
+      // (BASELINE.md #14 vs #15/#16, identical code): warmed replay rep
+      // ≤ ~15 s and gen ≤ ~6 s ⇒ healthy window (launch the full bench);
+      // warmed rep ≥ ~25 s ⇒ the degraded co-tenant window — don't bother.
+      if (sys.env.contains("SPARK_GRAFT_PROBE_ONLY")) {
+        val lineP = f"""{"metric":"probe","gen_sec":$genSec%.2f,""" +
+          f""""replay_secs":[${replaySecs.map(x => f"$x%.2f").mkString(",")}],""" +
+          f""""events_per_sec":${(scaleEvents / replaySec).toLong},"live_rows":$liveRows}"""
+        println(lineP)
+        System.err.println(lineP)
+        return
+      }
+
       // ---------------- phase C: N vs 4N scaling (child JVM per level) ----
       val n = 2
       val scaleLog = {

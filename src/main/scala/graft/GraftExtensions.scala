@@ -65,9 +65,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(shingles, k) - k-entry minhash signature"),
       (args: Seq[Expression]) => { arity("minhash_sig", args, 2)
         MinHashSig(args(0), intLit("minhash_sig", args(1), "k")) }))
+    // ranking args arrive as whatever integral type the user typed; the
+    // aggregates' buffers store exact (Long/Int) — cast here (SimplifyCasts
+    // erases the no-op ones after resolution, so resolved-LONG inputs keep
+    // the primitive fast path)
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     ext.injectFunction((FunctionIdentifier("lww_max_by"),
       info("lww_max_by", "lww_max_by(row, lsn, pri) - last-writer-wins winner row"),
       (args: Seq[Expression]) => { arity("lww_max_by", args, 3)
-        LwwMaxBy(args(0), args(1), args(2)).toAggregateExpression() }))
+        LwwMaxBy(args(0), Cast(args(1), LongType),
+          Cast(args(2), IntegerType)).toAggregateExpression() }))
+    ext.injectFunction((FunctionIdentifier("top_k_by"),
+      info("top_k_by",
+        "top_k_by(row, ord, tie, k) - array of the group's top-k rows by (ord DESC, tie ASC)"),
+      (args: Seq[Expression]) => { arity("top_k_by", args, 4)
+        TopKBy(args(0), Cast(args(1), LongType), Cast(args(2), LongType),
+          intLit("top_k_by", args(3), "k")).toAggregateExpression() }))
   }
 }

@@ -36,6 +36,19 @@ case class LwwMaxBy(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[LwwBuffer] with TernaryLike[Expression] {
 
+  // the buffer stores (Long lsn, Int pri); the SQL builder casts narrower
+  // integrals up front (a bare INT lsn would otherwise ClassCastException
+  // mid-aggregation) — this check makes a miswired construction fail at
+  // analysis, not at runtime; the engine's call sites pass the exact types
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (lsn.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(s"lww_max_by: lsn must be BIGINT, got ${lsn.dataType}")
+    else if (pri.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"lww_max_by: pri must be INT, got ${pri.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def first: Expression = valueStruct
   override def second: Expression = lsn
   override def third: Expression = pri

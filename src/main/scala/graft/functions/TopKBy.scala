@@ -40,6 +40,21 @@ case class TopKBy(
 
   require(k > 0, "topKBy requires k > 0")
 
+  // the buffer stores BIGINT ranking keys; the Column API and SQL builder
+  // cast narrower integrals up front (a bare INT ord would otherwise
+  // ClassCastException mid-aggregation) — this check makes a miswired
+  // construction fail at analysis, not at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (ord.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(s"top_k_by: ord must be BIGINT, got ${ord.dataType}")
+    else if (tie.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(s"top_k_by: tie must be BIGINT, got ${tie.dataType}")
+    else if (!valueStruct.dataType.isInstanceOf[StructType])
+      TypeCheckResult.TypeCheckFailure(s"top_k_by: row must be a STRUCT, got ${valueStruct.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def first: Expression = valueStruct
   override def second: Expression = ord
   override def third: Expression = tie
@@ -156,10 +171,11 @@ final class TopKBuffer(val k: Int) {
 object TopKBy {
   /** Column API: array of the group's top-k value structs, ranked by
     * (ord DESC, tie ASC); `posexplode` the result for 1-based ranks. Both
-    * ranking columns must be non-null BIGINT (cast at the call site). */
+    * ranking columns must be non-null; narrower integrals are cast to
+    * BIGINT here (SimplifyCasts erases the no-op casts for LONG inputs). */
   def topKBy(value: Column, ord: Column, tie: Column, k: Int): Column =
     ColumnShim.column(
       TopKBy(ColumnShim.expression(value),
-        ColumnShim.expression(ord),
-        ColumnShim.expression(tie), k).toAggregateExpression())
+        ColumnShim.expression(ord.cast("long")),
+        ColumnShim.expression(tie.cast("long")), k).toAggregateExpression())
 }

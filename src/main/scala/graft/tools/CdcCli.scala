@@ -28,6 +28,9 @@ object CdcCli {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
       .appName("graft-cdc")
+      // native expressions (cosine_similarity, lww_max_by, top_k_by, …)
+      // available to the ad-hoc `sql` subcommand, same as a user session
+      .withExtensions(new graft.GraftExtensions)
       // 2× reduce tasks per core: smooths the last wave without paying
       // per-task overhead; AQE coalesces when volume is small
       .config("spark.sql.shuffle.partitions", cores.toInt * 2)

@@ -49,6 +49,17 @@ class ExtensionsAndStreamingSpec extends SparkTestBase {
       val e2 = intercept[Exception](
         s2.sql("SELECT minhash_sig(array('a'), k) FROM VALUES (4) t(k)"))
       assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+      // top_k_by: ranked array back, (ord DESC, tie ASC) with k a literal
+      val tk = s2.sql(
+        """SELECT g, top_k_by(struct(v), ord, tie, 2) top FROM VALUES
+          |  (1, 'low', 1L, 10L), (1, 'hi', 9L, 11L), (1, 'mid', 5L, 12L),
+          |  (1, 'hi2', 9L, 13L) t(g, v, ord, tie)
+          |GROUP BY g""".stripMargin).head()
+      val tops = tk.getSeq[org.apache.spark.sql.Row](1).map(_.getAs[String]("v"))
+      assert(tops == Seq("hi", "hi2"), s"got $tops") // 9L twice → tie ASC breaks
+      val e3 = intercept[Exception](
+        s2.sql("SELECT top_k_by(struct(v), ord, tie, k) FROM VALUES ('a', 1L, 1L, 3) t(v, ord, tie, k)"))
+      assert(e3.getMessage.contains("integer literal"), e3.getMessage)
     } finally {
       // restore the shared session as active/default (same SparkContext)
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
