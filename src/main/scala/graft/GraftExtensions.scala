@@ -82,5 +82,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("top_k_by", args, 4)
         TopKBy(args(0), Cast(args(1), LongType), Cast(args(2), LongType),
           intLit("top_k_by", args(3), "k")).toAggregateExpression() }))
+    ext.injectFunction((FunctionIdentifier("theta_sketch_agg"),
+      info("theta_sketch_agg",
+        "theta_sketch_agg(str[, lgK]) - theta sketch of the group's distinct strings"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"theta_sketch_agg expects 1 or 2 argument(s), got ${args.length}")
+        val lgK = if (args.length == 2) intLit("theta_sketch_agg", args(1), "lgK")
+          else graft.functions.ThetaHelpers.DefaultLgK
+        ThetaSketchAgg(args(0), lgK).toAggregateExpression() }))
+    ext.injectFunction((FunctionIdentifier("theta_estimate"),
+      info("theta_estimate", "theta_estimate(sketch) - distinct estimate of a theta sketch"),
+      (args: Seq[Expression]) => { arity("theta_estimate", args, 1)
+        ThetaEstimate(args(0)) }))
+    ext.injectFunction((FunctionIdentifier("theta_union_estimate"),
+      info("theta_union_estimate", "theta_union_estimate(a, b) - |A ∪ B| estimate"),
+      (args: Seq[Expression]) => { arity("theta_union_estimate", args, 2)
+        ThetaUnionEstimate(args(0), args(1)) }))
+    ext.injectFunction((FunctionIdentifier("theta_intersect_estimate"),
+      info("theta_intersect_estimate", "theta_intersect_estimate(a, b) - |A ∩ B| estimate"),
+      (args: Seq[Expression]) => { arity("theta_intersect_estimate", args, 2)
+        ThetaIntersectEstimate(args(0), args(1)) }))
   }
 }

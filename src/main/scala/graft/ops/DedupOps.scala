@@ -55,6 +55,69 @@ object DedupOps {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---------- q67/q70 line-dedup building blocks (shared so the full and
+  // ---------- incremental forms cannot drift)
+
+  /** Synthesized line structure + planted cross-doc duplicates: every doc
+    * gets a shared boilerplate footer line, every 7th doc a shared promo
+    * line; ' a ' → '.\n' (q59's trick), then trim + drop empties. */
+  private[ops] def linedDocs(docs: DataFrame): DataFrame = {
+    val footer = "subscribe to the newsletter for more updates today."
+    val promo = "visit the site now to read the full story online."
+    val raw = concat(col("text"), lit("\n" + footer),
+      when(col("doc_id") % 7 === 0, lit("\n" + promo)).otherwise(lit("")))
+    docs.select(col("doc_id"), filter(
+      transform(split(regexp_replace(raw, " a ", ".\n"), "\n"), l => trim(l)),
+      l => l =!= "").as("lines"))
+  }
+
+  /** (doc_id, pos, line) occurrence rows. */
+  private[ops] def explodeLines(lined: DataFrame): DataFrame =
+    lined.select(col("doc_id"), posexplode(col("lines")))
+      .withColumnRenamed("col", "line")
+
+  /** First-occurrence key: doc_id * 2^20 + pos (line counts per doc are
+    * tiny; doc ids to 2^43 fit) — a single BIGINT min() partial-aggs where
+    * a min_by struct would not stay in HashAggregate. */
+  private[ops] def lineEnc: Column = col("doc_id") * lit(1048576L) + col("pos")
+
+  /** Rebuild cleaned docs + audit counts from surviving (doc_id, pos, line)
+    * rows; every input doc gets an output row (possibly fully deduped). */
+  private[ops] def lineDedupRebuild(lined: DataFrame, kept: DataFrame): DataFrame = {
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept_lines"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("cleaned_text"))
+    lined.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        (col("n_lines") - coalesce(col("n_kept_lines"), lit(0L))).as("n_dup_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** Durable line index: one row per distinct admitted line with its winner
+    * key — the state a pipeline appends after each batch (the exact-dedup
+    * analogue of q40's minhash bandIndex). */
+  def lineIndex(docs: DataFrame): DataFrame =
+    explodeLines(linedDocs(docs)).groupBy(col("line")).agg(min(lineEnc).as("wk"))
+
+  /** Incremental line dedup: admit only batch lines NOT in the index,
+    * first-occurrence-deduped within the batch. Cost ∝ batch — the batch
+    * explodes once, anti-joins the index on the line key (bucketed or
+    * bloom-pruned at corpus scale), and only surviving lines pay the
+    * min + rebuild. ≡ the full recompute restricted to the batch whenever
+    * index doc ids precede batch doc ids (spec'd in DedupSpec). */
+  def lineDedupIncremental(batch: DataFrame, index: DataFrame): DataFrame = {
+    val lined = linedDocs(batch)
+    val exploded = explodeLines(lined)
+    val fresh = exploded.join(index, Seq("line"), "left_anti")
+    val winners = fresh.groupBy(col("line")).agg(min(lineEnc).as("wk"))
+    lineDedupRebuild(lined,
+      fresh.join(winners, Seq("line")).filter(lineEnc === col("wk")))
+  }
+
   // --------------------------------------------------------------- queries
 
   val all: Seq[OpQuery] = Seq(
@@ -254,36 +317,11 @@ object DedupOps {
     // touches the driver; no window over the corpus.
     OpQuery("q67_line_dedup",
       (s, d) => {
-        val footer = "subscribe to the newsletter for more updates today."
-        val promo = "visit the site now to read the full story online."
-        val raw = concat(col("text"), lit("\n" + footer),
-          when(col("doc_id") % 7 === 0, lit("\n" + promo)).otherwise(lit("")))
-        val lineArr = filter(
-          transform(split(regexp_replace(raw, " a ", ".\n"), "\n"), l => trim(l)),
-          l => l =!= "")
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), lineArr.as("lines"))
-        val exploded = docs
-          .select(col("doc_id"), posexplode(col("lines")))
-          .withColumnRenamed("col", "line")
-        // first-occurrence key: doc_id * 2^20 + pos (line counts per doc are
-        // tiny; doc ids to 2^43 fit) — a single BIGINT min() partial-aggs
-        // where a min_by struct would not stay in HashAggregate
-        val enc = col("doc_id") * lit(1048576L) + col("pos")
-        val winners = exploded.groupBy(col("line")).agg(min(enc).as("wk"))
-        val kept = exploded.join(winners, Seq("line"))
-          .filter(enc === col("wk"))
-        val rebuilt = kept.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_kept_lines"),
-            array_join(transform(
-              array_sort(collect_list(struct(col("pos"), col("line")))),
-              x => x.getField("line")), "\n").as("cleaned_text"))
-        docs.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
-          .join(rebuilt, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_lines"),
-            coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
-            (col("n_lines") - coalesce(col("n_kept_lines"), lit(0L))).as("n_dup_removed"),
-            coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        val docs = linedDocs(t(s, d, "documents"))
+        val exploded = explodeLines(docs)
+        val winners = exploded.groupBy(col("line")).agg(min(lineEnc).as("wk"))
+        lineDedupRebuild(docs, exploded.join(winners, Seq("line"))
+          .filter(lineEnc === col("wk")))
       },
       Some("""WITH raw AS (
              |  SELECT doc_id,
@@ -314,7 +352,113 @@ object DedupOps {
              |  coalesce(a.n_kept_lines, 0) AS n_kept_lines,
              |  len(l.lines) - coalesce(a.n_kept_lines, 0) AS n_dup_removed,
              |  coalesce(a.cleaned_text, '') AS cleaned_text
-             |FROM l LEFT JOIN a USING (doc_id)""".stripMargin)))
+             |FROM l LEFT JOIN a USING (doc_id)""".stripMargin)),
+
+    // Cross-corpus OVERLAP estimation via theta sketches — the planning
+    // pass before any cross-corpus dedup: "how much of crawl B is already
+    // in corpus A" per language, WITHOUT joining the corpora. Each side
+    // aggregates its distinct 3-word shingles into one theta sketch
+    // (native ThetaSketchAgg → ObjectHashAggregate, map-side partial: the
+    // exchange carries one bounded sketch per (lang, side) per task, never
+    // the shingles); intersection / union / Jaccard are then scalar
+    // expressions over the two sketch binaries. HLL (q42) cannot do this —
+    // it unions but never intersects. Oracle exactness: below 2^16
+    // retained entries theta sketches are exact (13k–23k distinct shingles
+    // per side here), so the DuckDB COUNT(DISTINCT) + inclusion-exclusion
+    // oracle is hash-exact; at corpus scale the identical plan degrades
+    // gracefully to ±ε estimation. Corpus halves = doc_id parity.
+    OpQuery("q69_corpus_overlap",
+      (s, d) => {
+        import graft.functions.ThetaSketch._
+        graft.functions.LwwMaxBy.tuneSession(s)
+        val sh = t(s, d, "documents").select(col("lang"),
+          (col("doc_id") % 2 === 0).as("is_a"),
+          explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+        sh.groupBy(col("lang"))
+          .agg(thetaSketchAgg(when(col("is_a"), col("sh"))).as("ska"),
+            thetaSketchAgg(when(!col("is_a"), col("sh"))).as("skb"))
+          .select(col("lang"),
+            thetaEstimate(col("ska")).cast("long").as("n_grams_a"),
+            thetaEstimate(col("skb")).cast("long").as("n_grams_b"),
+            thetaIntersectEstimate(col("ska"), col("skb")).cast("long").as("n_shared"),
+            thetaUnionEstimate(col("ska"), col("skb")).cast("long").as("n_union"))
+          .withColumn("jaccard",
+            when(col("n_union") > 0,
+              round(col("n_shared").cast("double") / col("n_union"), 6))
+              .otherwise(lit(0.0)))
+      },
+      Some("""WITH g AS (
+             |  SELECT lang, doc_id % 2 = 0 AS is_a,
+             |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             |  FROM documents),
+             |e AS (
+             |  SELECT lang, is_a,
+             |    unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             |      ELSE list_transform(generate_series(1, len(tk) - 2),
+             |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+             |  FROM g),
+             |s AS (
+             |  SELECT lang,
+             |    count(DISTINCT CASE WHEN is_a THEN sh END) AS n_grams_a,
+             |    count(DISTINCT CASE WHEN NOT is_a THEN sh END) AS n_grams_b,
+             |    count(DISTINCT sh) AS n_union
+             |  FROM e GROUP BY 1)
+             |SELECT lang, n_grams_a, n_grams_b,
+             |  n_grams_a + n_grams_b - n_union AS n_shared, n_union,
+             |  CASE WHEN n_union > 0
+             |    THEN round(CAST(n_grams_a + n_grams_b - n_union AS DOUBLE) / n_union, 6)
+             |    ELSE 0.0 END AS jaccard
+             |FROM s""".stripMargin)),
+
+    // INCREMENTAL cross-document line dedup — q67's CDC-native form (the
+    // exact-dedup analogue of q40's incremental minhash band index): a
+    // durable line index (distinct admitted lines + winner keys) is built
+    // from the already-ingested corpus (doc_id < 250 here), and the new
+    // batch (doc_id ≥ 250) dedups against it at cost ∝ BATCH — one batch
+    // explode, one anti-join on the line key, winner-min + rebuild only on
+    // surviving lines; the ingested corpus is never re-scanned per batch.
+    // Because index ids precede batch ids, the result is EXACTLY the full
+    // q67 recompute restricted to the batch — so unlike the hash-specific
+    // q40 this incremental form carries a full DuckDB oracle (the q67 SQL
+    // with the final select filtered to batch docs), and DedupSpec asserts
+    // incremental ≡ full directly.
+    OpQuery("q70_line_dedup_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        lineDedupIncremental(docs.filter(col("doc_id") >= 250),
+          lineIndex(docs.filter(col("doc_id") < 250)))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    text || chr(10) || 'subscribe to the newsletter for more updates today.'
+             |      || CASE WHEN doc_id % 7 = 0
+             |           THEN chr(10) || 'visit the site now to read the full story online.'
+             |           ELSE '' END AS rawt
+             |  FROM documents),
+             |l AS (
+             |  SELECT doc_id,
+             |    list_filter(list_transform(
+             |      string_split(replace(rawt, ' a ', '.' || chr(10)), chr(10)),
+             |      x -> trim(x)), x -> x <> '') AS lines
+             |  FROM raw),
+             |e AS (
+             |  SELECT doc_id, pos, lines[pos] AS line
+             |  FROM (SELECT doc_id, lines,
+             |          unnest(generate_series(1, len(lines))) AS pos
+             |        FROM l)),
+             |w AS (SELECT line, min(doc_id * 1048576 + pos) AS wk FROM e GROUP BY 1),
+             |k AS (SELECT e.doc_id, e.pos, e.line
+             |      FROM e JOIN w ON e.line = w.line
+             |      WHERE e.doc_id * 1048576 + e.pos = w.wk),
+             |a AS (SELECT doc_id, count(*) AS n_kept_lines,
+             |        string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+             |      FROM k GROUP BY 1)
+             |SELECT l.doc_id, len(l.lines) AS n_lines,
+             |  coalesce(a.n_kept_lines, 0) AS n_kept_lines,
+             |  len(l.lines) - coalesce(a.n_kept_lines, 0) AS n_dup_removed,
+             |  coalesce(a.cleaned_text, '') AS cleaned_text
+             |FROM l LEFT JOIN a USING (doc_id)
+             |WHERE l.doc_id >= 250""".stripMargin)))
 
   /** Exact all-pairs unigram-set Jaccard near-dup pairs within a language —
     * the small-scale reference (q21) and the deterministic edge feed for

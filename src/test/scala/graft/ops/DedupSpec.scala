@@ -236,6 +236,22 @@ class DedupSpec extends SparkTestBase {
       s"kept $totalKept lines but corpus has $distinctLines distinct lines")
   }
 
+  test("q70 incremental line dedup ≡ full recompute restricted to the batch") {
+    val full = graft.SparkEntry.queries("q67_line_dedup")(spark, dir)
+      .filter(col("doc_id") >= 250)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val incr = graft.SparkEntry.queries("q70_line_dedup_incremental")(spark, dir)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(incr == full, "incremental admission diverged from the full recompute")
+    assert(incr.nonEmpty)
+    // and the index itself holds exactly the full corpus's distinct lines
+    val docs = Tables.t(spark, dir, "documents")
+    val idx = DedupOps.lineIndex(docs)
+    val distinctLines = DedupOps.explodeLines(DedupOps.linedDocs(docs))
+      .select("line").distinct().count()
+    assert(idx.count() == distinctLines)
+  }
+
   test("q67 line dedup is invariant to the shuffle layout") {
     def run() = graft.SparkEntry.queries("q67_line_dedup")(spark, dir)
       .collect().map(_.mkString("|")).sorted.toSeq
