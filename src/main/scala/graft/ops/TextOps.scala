@@ -827,5 +827,83 @@ object TextOps {
              |  len(tris) AS n_trigrams, len(list_distinct(tris)) AS n_distinct_trigrams,
              |  round(1.0 - len(list_distinct(tris)) / len(tris), 6) AS dup_trigram_frac,
              |  round(1.0 - len(list_distinct(tris)) / len(tris), 6) < 0.05 AS passes_repetition
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // MODEL-BASED quality filtering — the classifier pass every modern
+    // corpus pipeline runs after the q23/q47 heuristics (CCNet / GPT-3 /
+    // FineWeb-style: a linear model over interpretable features decides
+    // keep/drop). The model here is a fixed linear classifier scored as a
+    // LOGIT (sigmoid is monotone, so `logit > 0` IS the sigmoid > 0.5
+    // decision) — deliberately transcendental-free: every feature is a
+    // ratio of exactly-representable ints and the score is one fixed-order
+    // chain of IEEE double ops, so Spark and DuckDB agree bit-for-bit
+    // (same trick as q64's rounded LLR, minus the ln()). Scale shape:
+    // the weight vector is a plan literal — zero shuffle, the corpus pays
+    // one codegen'd scan; a real fastText-style model (hashed n-gram
+    // features) keeps the same shape with a broadcast weight table.
+    OpQuery("q71_quality_classifier",
+      (s, d) => {
+        val toks = DedupOps.tokens(col("text"))
+        val nCharsD = length(col("text")).cast("double")
+        val nw = size(toks)
+        val nStop = size(filter(toks, w => w.isin(stopwords: _*)))
+        def classCount(re: String): Column =
+          (length(col("text")) - length(regexp_replace(col("text"), re, "")))
+            .cast("double")
+        val stopRatio = when(nw > 0,
+          nStop.cast("double") / nw.cast("double")).otherwise(lit(0.0))
+        val punctPerChar = when(nCharsD > 0,
+          classCount("[.,;:!?]") / nCharsD).otherwise(lit(0.0))
+        val digitRatio = when(nCharsD > 0,
+          classCount("[0-9]") / nCharsD).otherwise(lit(0.0))
+        val upperRatio = when(nCharsD > 0,
+          classCount("[A-Z]") / nCharsD).otherwise(lit(0.0))
+        val wc = least(nw, lit(400)).cast("double")
+        // fixed left-assoc chain — written identically in the oracle SQL
+        val logit = lit(-1.3) + lit(6.0) * stopRatio +
+          lit(8.0) * punctPerChar + lit(0.015) * wc -
+          lit(5.0) * digitRatio - lit(4.0) * upperRatio
+        // + 0.0 normalizes IEEE negative zero: a ±1-ulp-of-zero logit rounds
+        // to -0.0 in DuckDB but +0.0 through Spark's BigDecimal round
+        val rounded = round(logit, 6) + lit(0.0)
+        t(s, d, "documents").select(
+          col("doc_id"),
+          nw.cast("long").as("n_words"),
+          nStop.cast("long").as("n_stopwords"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(punctPerChar, 6).as("punct_per_char"),
+          round(digitRatio, 6).as("digit_ratio"),
+          round(upperRatio, 6).as("upper_ratio"),
+          rounded.as("quality_logit"),
+          (rounded > 0).as("keep"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id,
+              |    CAST(length(text) AS DOUBLE) AS n_chars,
+              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk,
+              |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+              |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+              |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+              |  FROM documents),
+              |g AS (
+              |  SELECT doc_id, n_chars, n_punct, n_digit, n_upper,
+              |    len(tk) AS n_words,
+              |    len(list_filter(tk, w -> w IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS n_stop
+              |  FROM f),
+              |r AS (
+              |  SELECT doc_id, n_words, n_stop,
+              |    CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+              |    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_per_char,
+              |    CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+              |    CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END AS upper_ratio,
+              |    CAST(least(n_words, 400) AS DOUBLE) AS wc
+              |  FROM g)
+              |SELECT doc_id, n_words, n_stop AS n_stopwords,
+              |  round(stop_ratio, 6) AS stop_ratio,
+              |  round(punct_per_char, 6) AS punct_per_char,
+              |  round(digit_ratio, 6) AS digit_ratio,
+              |  round(upper_ratio, 6) AS upper_ratio,
+              |  round(-1.3 + 6.0 * stop_ratio + 8.0 * punct_per_char + 0.015 * wc - 5.0 * digit_ratio - 4.0 * upper_ratio, 6) + 0.0 AS quality_logit,
+              |  round(-1.3 + 6.0 * stop_ratio + 8.0 * punct_per_char + 0.015 * wc - 5.0 * digit_ratio - 4.0 * upper_ratio, 6) > 0.0 AS keep
+              |FROM r""".stripMargin)))
 }

@@ -269,12 +269,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"funnel planned a cartesian join:\n$p")
   }
 
-  test("q58/q59: scrubbing and line filtering are shuffle-free corpus scans") {
-    Seq("q58_pii_redaction", "q59_line_filter").foreach { q =>
+  test("q58/q59/q71: scrubbing, line filtering, quality classifier are shuffle-free corpus scans") {
+    Seq("q58_pii_redaction", "q59_line_filter", "q71_quality_classifier").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q grew a shuffle:\n$p")
       assert(p.contains("*(1)"), s"$q fell out of whole-stage codegen:\n$p")
     }
+    // the classifier needs only (doc_id, text)
+    val crs = plan("q71_quality_classifier").linesIterator
+      .find(_.contains("ReadSchema")).get
+    assert(!crs.contains("lang") && !crs.contains("source") && !crs.contains("n_chars"),
+      s"classifier scan reads unused columns: $crs")
     // the scrub pipeline needs only (doc_id, text)
     val rs = plan("q58_pii_redaction").linesIterator
       .find(_.contains("ReadSchema")).get
