@@ -103,5 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("theta_intersect_estimate", "theta_intersect_estimate(a, b) - |A ∩ B| estimate"),
       (args: Seq[Expression]) => { arity("theta_intersect_estimate", args, 2)
         ThetaIntersectEstimate(args(0), args(1)) }))
+    ext.injectFunction((FunctionIdentifier("theta_anotb_estimate"),
+      info("theta_anotb_estimate", "theta_anotb_estimate(a, b) - |A \\ B| estimate"),
+      (args: Seq[Expression]) => { arity("theta_anotb_estimate", args, 2)
+        ThetaAnotBEstimate(args(0), args(1)) }))
   }
 }

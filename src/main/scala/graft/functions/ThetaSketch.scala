@@ -50,6 +50,10 @@ object ThetaHelpers {
     i.intersect(wrap(a)); i.intersect(wrap(b))
     i.getResult.getEstimate
   }
+
+  /** |A ∖ B| — "what is new in A relative to B" (exact for exact inputs). */
+  def aNotBEstimate(a: Array[Byte], b: Array[Byte]): Double =
+    SetOperation.builder().buildANotB().aNotB(wrap(a), wrap(b)).getEstimate
 }
 
 /** Distinct-set sketch of a string column as a native aggregate
@@ -133,6 +137,19 @@ case class ThetaUnionEstimate(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class ThetaAnotBEstimate(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_anotb_estimate"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaHelpers.aNotBEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ThetaHelpers.aNotBEstimate($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class ThetaIntersectEstimate(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -157,5 +174,8 @@ object ThetaSketch {
       ColumnShim.expression(a), ColumnShim.expression(b)))
   def thetaIntersectEstimate(a: Column, b: Column): Column =
     ColumnShim.column(ThetaIntersectEstimate(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  def thetaAnotBEstimate(a: Column, b: Column): Column =
+    ColumnShim.column(ThetaAnotBEstimate(
       ColumnShim.expression(a), ColumnShim.expression(b)))
 }

@@ -381,7 +381,8 @@ object DedupOps {
             thetaEstimate(col("ska")).cast("long").as("n_grams_a"),
             thetaEstimate(col("skb")).cast("long").as("n_grams_b"),
             thetaIntersectEstimate(col("ska"), col("skb")).cast("long").as("n_shared"),
-            thetaUnionEstimate(col("ska"), col("skb")).cast("long").as("n_union"))
+            thetaUnionEstimate(col("ska"), col("skb")).cast("long").as("n_union"),
+            thetaAnotBEstimate(col("skb"), col("ska")).cast("long").as("n_new_in_b"))
           .withColumn("jaccard",
             when(col("n_union") > 0,
               round(col("n_shared").cast("double") / col("n_union"), 6))
@@ -405,6 +406,7 @@ object DedupOps {
              |  FROM e GROUP BY 1)
              |SELECT lang, n_grams_a, n_grams_b,
              |  n_grams_a + n_grams_b - n_union AS n_shared, n_union,
+             |  n_union - n_grams_a AS n_new_in_b,
              |  CASE WHEN n_union > 0
              |    THEN round(CAST(n_grams_a + n_grams_b - n_union AS DOUBLE) / n_union, 6)
              |    ELSE 0.0 END AS jaccard

@@ -45,6 +45,25 @@ class ThetaSketchSpec extends SparkTestBase {
     assert(got("e") == (0L, 100L))
   }
 
+  test("A-not-B of exact sketches is exact (incl. disjoint and empty edges)") {
+    graft.functions.LwwMaxBy.tuneSession(spark)
+    val df = (0 until 1500).map(i => ("ab", s"s$i", true)) ++
+      (500 until 2000).map(i => ("ab", s"s$i", false)) ++
+      (0 until 300).map(i => ("cd", s"a$i", true)) ++
+      (0 until 400).map(i => ("cd", s"b$i", false)) ++
+      (0 until 100).map(i => ("e", s"x$i", true))
+    val got = df.toDF("g", "v", "isA").groupBy(col("g"))
+      .agg(thetaSketchAgg(when(col("isA"), col("v"))).as("ska"),
+        thetaSketchAgg(when(!col("isA"), col("v"))).as("skb"))
+      .select(col("g"),
+        thetaAnotBEstimate(col("ska"), col("skb")).cast("long").as("aNotB"),
+        thetaAnotBEstimate(col("skb"), col("ska")).cast("long").as("bNotA"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("ab") == (500L, 500L), s"got ${got("ab")}") // A\B = 0..499, B\A = 1500..1999
+    assert(got("cd") == (300L, 400L))                      // disjoint: each side whole
+    assert(got("e") == (100L, 0L))                         // empty B: A\B = A, B\A = 0
+  }
+
   test("result is invariant to input partitioning (sketch merge path)") {
     graft.functions.LwwMaxBy.tuneSession(spark)
     def run(parts: Int) = vals(3000, "p").repartition(parts).groupBy(col("g"))
