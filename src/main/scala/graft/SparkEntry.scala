@@ -15,7 +15,7 @@ object SparkEntry {
 
   val allOps: Seq[OpQuery] =
     RelationalOps.all ++ EventOps.all ++ TextOps.all ++ DedupOps.all ++
-      SimilarityOps.all ++ MultimodalOps.all ++ CatalogOps.all
+      SimilarityOps.all ++ MultimodalOps.all ++ CatalogOps.all ++ CodeOps.all
 
   /** Flagship: the CDC engine end-to-end at smoke scale — synthesize a
     * change log, replay it through LWW dedup + MERGE into a lake table,
