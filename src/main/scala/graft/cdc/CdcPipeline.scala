@@ -304,17 +304,41 @@ object CdcPipeline {
       views: Option[ViewMaintainer] = None,
       compactEvery: Int = 0,
       quarantineDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val versions = new TableVersions
     val reader = spark.readStream.schema(envelopeSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader.parquet(logDir)
+    startFrom(reader.parquet(logDir), table, checkpoint, lineageDir,
+      evolution, salts, trigger, views, compactEvery, quarantineDir)
+  }
+
+  /** Source-agnostic streaming entry: any envelope-schema stream (the
+    * native parquet tail, a [[DebeziumFileSource]].stream decode, a Kafka
+    * value decode) drives the same foreachBatch pipeline.
+    *
+    * `cacheBatches` persists each micro-batch for the duration of its
+    * processing. Leave OFF for columnar sources (parquet re-scans are
+    * pruned and near-free; caching only costs memory) and turn ON when
+    * the source decode is expensive per pass — a JSON/Avro parse would
+    * otherwise re-run for every pass the pipeline makes over the batch
+    * (stats probe, merge, lineage). */
+  def startFrom(stream: DataFrame, table: LakeTable,
+      checkpoint: String, lineageDir: Option[String] = None,
+      evolution: Map[Int, Seq[SchemaChange]] = defaultEvolution,
+      salts: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow(),
+      views: Option[ViewMaintainer] = None,
+      compactEvery: Int = 0,
+      quarantineDir: Option[String] = None,
+      cacheBatches: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    val versions = new TableVersions
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        processBatch(batch, epochId, table, evolution, versions, lineageDir,
+        val b = if (cacheBatches) batch.persist() else batch
+        try processBatch(b, epochId, table, evolution, versions, lineageDir,
           salts, views = views, compactEvery = compactEvery,
           quarantineDir = quarantineDir)
+        finally if (cacheBatches) b.unpersist()
       }
       .start()
   }

@@ -11,6 +11,7 @@ import graft.lake._
   * Subcommands:
   *   gen <logDir> <numEvents> [numRepos] [files] [multi] — write a synthetic change log
   *   stream <logDir> <tableDir> <checkpointDir>    — tail the log into the table (AvailableNow)
+  *   gen-json / stream-json                         — same, over a Debezium JSON-lines feed
   *   route <logDir> <outDir> <ckpt> <t1,t2,..>     — multi-table feed → one lake table per name
   *   show <tableDir>                               — table state summary
   *   reconcile <logDir> <tableDir>                 — anti-join verification (must be 0/0)
@@ -73,6 +74,36 @@ object CdcCli {
         .write.mode("overwrite").parquet(logDir)
       println(s"[gen] wrote ${n} events to $logDir in $files files" +
         (if (rest.contains("multi")) " (multi-table)" else ""))
+
+    case "gen-json" :: logDir :: n :: rest =>
+      // same deterministic log, rendered as Debezium connector JSON lines —
+      // the wire shape a real WAL tail delivers
+      val cfg = GenConfig(numEvents = n.toLong,
+        numRepos = rest.headOption.map(_.toInt).getOrElse(200))
+      val files = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      val env = CdcPipeline.envelopeDf(ChangeLogGen.generate(spark, cfg))
+        .repartitionByRange(files, col("lsn"))
+      DebeziumFormat.encode(env).write.mode("overwrite").text(logDir)
+      println(s"[gen-json] wrote $n Debezium JSON events to $logDir in $files files")
+
+    case "stream-json" :: logDir :: tableDir :: ckpt :: rest =>
+      // tail a Debezium JSON-lines feed into the table (AvailableNow):
+      // decode is a Catalyst from_json projection feeding the SAME
+      // foreachBatch pipeline as the native parquet tail
+      val table =
+        if (LakeTable.exists(tableDir)) LakeTable.forPath(spark, tableDir)
+        else LakeTable.create(spark, tableDir, CdcPipeline.baseTableSchema,
+          ChangeEvent.keyCols, numBuckets = rest.headOption.map(_.toInt).getOrElse(64))
+      val t0 = System.nanoTime()
+      CdcPipeline.startFrom(new DebeziumFileSource(spark, logDir).stream,
+        table, ckpt, lineageDir = Some(s"$tableDir/_lineage"),
+        quarantineDir = Some(s"$tableDir/_quarantine"),
+        // each pipeline pass over the batch would re-run the JSON parse
+        cacheBatches = true)
+        .awaitTermination()
+      val m = table.meta
+      println(f"[stream-json] done in ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+        s"snapshots=${m.snapshots.size} epochs=${m.committedEpochCount}")
 
     case "route" :: logDir :: outDir :: ckpt :: namesCsv :: Nil =>
       // multi-table ingest: one checkpointed feed fans out to one lake table
@@ -263,7 +294,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] [multi] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] [multi] | gen-json <logDir> <n> [repos] [files] | stream-json <logDir> <tableDir> <ckpt> [buckets] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }

@@ -1,0 +1,114 @@
+package graft.cdc
+
+import graft.SparkTestBase
+import graft.lake._
+import org.apache.spark.sql.functions._
+
+/** Debezium-envelope interop: the JSON codec must be lossless over the
+  * engine envelope, and a Debezium JSON feed must replay to BYTE-IDENTICAL
+  * table state vs the native parquet feed — through both the batch source
+  * and the streaming tail. */
+class DebeziumSpec extends SparkTestBase {
+
+  private val cfg = GenConfig(numEvents = 12000, numRepos = 20,
+    pathsPerRepo = 6, commitsPerFile = 3)
+
+  private def envelopes = CdcPipeline.envelopeDf(ChangeLogGen.generate(spark, cfg))
+
+  private def freshTable(root: String): LakeTable =
+    LakeTable.createOrReplace(spark, root, CdcPipeline.baseTableSchema,
+      ChangeEvent.keyCols, numBuckets = 8)
+
+  private def stateSha(t: LakeTable): Seq[String] =
+    t.currentState()
+      .select(concat_ws("|", col("repo"), col("path"), col("commit"),
+        sha2(coalesce(col("content"), lit("")), 256),
+        coalesce(col("branch"), lit("-")),
+        coalesce(col("size_bytes").cast("string"), lit("-"))).as("line"))
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  test("encode ∘ decode is the identity on the envelope (all ops, all versions)") {
+    val env = envelopes
+    val back = DebeziumFormat.decode(DebeziumFormat.encode(env))
+    assert(back.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      env.schema.fields.map(f => f.name -> f.dataType).toSeq)
+    val a = env.orderBy("lsn").collect().map(_.toSeq)
+    val b = back.orderBy("lsn").collect().map(_.toSeq)
+    assert(a.length == b.length && a.length == cfg.numEvents)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"row mismatch: $x vs $y") }
+    // the generator must exercise every op and the delete image must ride
+    // in `before` (the Debezium convention), not `after`
+    val ops = env.select("op").distinct().collect().map(_.getString(0)).toSet
+    assert(ops == Set("I", "U", "D"))
+    val sample = DebeziumFormat.encode(env.filter(col("op") === "D").limit(1))
+      .head().getString(0)
+    assert(sample.contains("\"before\"") && !sample.contains("\"after\""))
+    assert(sample.contains("\"op\":\"d\""))
+  }
+
+  test("snapshot-read op 'r' decodes as an upsert, unknown op quarantines") {
+    val json = Seq(
+      """{"payload":{"after":{"repo":"r1","path":"p","commit":"c1","lang":"scala","content":"x"},"source":{"lsn":7,"ts_us":1000000,"schema_version":1},"op":"r","ts_ms":1000}}""",
+      """{"payload":{"after":{"repo":"r1","path":"p","commit":"c2","lang":"scala","content":"y"},"source":{"lsn":8,"ts_us":2000000,"schema_version":1},"op":"x","ts_ms":2000}}""",
+      "not json at all")
+    import spark.implicits._
+    val decoded = DebeziumFormat.decode(json.toDF("value")).collect()
+    val byLsn = decoded.filter(!_.isNullAt(0)).map(r => r.getLong(0) -> r).toMap
+    assert(byLsn(7L).getString(2) == "I") // r -> I
+    assert(byLsn(8L).isNullAt(2)) // unknown op -> null -> quarantine reason
+    assert(decoded.count(_.isNullAt(0)) == 1) // garbage line -> null lsn
+
+    val dir = tmpDir("dbz-q")
+    val t = freshTable(s"$dir/t")
+    CdcPipeline.replayBatch(spark, DebeziumFormat.decode(json.toDF("value")),
+      t, evolution = Map.empty, quarantineDir = Some(s"$dir/q"))
+    assert(t.currentState().count() == 1) // only the clean 'r' row merged
+    val q = spark.read.parquet(s"$dir/q/epoch=-1")
+    assert(q.count() == 2, "bad op + garbage line both dead-lettered")
+  }
+
+  test("Debezium JSON replay == native parquet replay (byte-identical state, batch + stream)") {
+    val dir = tmpDir("dbz")
+    val env = envelopes
+    env.write.mode("overwrite").parquet(s"$dir/plog")
+    DebeziumFormat.encode(env).repartitionByRange(4, col("value"))
+      .write.mode("overwrite").text(s"$dir/jlog")
+
+    val native = freshTable(s"$dir/tn")
+    CdcPipeline.replayBatch(spark,
+      spark.read.schema(CdcPipeline.envelopeSchema).parquet(s"$dir/plog"), native)
+
+    // batch path through the ChangeSource trait
+    val src = new DebeziumFileSource(spark, s"$dir/jlog")
+    assert(src.maxLsn() == cfg.numEvents - 1)
+    val viaBatch = freshTable(s"$dir/tb")
+    CdcPipeline.replayBatch(spark, src.batch(-1L), viaBatch)
+    assert(stateSha(viaBatch) == stateSha(native))
+
+    // streaming tail through the same foreachBatch pipeline
+    val viaStream = freshTable(s"$dir/ts")
+    CdcPipeline.startFrom(src.stream, viaStream, s"$dir/ckpt")
+      .awaitTermination()
+    assert(stateSha(viaStream) == stateSha(native))
+    assert(viaStream.meta.committedEpochs.nonEmpty)
+  }
+
+  test("incremental sync beats over a Debezium feed are exactly-once") {
+    val dir = tmpDir("dbz-sync")
+    val env = envelopes
+    val (first, second) = (env.filter(col("lsn") < 6000), env.filter(col("lsn") >= 6000))
+    DebeziumFormat.encode(first).write.mode("overwrite").text(s"$dir/jlog")
+    val t = freshTable(s"$dir/t")
+    val src = new DebeziumFileSource(spark, s"$dir/jlog")
+    val evo = CdcPipeline.defaultEvolution
+    val versions = new TableVersions
+    assert(IncrementalSync.syncOnce(src, t, evo, versions) > 0)
+    assert(IncrementalSync.syncOnce(src, t, evo, versions) == 0L) // drained: no-op beat
+    DebeziumFormat.encode(second).write.mode("append").text(s"$dir/jlog")
+    assert(IncrementalSync.syncOnce(src, t, evo, versions) > 0)
+
+    val native = freshTable(s"$dir/tn")
+    CdcPipeline.replayBatch(spark, env, native)
+    assert(stateSha(t) == stateSha(native))
+  }
+}
