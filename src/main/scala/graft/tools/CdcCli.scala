@@ -187,9 +187,12 @@ object CdcCli {
       val h = st.agg(sum(crc32(coalesce(col("content"), lit("")))).as("chk")).head().getLong(0)
       println(s"[show] liveRows=$n contentChecksum=$h")
 
-    case "reconcile" :: logDir :: tableDir :: Nil =>
+    case "reconcile" :: logDir :: tableDir :: rest if rest.isEmpty || rest == List("json") =>
       val table = LakeTable.forPath(spark, tableDir)
-      val log = spark.read.schema(CdcPipeline.envelopeSchema).parquet(logDir)
+      // `json` = the log is a Debezium JSON-lines feed (gen-json/stream-json)
+      val log = if (rest == List("json"))
+        new DebeziumFileSource(spark, logDir).batch(-1L)
+      else spark.read.schema(CdcPipeline.envelopeSchema).parquet(logDir)
       val miss = Reconciler.missing(log, table).count()
       val stale = Reconciler.stale(log, table).count()
       println(s"[reconcile] missing=$miss stale=$stale " +
