@@ -905,5 +905,69 @@ object TextOps {
               |  round(upper_ratio, 6) AS upper_ratio,
               |  round(-1.3 + 6.0 * stop_ratio + 8.0 * punct_per_char + 0.015 * wc - 5.0 * digit_ratio - 4.0 * upper_ratio, 6) + 0.0 AS quality_logit,
               |  round(-1.3 + 6.0 * stop_ratio + 8.0 * punct_per_char + 0.015 * wc - 5.0 * digit_ratio - 4.0 * upper_ratio, 6) > 0.0 AS keep
-              |FROM r""".stripMargin)))
+              |FROM r""".stripMargin)),
+
+    // TOKENIZE-TO-IDS: map every document to its token-ID sequence under an
+    // induced vocabulary — the step between q55 (vocab induction) and q57
+    // (sequence packing) that actually materializes model inputs. Vocab =
+    // top-20 tokens by corpus frequency (count desc, token asc — total
+    // order), id = rank; everything else maps to UNK id 0. Scale shape: the
+    // token-count agg partial-aggregates to a vocab-sized table; the id
+    // lookup is a BROADCAST join against that table (never a shuffle of the
+    // corpus by token); the sequence rebuild is ONE doc-keyed exchange with
+    // order restored from the exploded position (no window over the
+    // corpus). ids emitted as a CSV string: engine-exact to compare and the
+    // layout a shard-writer would stream. rankedTopK collects only the
+    // vocab (aggregate-sized), not corpus rows.
+    OpQuery("q75_tokenize_ids",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = docs.select(col("doc_id"), DedupOps.tokens(col("text")).as("tk"))
+        val counts = base.select(explode(col("tk")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val vocab = rankedTopK(counts, 20, col("cnt").desc, col("tok").asc)
+          .select(col("tok"), col("rk").as("tid"))
+        val positioned = base.select(col("doc_id"),
+          posexplode(col("tk")).as(Seq("pos", "tok")))
+        val mapped = positioned
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .select(col("doc_id"), col("pos"),
+            coalesce(col("tid"), lit(0)).as("tid"))
+        val seqs = mapped.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_unk"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tid")))),
+            x => x.getField("tid").cast("string")), ",").as("ids_csv"))
+        docs.select(col("doc_id")).join(seqs, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+            coalesce(col("ids_csv"), lit("")).as("ids_csv"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+             |    x -> x <> '') AS tk
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT tok, count(*) AS cnt
+             |  FROM (SELECT unnest(tk) AS tok FROM g) GROUP BY 1),
+             |vocab AS (
+             |  SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS tid
+             |  FROM cnt ORDER BY cnt DESC, tok LIMIT 20),
+             |px AS (
+             |  SELECT doc_id, i AS pos, tk[i] AS tok
+             |  FROM g, unnest(generate_series(1, len(tk))) AS u(i)),
+             |mp AS (
+             |  SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+             |  FROM px LEFT JOIN vocab v USING (tok))
+             |SELECT d.doc_id,
+             |  coalesce(m.n_tokens, 0) AS n_tokens,
+             |  coalesce(m.n_unk, 0) AS n_unk,
+             |  coalesce(m.ids_csv, '') AS ids_csv
+             |FROM documents d LEFT JOIN (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+             |    array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ',') AS ids_csv
+             |  FROM mp GROUP BY 1) m USING (doc_id)""".stripMargin)))
 }

@@ -181,6 +181,22 @@ class OpsSmokeSpec extends SparkTestBase {
     assert(raw._2 > s1._2 && s1._2 > s2._2 && s2._2 > s3._2)
   }
 
+  test("q75 tokenize-ids: sequence length exact, UNK bounded, ids in vocab range") {
+    val rows = SparkEntry.queries("q75_tokenize_ids")(spark, dir).collect()
+    assert(rows.length == Tables.t(spark, dir, "documents").count())
+    rows.foreach { r =>
+      val (nTok, nUnk, csv) = (r.getLong(1), r.getLong(2), r.getString(3))
+      val ids = if (csv.isEmpty) Array.empty[Int] else csv.split(",").map(_.toInt)
+      assert(ids.length == nTok, s"doc ${r.getLong(0)}: ids vs n_tokens")
+      assert(ids.count(_ == 0) == nUnk)
+      assert(ids.forall(i => i >= 0 && i <= 20), "id outside vocab+UNK range")
+    }
+    // a 20-term vocab over a 31-term corpus must produce UNKs without
+    // saturating: both mapped and unmapped tokens exist
+    assert(rows.exists(_.getLong(2) > 0) &&
+      rows.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
   test("batched decode plumbing: per-partition codec, typed output, deterministic") {
     import org.apache.spark.sql.functions._
     val assets = Tables.t(spark, dir, "documents")
