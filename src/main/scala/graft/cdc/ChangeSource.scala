@@ -94,15 +94,21 @@ object IncrementalSync {
   val SyncEpochBase: Long = 1L << 61
 
   /** One sync beat: read (watermark, sourceMax], merge exactly-once.
-    * Returns the number of lsn positions advanced (0 = nothing new). */
+    * Returns the number of lsn positions advanced (0 = nothing new).
+    * `quarantineDir` dead-letters malformed envelopes (a JSON source can
+    * deliver unparseable lines); without it the beat FAILS on the first
+    * malformed event — and, because the watermark never advances past a
+    * failing window, every subsequent beat re-reads it and fails again. */
   def syncOnce(source: ChangeSource, table: LakeTable,
       evolution: Map[Int, Seq[SchemaChange]] = Map.empty,
-      versions: TableVersions = new TableVersions, salts: Int = 0): Long = {
+      versions: TableVersions = new TableVersions, salts: Int = 0,
+      quarantineDir: Option[String] = None): Long = {
     val wm = tableWatermark(table)
     val hi = source.maxLsn()
     if (hi <= wm) return 0L
     CdcPipeline.processBatch(source.batch(wm, hi), epochId = SyncEpochBase + hi,
-      table, evolution, versions, lineageDir = None, salts = salts)
+      table, evolution, versions, lineageDir = None, salts = salts,
+      quarantineDir = quarantineDir)
     hi - wm
   }
 }

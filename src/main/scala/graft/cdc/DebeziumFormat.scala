@@ -69,8 +69,13 @@ object DebeziumFormat {
         .as("after"),
       struct(col("lsn").as("lsn"), unix_micros(col("txn_ts")).as("ts_us"),
         col("schema_version").as("schema_version")).as("source"),
+      // mirror decode's strictness: anything that is not a known op encodes
+      // as NO op field (to_json drops nulls) and decodes back to null op —
+      // quarantine-class rows must round-trip to quarantine, never default
+      // to 'd' (a well-formed DELETE fabricated from a corrupt event)
       when(op === "I", lit("c")).when(op === "U", lit("u"))
-        .otherwise(lit("d")).as("op"),
+        .when(op === "D", lit("d"))
+        .otherwise(lit(null).cast(StringType)).as("op"),
       unix_millis(col("txn_ts")).as("ts_ms"))
     envelopes.select(to_json(struct(payload.as("payload"))).as("value"))
   }
@@ -111,9 +116,15 @@ class DebeziumFileSource(spark: SparkSession, logDir: String) extends ChangeSour
 
   private def decoded(df: DataFrame): DataFrame = DebeziumFormat.decode(df)
 
+  /** Malformed lines decode to null lsn and CANNOT be positioned in the lsn
+    * window — they are included in EVERY batch so the pipeline dead-letters
+    * them (idempotently per epoch) instead of the window filter silently
+    * dropping them. A garbage line in the feed therefore stays visible in
+    * the quarantine until the feed is repaired, which is the honest signal. */
   override def batch(fromLsn: Long, toLsn: Long): DataFrame =
     decoded(spark.read.text(logDir))
-      .filter(col("lsn") > fromLsn && col("lsn") <= toLsn)
+      .filter(col("lsn").isNull ||
+        (col("lsn") > fromLsn && col("lsn") <= toLsn))
 
   override def maxLsn(): Long = {
     val r = decoded(spark.read.text(logDir)).agg(max(col("lsn"))).head()

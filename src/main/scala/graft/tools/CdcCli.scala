@@ -54,6 +54,19 @@ object CdcCli {
   def addStageListener(spark: SparkSession): Unit =
     spark.sparkContext.addSparkListener(new graft.BenchJobs.StageLog)
 
+  /** Open an existing lake table or create the base-schema one — the table
+    * bootstrap every ingest subcommand shares (one place to change schema,
+    * keys, or bucket defaults). */
+  private def openOrCreate(spark: SparkSession, dir: String, buckets: Int): LakeTable =
+    if (LakeTable.exists(dir)) LakeTable.forPath(spark, dir)
+    else LakeTable.create(spark, dir, CdcPipeline.baseTableSchema,
+      ChangeEvent.keyCols, numBuckets = buckets)
+
+  /** Rows currently in a table's dead-letter sink (0 if none yet). */
+  private def quarantineCount(spark: SparkSession, tableDir: String): Long =
+    if (new java.io.File(s"$tableDir/_quarantine").exists())
+      spark.read.parquet(s"$tableDir/_quarantine").count() else 0L
+
   def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "gen" :: logDir :: n :: rest =>
       // `multi` is a flag, not a positional: `gen <dir> <n> multi` must not
@@ -90,10 +103,9 @@ object CdcCli {
       // tail a Debezium JSON-lines feed into the table (AvailableNow):
       // decode is a Catalyst from_json projection feeding the SAME
       // foreachBatch pipeline as the native parquet tail
-      val table =
-        if (LakeTable.exists(tableDir)) LakeTable.forPath(spark, tableDir)
-        else LakeTable.create(spark, tableDir, CdcPipeline.baseTableSchema,
-          ChangeEvent.keyCols, numBuckets = rest.headOption.map(_.toInt).getOrElse(64))
+      val table = openOrCreate(spark, tableDir,
+        rest.headOption.map(_.toInt).getOrElse(64))
+      val nqBefore = quarantineCount(spark, tableDir)
       val t0 = System.nanoTime()
       CdcPipeline.startFrom(new DebeziumFileSource(spark, logDir).stream,
         table, ckpt, lineageDir = Some(s"$tableDir/_lineage"),
@@ -102,8 +114,10 @@ object CdcCli {
         cacheBatches = true)
         .awaitTermination()
       val m = table.meta
+      val nq = quarantineCount(spark, tableDir) - nqBefore
       println(f"[stream-json] done in ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
-        s"snapshots=${m.snapshots.size} epochs=${m.committedEpochCount}")
+        s"snapshots=${m.snapshots.size} epochs=${m.committedEpochCount}" +
+        (if (nq > 0) s" quarantined=$nq" else ""))
 
     case "route" :: logDir :: outDir :: ckpt :: namesCsv :: Nil =>
       // multi-table ingest: one checkpointed feed fans out to one lake table
@@ -111,10 +125,7 @@ object CdcCli {
       // dead-letter under <outDir>/_quarantine
       val routes = namesCsv.split(",").map { nm =>
         val dir = s"$outDir/$nm"
-        nm -> CdcRouter.RouteTarget(
-          if (LakeTable.exists(dir)) LakeTable.forPath(spark, dir)
-          else LakeTable.create(spark, dir, CdcPipeline.baseTableSchema,
-            ChangeEvent.keyCols, numBuckets = 16),
+        nm -> CdcRouter.RouteTarget(openOrCreate(spark, dir, buckets = 16),
           evolution = CdcPipeline.defaultEvolution)
       }.toMap
       val schema = org.apache.spark.sql.types.StructType(
@@ -128,10 +139,8 @@ object CdcCli {
       }
 
     case "stream" :: logDir :: tableDir :: ckpt :: rest =>
-      val table =
-        if (LakeTable.exists(tableDir)) LakeTable.forPath(spark, tableDir)
-        else LakeTable.create(spark, tableDir, CdcPipeline.baseTableSchema,
-          ChangeEvent.keyCols, numBuckets = rest.headOption.map(_.toInt).getOrElse(64))
+      val table = openOrCreate(spark, tableDir,
+        rest.headOption.map(_.toInt).getOrElse(64))
       // optional 3rd arg: beat seconds — scheduled-trigger mode (reference's
       // 600 s Celery beat): keeps tailing the growing log until killed.
       // 0 = AvailableNow (lets the later positionals be used in replay mode)
@@ -144,10 +153,7 @@ object CdcCli {
       if (beat.isDefined) println(s"[stream] scheduled mode: beat=${beat.get}s (ctrl-c to stop)")
       // quarantine rows present BEFORE this run (epoch subdirs persist
       // across checkpointed runs) — the completion line reports the DELTA
-      def quarantineCount(): Long =
-        if (new java.io.File(s"$tableDir/_quarantine").exists())
-          spark.read.parquet(s"$tableDir/_quarantine").count() else 0L
-      val nqBefore = quarantineCount()
+      val nqBefore = quarantineCount(spark, tableDir)
       val t0 = System.nanoTime()
       // declared maintained views (CALL <cat>.system.create_view / the Scala
       // API) refresh on every ingest commit — the reference runs its rollup
@@ -172,7 +178,7 @@ object CdcCli {
         quarantineDir = Some(s"$tableDir/_quarantine"))
       val sec = (System.nanoTime() - t0) / 1e9
       val m = table.meta
-      val nq = quarantineCount() - nqBefore
+      val nq = quarantineCount(spark, tableDir) - nqBefore
       println(f"[stream] done in $sec%.1f s; snapshots=${m.snapshots.size} " +
         f"currentSnapshot=${m.currentSnapshotId} epochs=${m.committedEpochCount}" +
         (if (nq > 0) s" quarantined=$nq" else ""))
@@ -297,7 +303,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] [multi] | gen-json <logDir> <n> [repos] [files] | stream-json <logDir> <tableDir> <ckpt> [buckets] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] [multi] | gen-json <logDir> <n> [repos] [files] | stream-json <logDir> <tableDir> <ckpt> [buckets] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> [json] | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }

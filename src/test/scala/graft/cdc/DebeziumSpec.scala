@@ -93,6 +93,58 @@ class DebeziumSpec extends SparkTestBase {
     assert(viaStream.meta.committedEpochs.nonEmpty)
   }
 
+  test("a corrupt op never round-trips into a delete; batch path dead-letters garbage") {
+    import spark.implicits._
+    // seed one live row
+    val dir = tmpDir("dbz-corrupt")
+    val t = freshTable(s"$dir/t")
+    val seed = Seq(("r1", "p", "c1", "scala", "keep-me")).toDF(
+      "repo", "path", "commit", "lang", "content")
+      .withColumn("lsn", org.apache.spark.sql.functions.lit(1L))
+      .withColumn("txn_ts", org.apache.spark.sql.functions.lit(
+        new java.sql.Timestamp(1000L)))
+      .withColumn("op", org.apache.spark.sql.functions.lit("I"))
+      .withColumn("schema_version", org.apache.spark.sql.functions.lit(1))
+      .withColumn("branch", org.apache.spark.sql.functions.lit(null: String))
+      .withColumn("size_bytes",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+    CdcPipeline.replayBatch(spark, seed, t, Map.empty)
+    assert(t.currentState().count() == 1)
+
+    // the same row with a CORRUPT op (quarantine-class) at a higher lsn:
+    // encode must NOT default it to Debezium 'd' — decoded back it must be
+    // a null-op quarantine row, and the merge must not delete the live row
+    val corrupt = seed
+      .withColumn("lsn", org.apache.spark.sql.functions.lit(2L))
+      .withColumn("op", org.apache.spark.sql.functions.lit("X"))
+    val decoded = DebeziumFormat.decode(DebeziumFormat.encode(corrupt))
+    assert(decoded.head().isNullAt(2), "corrupt op must decode to null op")
+    CdcPipeline.replayBatch(spark, decoded, t, Map.empty,
+      quarantineDir = Some(s"$dir/q"))
+    assert(t.currentState().count() == 1, "corrupt event must not delete the row")
+
+    // batch()+syncOnce over a feed with a garbage line: the line cannot be
+    // lsn-positioned, so it must ride EVERY window into the quarantine
+    // (never silently dropped by the window filter); the beat itself
+    // succeeds when a quarantine sink is configured and fails loudly when
+    // it is not
+    DebeziumFormat.encode(envelopes.filter(col("lsn") < 100))
+      .write.mode("overwrite").text(s"$dir/jlog")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/jlog/garbage.txt"), "not json at all\n")
+    val src = new DebeziumFileSource(spark, s"$dir/jlog")
+    val t2 = freshTable(s"$dir/t2")
+    intercept[Exception] {
+      IncrementalSync.syncOnce(src, t2, CdcPipeline.defaultEvolution)
+    }
+    val t3 = freshTable(s"$dir/t3")
+    assert(IncrementalSync.syncOnce(src, t3, CdcPipeline.defaultEvolution,
+      quarantineDir = Some(s"$dir/q3")) > 0)
+    val q = spark.read.parquet(s"$dir/q3")
+    assert(q.filter(col("q_reason").isNotNull).count() == 1,
+      "the garbage line must be dead-lettered, not dropped")
+  }
+
   test("incremental sync beats over a Debezium feed are exactly-once") {
     val dir = tmpDir("dbz-sync")
     val env = envelopes

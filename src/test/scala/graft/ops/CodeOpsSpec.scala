@@ -51,7 +51,8 @@ class CodeOpsSpec extends SparkTestBase {
       assert(flag == (aws + api + pem > 0))
       if (flag) {
         assert(!red.contains("AKIA") && !red.contains("api_key=") &&
-          !red.contains("BEGIN RSA"), s"doc $id: secret survived redaction")
+          !red.contains("BEGIN RSA") && !red.contains("MIIEow") &&
+          !red.contains("END RSA"), s"doc $id: secret survived redaction")
         assert(red.startsWith(text), s"doc $id: non-secret prefix altered")
       } else assert(red == text, s"clean doc $id was altered")
     }
