@@ -80,6 +80,30 @@ object DebeziumFormat {
     envelopes.select(to_json(struct(payload.as("payload"))).as("value"))
   }
 
+  /** CDC OUT: a [[graft.lake.LakeTable.changes]] feed (data columns +
+    * `_change_type` ∈ insert/update/delete + `_lsn`) rendered as Debezium
+    * JSON — the engine as change PRODUCER, so a downstream consumer (or a
+    * second lake, see DebeziumSpec's round-trip replication test) tails
+    * this table the same way this engine tails a Postgres WAL. Feed rows
+    * carry no transaction timestamp (the lake keeps wall clock off the
+    * data path), so ts_us/ts_ms are omitted and decode back to null
+    * txn_ts — which the ingest contract does not require. Envelope
+    * columns the feed lacks (pre-evolution tables) export as null. */
+  def encodeFeed(feed: DataFrame, schemaVersion: Int = 1): DataFrame = {
+    val present = feed.columns.toSet
+    val dataCols = rowFields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    encode(feed.select(Seq(
+      col("_lsn").as("lsn"),
+      lit(null).cast(TimestampType).as("txn_ts"),
+      when(col("_change_type") === "delete", "D")
+        .when(col("_change_type") === "insert", "I")
+        .otherwise(lit("U")).as("op"),
+      lit(schemaVersion).as("schema_version")) ++ dataCols: _*))
+  }
+
   /** Debezium JSON lines → engine envelope (exact [[CdcPipeline.
     * envelopeSchema]] column set). Unparseable lines yield null lsn/keys —
     * the pipeline's quarantine reason, never a silent merge. */

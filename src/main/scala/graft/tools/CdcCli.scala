@@ -235,6 +235,29 @@ object CdcCli {
       println(s"[changes] ${if (counts.isEmpty) "none" else counts}")
       feed.orderBy(col(LakeTable.LsnCol)).show(20, truncate = 40)
 
+    case "changes-json" :: tableDir :: outDir :: fromSnap :: rest =>
+      // CDC OUT: export the row-level change feed between two snapshots as
+      // Debezium JSON lines — downstream systems tail THIS table the same
+      // way this engine tails a WAL
+      val table = LakeTable.forPath(spark, tableDir)
+      // fromSnap `full` = bootstrap export: the whole live state as inserts
+      // (Debezium's snapshot phase) — tables have no pre-history snapshot
+      // to diff against, so a consumer starts from `full` and then tails
+      // incremental windows
+      val feed = if (fromSnap == "full")
+        table.read(rest.headOption.map(_.toLong))
+          .filter(!col(LakeTable.DeletedCol))
+          .withColumn("_change_type", lit("insert"))
+          .drop(LakeTable.DeletedCol)
+      else table.changes(fromSnap.toLong, rest.headOption.map(_.toLong))
+      // optional trailing arg stamps the envelope schema_version (a lagging
+      // consumer evolves itself up to it before applying)
+      DebeziumFormat.encodeFeed(feed,
+          rest.drop(1).headOption.map(_.toInt).getOrElse(1))
+        .write.mode("overwrite").text(outDir)
+      val n = spark.read.text(outDir).count()
+      println(s"[changes-json] exported $n change events to $outDir")
+
     case "expire" :: tableDir :: rest =>
       val table = LakeTable.forPath(spark, tableDir)
       val removed = table.expireSnapshots(
@@ -303,7 +326,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] [multi] | gen-json <logDir> <n> [repos] [files] | stream-json <logDir> <tableDir> <ckpt> [buckets] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> [json] | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] [multi] | gen-json <logDir> <n> [repos] [files] | stream-json <logDir> <tableDir> <ckpt> [buckets] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> [json] | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | changes-json <tableDir> <outDir> <fromSnap|full> [toSnap] [schemaVersion] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }

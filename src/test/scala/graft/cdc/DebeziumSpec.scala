@@ -145,6 +145,33 @@ class DebeziumSpec extends SparkTestBase {
       "the garbage line must be dead-lettered, not dropped")
   }
 
+  test("CDC out: change-feed export replicates a lagging follower to byte-identical state") {
+    val dir = tmpDir("dbz-out")
+    val env = envelopes
+    val (first, second) = (env.filter(col("lsn") < 6000), env.filter(col("lsn") >= 6000))
+
+    // leader applies both halves; follower only the first
+    val leader = freshTable(s"$dir/leader")
+    CdcPipeline.replayBatch(spark, first, leader)
+    val snapA = leader.meta.currentSnapshotId
+    CdcPipeline.replayBatch(spark, second, leader)
+    val follower = freshTable(s"$dir/follower")
+    CdcPipeline.replayBatch(spark, first, follower)
+
+    // export the leader's A→HEAD feed as Debezium JSON, decode, apply:
+    // inserts/updates upsert, deletes delete, lsn order preserved
+    // stamp the full envelope version: the follower may have stopped at an
+    // earlier schema (its half of the log may not reach v4), and an
+    // unevolved follower would silently drop the evolved columns
+    val exported = DebeziumFormat.encodeFeed(leader.changes(snapA), schemaVersion = 4)
+    exported.write.mode("overwrite").text(s"$dir/feed")
+    val decoded = DebeziumFormat.decode(spark.read.text(s"$dir/feed"))
+    assert(decoded.filter(col("op") === "D").count() > 0,
+      "the window must contain deletes for this to prove delete propagation")
+    CdcPipeline.replayBatch(spark, decoded, follower)
+    assert(stateSha(follower) == stateSha(leader))
+  }
+
   test("incremental sync beats over a Debezium feed are exactly-once") {
     val dir = tmpDir("dbz-sync")
     val env = envelopes
