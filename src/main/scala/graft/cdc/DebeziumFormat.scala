@@ -108,10 +108,13 @@ object DebeziumFormat {
     * envelopeSchema]] column set). Unparseable lines yield null lsn/keys —
     * the pipeline's quarantine reason, never a silent merge. */
   def decode(raw: DataFrame, valueCol: String = "value"): DataFrame = {
-    // parse ONCE per row into a struct column, THEN project fields: every
-    // field reference below would otherwise carry its own JsonToStructs
-    // copy (one full JSON parse per projected column — measured 3.7× on
-    // the 100k-event CLI replay)
+    // parse ONCE per row into a struct column, THEN project fields — the
+    // two-step select pins a single JsonToStructs in the optimized plan
+    // (CollapseProject refuses to inline a non-cheap alias into many
+    // consumers, so the parse cannot fan out per projected column). The
+    // orthogonal multi-PASS cost — the pipeline re-reading the batch for
+    // stats/merge re-runs the whole parse — is what startFrom's
+    // cacheBatches exists for.
     val parsed = raw.select(
       from_json(col(valueCol), jsonSchema).getField("payload").as("p"))
     val p = col("p")
