@@ -98,9 +98,14 @@ object DebeziumFormat {
     encode(feed.select(Seq(
       col("_lsn").as("lsn"),
       lit(null).cast(TimestampType).as("txn_ts"),
+      // same strictness as encode: only the three feed change types map to
+      // ops; anything else (corrupt feed, a foreign CDF's update_preimage)
+      // encodes op-less and round-trips to quarantine instead of being
+      // fabricated into a well-formed update
       when(col("_change_type") === "delete", "D")
         .when(col("_change_type") === "insert", "I")
-        .otherwise(lit("U")).as("op"),
+        .when(col("_change_type") === "update", "U")
+        .otherwise(lit(null).cast(StringType)).as("op"),
       lit(schemaVersion).as("schema_version")) ++ dataCols: _*))
   }
 

@@ -240,20 +240,38 @@ object CdcCli {
       // Debezium JSON lines — downstream systems tail THIS table the same
       // way this engine tails a WAL
       val table = LakeTable.forPath(spark, tableDir)
+      // snapshot ids and schema versions are both small integers, so the
+      // full-mode extras are NAMED (asof=<snap> version=<v>) — a bare
+      // number after `full` would silently time-travel the export when the
+      // operator meant to stamp a version
+      val named = rest.filter(_.contains("="))
+        .map { t => val Array(k, v) = t.split("=", 2); k -> v }.toMap
+      val positional = rest.filterNot(_.contains("="))
       // fromSnap `full` = bootstrap export: the whole live state as inserts
       // (Debezium's snapshot phase) — tables have no pre-history snapshot
       // to diff against, so a consumer starts from `full` and then tails
       // incremental windows
-      val feed = if (fromSnap == "full")
-        table.read(rest.headOption.map(_.toLong))
+      val feed = if (fromSnap == "full") {
+        require(positional.isEmpty, "changes-json <table> <out> full takes " +
+          s"named extras only: asof=<snapshotId> version=<schemaVersion>; " +
+          s"got bare: ${positional.mkString(" ")}")
+        table.read(named.get("asof").map(_.toLong))
           .filter(!col(LakeTable.DeletedCol))
           .withColumn("_change_type", lit("insert"))
           .drop(LakeTable.DeletedCol)
-      else table.changes(fromSnap.toLong, rest.headOption.map(_.toLong))
-      // optional trailing arg stamps the envelope schema_version (a lagging
-      // consumer evolves itself up to it before applying)
-      DebeziumFormat.encodeFeed(feed,
-          rest.drop(1).headOption.map(_.toInt).getOrElse(1))
+      } else table.changes(fromSnap.toLong,
+        named.get("to").map(_.toLong)
+          .orElse(positional.headOption.map(_.toLong)))
+      // schema_version stamp: a lagging consumer evolves itself up to it
+      // before applying. Default = the LEADER's applied envelope version
+      // (from the migration ledger), so an evolved table's extra columns
+      // survive the wire by default instead of being silently dropped by
+      // an unevolved follower
+      val version = named.get("version").map(_.toInt)
+        .orElse(positional.drop(1).headOption.map(_.toInt))
+        .getOrElse(new TableVersions().get(table.root,
+          CdcPipeline.defaultEvolution))
+      DebeziumFormat.encodeFeed(feed, version)
         .write.mode("overwrite").text(outDir)
       val n = spark.read.text(outDir).count()
       println(s"[changes-json] exported $n change events to $outDir")
@@ -326,7 +344,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] [multi] | gen-json <logDir> <n> [repos] [files] | stream-json <logDir> <tableDir> <ckpt> [buckets] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> [json] | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | changes-json <tableDir> <outDir> <fromSnap|full> [toSnap] [schemaVersion] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] [multi] | gen-json <logDir> <n> [repos] [files] | stream-json <logDir> <tableDir> <ckpt> [buckets] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> [json] | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | changes <tableDir> <fromSnap> [toSnap] | changes-json <tableDir> <outDir> <fromSnap|full> [toSnap] [schemaVersion] [to=N] [asof=N] [version=N] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }

@@ -172,6 +172,23 @@ class DebeziumSpec extends SparkTestBase {
     assert(stateSha(follower) == stateSha(leader))
   }
 
+  test("CDC out: unknown feed change types encode op-less and quarantine, never fabricate an update") {
+    import spark.implicits._
+    // a foreign CDF's update_preimage (or any corrupt change type) must NOT
+    // become a well-formed 'u' — applying a pre-image as an update would
+    // overwrite the follower's newer value
+    val feed = Seq(
+      (1L, "insert", "r1", "p", "c1"),
+      (2L, "update_preimage", "r1", "p", "cOLD"),
+      (3L, "update", "r1", "p", "cNEW"),
+      (4L, "delete", "r2", "p", "c2"))
+      .toDF("_lsn", "_change_type", "repo", "path", "commit")
+    val decoded = DebeziumFormat.decode(DebeziumFormat.encodeFeed(feed))
+      .orderBy("lsn").collect()
+    assert(decoded.map(r => if (r.isNullAt(2)) null else r.getString(2)).toSeq ==
+      Seq("I", null, "U", "D"))
+  }
+
   test("incremental sync beats over a Debezium feed are exactly-once") {
     val dir = tmpDir("dbz-sync")
     val env = envelopes
