@@ -460,7 +460,94 @@ object DedupOps {
              |  len(l.lines) - coalesce(a.n_kept_lines, 0) AS n_dup_removed,
              |  coalesce(a.cleaned_text, '') AS cleaned_text
              |FROM l LEFT JOIN a USING (doc_id)
-             |WHERE l.doc_id >= 250""".stripMargin)))
+             |WHERE l.doc_id >= 250""".stripMargin)),
+
+    // EXACT SUBSTRING (k-token window) DEDUP — the third dedup granularity
+    // (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): q20 drops duplicate DOCUMENTS, q67 duplicate LINES; this
+    // finds every k-token span that occurs MORE THAN ONCE corpus-wide and
+    // reports, per document, how many of its tokens sit inside such a span
+    // (the span-removal audit — the famous 50-token rule at k=8 granularity
+    // here so the synthetic ~54-token docs can carry whole windows).
+    // Occurrence counting is over ALL occurrences, so a span repeated twice
+    // WITHIN one doc is duplicated too, exactly as in the suffix-array
+    // formulation. Ground truth is planted: every 5th doc gets a shared
+    // 13-token boilerplate paragraph appended — its 6 windows repeat across
+    // ~N/5 docs, so those docs must report ≥ 13 covered tokens.
+    //
+    // Scale shape (the suffix array is single-node; this is the distributed
+    // equivalent): one explode to (window, pos) rows — rows ∝ corpus tokens,
+    // never pairs — ONE window-keyed exchange for the occurrence count
+    // (map-side combined; at corpus scale the key is xxhash64(window), 8
+    // bytes on the wire instead of the k-token string, collisions only ever
+    // over-mark a span — here the string key keeps the DuckDB oracle exact),
+    // a join of occurrences against the duplicated-window keys (AQE splits
+    // the boilerplate skew), then position-coverage union per doc: explode
+    // each duplicated occurrence to its k positions, distinct, count — one
+    // doc-keyed exchange. No window over the corpus, nothing on the driver.
+    OpQuery("q76_substring_dedup",
+      (s, d) => {
+        val k = 8
+        val boiler = "this shared boilerplate paragraph repeats across " +
+          "many documents in the training corpus verbatim"
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          filter(split(lower(when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" " + boiler))).otherwise(col("text"))),
+            " "), x => x =!= "").as("tk"))
+          .withColumn("n", size(col("tk")).cast("long"))
+        val win = spread(docs).filter(col("n") >= k)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), (col("n") - (k - 1)).cast("int")),
+            i => struct(i.cast("long").as("pos"),
+              array_join(slice(col("tk"), i, lit(k)), " ").as("w")))).as("x"))
+          .select(col("doc_id"), col("x.pos").as("pos"), col("x.w").as("w"))
+        val dupWin = win.groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("w"))
+        val covered = win.join(dupWin, Seq("w"))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+          .distinct()
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+        docs.select(col("doc_id"), col("n").as("n_tokens"))
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+          .withColumn("dup_fraction",
+            when(col("n_tokens") > 0, round(
+              col("n_dup_tokens").cast("double") / col("n_tokens"), 6))
+              .otherwise(lit(0.0)))
+          .withColumn("keep", col("dup_fraction") < 0.5)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN lower(text) ||
+             |      ' this shared boilerplate paragraph repeats across many documents in the training corpus verbatim'
+             |    ELSE lower(text) END AS t
+             |  FROM documents),
+             |tok AS (SELECT doc_id,
+             |          list_filter(string_split(t, ' '), x -> x <> '') AS tk
+             |        FROM base),
+             |w AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS w
+             |      FROM (SELECT doc_id, tk,
+             |              unnest(generate_series(1, len(tk) - 7)) AS i
+             |            FROM tok WHERE len(tk) >= 8)),
+             |dup AS (SELECT w FROM w GROUP BY 1 HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT doc_id, p
+             |        FROM (SELECT w.doc_id,
+             |                unnest(generate_series(w.pos, w.pos + 7)) AS p
+             |              FROM w JOIN dup USING (w))),
+             |cnt AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY 1),
+             |nt AS (SELECT doc_id, len(tk) AS n_tokens FROM tok)
+             |SELECT doc_id, n_tokens, n_dup_tokens, dup_fraction,
+             |  dup_fraction < 0.5 AS keep
+             |FROM (
+             |  SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+             |    coalesce(cnt.n_dup_tokens, 0) AS n_dup_tokens,
+             |    CASE WHEN nt.n_tokens > 0
+             |      THEN round(CAST(coalesce(cnt.n_dup_tokens, 0) AS DOUBLE)
+             |                   / nt.n_tokens, 6)
+             |      ELSE 0.0 END AS dup_fraction
+             |  FROM nt LEFT JOIN cnt USING (doc_id))""".stripMargin)))
 
   /** Exact all-pairs unigram-set Jaccard near-dup pairs within a language —
     * the small-scale reference (q21) and the deterministic edge feed for

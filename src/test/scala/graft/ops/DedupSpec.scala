@@ -252,6 +252,24 @@ class DedupSpec extends SparkTestBase {
     assert(idx.count() == distinctLines)
   }
 
+  test("q76 substring dedup: planted boilerplate windows are covered; audit invariants hold") {
+    val out = graft.SparkEntry.queries("q76_substring_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.size == docs.count(), "one output row per document")
+    out.foreach { case (id, (n, dup, frac, keep)) =>
+      assert(dup >= 0 && dup <= n, s"doc $id: coverage $dup outside [0, $n]")
+      assert(keep == (frac < 0.5), s"doc $id: keep flag inconsistent with $frac")
+    }
+    // every planted doc shares the 13-token paragraph with ~N/5 others →
+    // all 6 of its k=8 windows are duplicated → ≥ 13 covered tokens
+    val planted = out.keySet.filter(_ % 5 == 0)
+    assert(planted.size >= 2, "need ≥2 planted docs for cross-doc duplication")
+    planted.foreach { id =>
+      assert(out(id)._2 >= 13, s"planted doc $id covered only ${out(id)._2} tokens")
+    }
+  }
+
   test("q67 line dedup is invariant to the shuffle layout") {
     def run() = graft.SparkEntry.queries("q67_line_dedup")(spark, dir)
       .collect().map(_.mkString("|")).sorted.toSeq
