@@ -187,7 +187,9 @@ object CdcPipeline {
       autoSaltThreshold: Long = 500000L,
       views: Option[ViewMaintainer] = None,
       compactEvery: Int = 0,
-      quarantineDir: Option[String] = None): Unit = {
+      quarantineDir: Option[String] = None,
+      delta: Boolean = false,
+      foldEvery: Int = 0): Unit = {
     val t0 = System.nanoTime()
     val phaseLog = sys.env.contains("GRAFT_PHASE_LOG")
     def phase[A](name: String)(f: => A): A = {
@@ -257,7 +259,7 @@ object CdcPipeline {
     // lineage row counts are change events routed to the bucket (pre-dedup):
     // the number the source delivered, which is what throughput reports mean
     val lineage = phase("merge")(table.merge(toMergeInput(deduped, table), epochId,
-      precomputedStats = Some(stats.perBucket)))
+      precomputedStats = Some(stats.perBucket), delta = delta))
     // view refresh runs UNCONDITIONALLY for non-empty batches: if the process
     // crashed after the base commit but before the refresh, the replayed
     // epoch's merge is a no-op (None) — skipping refresh then would leave the
@@ -271,6 +273,12 @@ object CdcPipeline {
     // nothing small and no-ops), so it composes with exactly-once replay.
     if (compactEvery > 0 && epochId >= 0 && (epochId + 1) % compactEvery == 0)
       phase("compact")(table.compact())
+    // merge-on-read cadence: delta commits keep each beat's write ∝ batch;
+    // every Nth epoch the accumulated layers fold back into base files
+    // (read amplification repaid off the hot path — Hudi's
+    // ingest/compaction split). Layout-only + idempotent like compact.
+    if (foldEvery > 0 && epochId >= 0 && (epochId + 1) % foldEvery == 0)
+      phase("fold")(table.foldDeltas())
     lineage.foreach { lin =>
       lineageDir.foreach { dir =>
         val spark = batch.sparkSession
@@ -303,11 +311,14 @@ object CdcPipeline {
       trigger: Trigger = Trigger.AvailableNow(),
       views: Option[ViewMaintainer] = None,
       compactEvery: Int = 0,
-      quarantineDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      quarantineDir: Option[String] = None,
+      delta: Boolean = false,
+      foldEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val reader = spark.readStream.schema(envelopeSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     startFrom(reader.parquet(logDir), table, checkpoint, lineageDir,
-      evolution, salts, trigger, views, compactEvery, quarantineDir)
+      evolution, salts, trigger, views, compactEvery, quarantineDir,
+      delta = delta, foldEvery = foldEvery)
   }
 
   /** Source-agnostic streaming entry: any envelope-schema stream (the
@@ -328,7 +339,9 @@ object CdcPipeline {
       views: Option[ViewMaintainer] = None,
       compactEvery: Int = 0,
       quarantineDir: Option[String] = None,
-      cacheBatches: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+      cacheBatches: Boolean = false,
+      delta: Boolean = false,
+      foldEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val versions = new TableVersions
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -337,7 +350,7 @@ object CdcPipeline {
         val b = if (cacheBatches) batch.persist() else batch
         try processBatch(b, epochId, table, evolution, versions, lineageDir,
           salts, views = views, compactEvery = compactEvery,
-          quarantineDir = quarantineDir)
+          quarantineDir = quarantineDir, delta = delta, foldEvery = foldEvery)
         finally if (cacheBatches) b.unpersist()
       }
       .start()
@@ -359,10 +372,10 @@ object CdcPipeline {
   /** Batch replay of a bounded log (same code path as one giant micro-batch). */
   def replayBatch(spark: SparkSession, log: DataFrame, table: LakeTable,
       evolution: Map[Int, Seq[SchemaChange]] = defaultEvolution, salts: Int = 0,
-      quarantineDir: Option[String] = None): Unit = {
+      quarantineDir: Option[String] = None, delta: Boolean = false): Unit = {
     val versions = new TableVersions
     processBatch(log, -1L, table, evolution, versions, None, salts,
-      quarantineDir = quarantineDir)
+      quarantineDir = quarantineDir, delta = delta)
   }
 }
 

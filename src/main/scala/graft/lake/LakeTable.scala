@@ -224,10 +224,27 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     *
     * Within the batch AND against stored state, last writer wins by
     * (lsn, op priority); stored rows lose ties to incoming rows with the
-    * same lsn (idempotent redelivery carries identical payloads). */
+    * same lsn (idempotent redelivery carries identical payloads).
+    *
+    * `delta = true` commits MERGE-ON-READ instead of copy-on-write: the
+    * batch's LWW winners land as small per-bucket DELTA files layered on
+    * top of the existing files (nothing is rewritten), so write cost is
+    * ∝ BATCH where COW is ∝ touched-bucket bytes — under hash-bucketed
+    * keys even a trickle batch touches every bucket, making each COW beat
+    * a near-full-table rewrite at the reference's 600 s cadence. State
+    * semantics are IDENTICAL to COW (pure layout difference): rows that
+    * lose to stored state are filtered before the write by a
+    * column-pruned (keys + lsn + tombstone) probe of the touched buckets,
+    * so a delta file never carries a stale winner — reads LWW-resolve
+    * across layers ([[readFiles]]), the SQL scan merges per bucket, and
+    * the `$changes` floor feed emits delta rows as-is (every row is new
+    * and post-floor). Read amplification accumulates with layers;
+    * [[foldDeltas]] collapses buckets back to base files (the
+    * Hudi-compaction / Delta-OPTIMIZE division of labor). */
   def merge(changes: DataFrame, epochId: Long = -1L,
       precomputedStats: Option[Map[Int, (Long, Long, Long)]] = None,
-      branch: Option[String] = None): Option[Seq[graft.cdc.PartitionLineage]] = {
+      branch: Option[String] = None,
+      delta: Boolean = false): Option[Seq[graft.cdc.PartitionLineage]] = {
     graft.functions.LwwMaxBy.tuneSession(spark)
     val m0 = meta
     if (epochId >= 0 && m0.epochCommitted(epochId)) return None
@@ -280,7 +297,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     val oldFiles = base.map(_.files).getOrElse(Seq.empty)
     val (rewritten, kept) = oldFiles.partition(f => touched.contains(f.bucket))
 
-    val existing0 = if (rewritten.isEmpty) None
+    val existing0 = if (rewritten.isEmpty || delta) None
       else Some(readFiles(m0, rewritten, m0.currentSchemaId))
     val existing = existing0.map { df =>
       val opCol = when(col(DeletedCol), lit("D")).otherwise(lit("S"))
@@ -297,10 +314,36 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // merge-against-stored-state.
     val pri = graft.cdc.Dedup.opPriority(col("op"))
     val rowStruct = struct((dataCols.map(col) ++ Seq(col(LsnCol), col("op"), col(BucketCol))): _*)
-    val winners = unioned
+    val winners0 = unioned
       .groupBy(m0.keyCols.map(col): _*)
       .agg(graft.functions.LwwMaxBy.lwwMaxBy(rowStruct, col(LsnCol), pri).as("__w"))
       .select(col("__w.*"))
+
+    // Delta mode: drop batch winners that DO NOT CHANGE stored state, so a
+    // delta file never layers a stale or redundant row (the feed and every
+    // LWW-unaware follower can then treat delta rows as true changes,
+    // exactly like COW output). Keep a winner iff its key is new, its lsn
+    // beats the stored high-water, or — on the lsn tie, where the engine
+    // invariant makes payloads identical — it is a DELETE over a live row
+    // (the one tie COW's stored-row priority lets flip state; a redelivered
+    // insert/update is a no-op and a redelivered delete is already
+    // tombstoned). The probe reads ONLY keys + lsn + tombstone of the
+    // touched buckets — with parquet column pruning that is a small
+    // fraction of what the COW path both reads AND rewrites. Raw read on
+    // purpose: the per-key max over layered rows IS the resolved
+    // high-water.
+    val winners = if (!delta || rewritten.isEmpty) winners0 else {
+      val storedPri = graft.cdc.Dedup.opPriority(
+        when(col(DeletedCol), lit("D")).otherwise(lit("S")))
+      val storedMax = readFilesRaw(m0, rewritten, m0.currentSchemaId)
+        .select((m0.keyCols.map(col) :+ col(LsnCol) :+ storedPri.as("__p")): _*)
+        .groupBy(m0.keyCols.map(col): _*)
+        .agg(max(struct(col(LsnCol).as("l"), col("__p").as("p"))).as("__s"))
+      winners0.join(storedMax, m0.keyCols, "left")
+        .filter(col("__s").isNull || col(LsnCol) > col("__s.l") ||
+          (col(LsnCol) === col("__s.l") && pri === 2 && col("__s.p") =!= 2))
+        .drop("__s")
+    }
 
     // No extra shuffle before the write: the agg's own hash partitioning
     // already distributes keys, and `partitionBy(bucket)` routes rows to the
@@ -315,18 +358,23 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     // columnar scan, instead of persisting the whole merged output
     val staging = timed("stage_write")(stageWrite(out, snapshotId))
 
-    val newFiles = timed("footer_stats")(commitOrClean(staging)(
+    val newFiles0 = timed("footer_stats")(commitOrClean(staging)(
       statsFromFooters(staging, m0.currentSchemaId, requireKeysNonNull = true)))
+    val newFiles = if (delta) newFiles0.map(_.copy(isDelta = true)) else newFiles0
 
     val applied = appliedStats.toSeq.map { case (bucket, (cnt, mn, mx)) =>
       graft.cdc.PartitionLineage(epochId, bucket, mn, mx, cnt, snapshotId)
     }
 
+    // delta commits layer: every pre-existing file stays live
+    val surviving = if (delta) oldFiles else kept
+
     timed("commit")(commitOrClean(staging) {
       retryCommit { m =>
         requireSnapshotIdFree(m, snapshotId)
         val snap = Snapshot(snapshotId, base.map(_.snapshotId).getOrElse(-1L),
-          epochId, m.currentSchemaId, "merge", kept ++ newFiles,
+          epochId, m.currentSchemaId, if (delta) "delta-merge" else "merge",
+          surviving ++ newFiles,
           System.currentTimeMillis(),
           excludedLsns = base.map(_.excludedLsns).getOrElse(Seq.empty))
         branch match {
@@ -434,12 +482,18 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * Candidate discovery is manifest-only: a file can contain an eligible
     * tombstone only if its footer flagged tombstones at all AND its lsn range
     * dips below the cutoff — vacuum on a tombstone-free table reads zero
-    * files, and only candidate files (not whole buckets) are rewritten. */
+    * files, and only candidate files (not whole buckets) are rewritten.
+    *
+    * DELTA files are never candidates: a delta tombstone masks older rows
+    * in the bucket's OTHER files, so dropping it would resurrect them
+    * (where a base tombstone masks nothing — the COW merge already removed
+    * what it deleted). Run [[foldDeltas]] first; the fold keeps tombstones
+    * but moves them into base files where vacuum can retire them. */
   def vacuum(upToLsn: Long = Long.MaxValue): Long = {
     val m0 = meta
     val snap = m0.currentSnapshot.getOrElse(return 0L)
     val (candidates, kept) = snap.files.partition(f =>
-      f.hasTombstones && f.lsnMin <= upToLsn)
+      !f.isDelta && f.hasTombstones && f.lsnMin <= upToLsn)
     if (candidates.isEmpty) return 0L
     // probe pass over candidates only (column-pruned: _deleted + _lsn):
     // the EXACT high-water of what this vacuum drops. File-level bounds
@@ -534,10 +588,13 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     val sizeByPath: Map[String, Long] = snap.files.map(f => f.path ->
       (if (f.sizeBytes > 0) f.sizeBytes else Files.size(Paths.get(root, f.path)))).toMap
     val smallPerBucket: Map[Int, Int] = snap.files
-      .filter(f => sizeByPath(f.path) < targetFileBytes)
+      .filter(f => !f.isDelta && sizeByPath(f.path) < targetFileBytes)
       .groupBy(_.bucket).map { case (b, fs) => b -> fs.size }
+    // delta files are excluded: compact's raw re-pack would mix layered
+    // rows into one file and could leave a bucket with duplicate keys but
+    // no isDelta marker — collapsing layers is foldDeltas' job
     val (rewritten, kept) = snap.files.partition { f =>
-      sizeByPath(f.path) < targetFileBytes &&
+      !f.isDelta && sizeByPath(f.path) < targetFileBytes &&
         smallPerBucket.getOrElse(f.bucket, 0) >= minFiles
     }
     if (rewritten.isEmpty) return 0
@@ -568,6 +625,43 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       }
     }
     rewritten.size - newFiles.size
+  }
+
+  /** Collapse merge-on-read DELTA layers back into copy-on-write base files
+    * (the Hudi-compaction analogue; `compact`/`vacuum` deliberately refuse
+    * delta files and this is the op that retires them). Every bucket holding
+    * at least one delta file has ALL its files read, LWW-resolved to one row
+    * per key ([[readFiles]] resolution), and rewritten as one base file per
+    * bucket; buckets without deltas are untouched. Tombstone winners are
+    * KEPT (they still mask late redelivery — dropping them is `vacuum`'s
+    * decision, which becomes legal again once the rows are base). Logical
+    * state is unchanged — a layout-only commit like compact: the change
+    * feed's lsn-floor skip reads nothing from it, and time travel to
+    * pre-fold snapshots still sees the layered form. Cost ∝ the
+    * delta-carrying buckets' bytes, never the table. Returns the number of
+    * buckets folded. */
+  def foldDeltas(): Int = {
+    val m0 = meta
+    val snap = m0.currentSnapshot.getOrElse(return 0)
+    val deltaBuckets = snap.files.filter(_.isDelta).map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) return 0
+    val (folded, kept) = snap.files.partition(f => deltaBuckets.contains(f.bucket))
+    val snapshotId = m0.nextSnapshotId
+    val resolved = readFiles(m0, folded, m0.currentSchemaId)
+      .withColumn(BucketCol, bucketExpr(m0))
+      .repartition(deltaBuckets.size, col(BucketCol))
+    val staging = stageWrite(resolved, snapshotId)
+    val newFiles = commitOrClean(staging)(
+      statsFromFooters(staging, m0.currentSchemaId, requireKeysNonNull = true))
+    commitOrClean(staging) {
+      retryCommit { m =>
+        require(m.currentSnapshotId == m0.currentSnapshotId, "concurrent commit")
+        requireSnapshotIdFree(m, snapshotId)
+        val s = childSnapshot(m, snapshotId, -1, "fold", kept ++ newFiles)
+        m.copy(snapshots = m.snapshots :+ s, currentSnapshotId = snapshotId)
+      }
+    }
+    deltaBuckets.size
   }
 
   /** The Morton sort key for `compact(zOrderBy = ...)`: per column, up to
@@ -1015,8 +1109,22 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       .orElse(m.currentSnapshot).getOrElse(sys.error("empty table"))
     val fromPaths = from.files.map(_.path).toSet
     val toPaths = to.files.map(_.path).toSet
-    val removed = from.files.filterNot(f => toPaths.contains(f.path))
-    val added = to.files.filterNot(f => fromPaths.contains(f.path))
+    val removed0 = from.files.filterNot(f => toPaths.contains(f.path))
+    val added0 = to.files.filterNot(f => fromPaths.contains(f.path))
+    // Merge-on-read widening: where the file diff touches DELTA files, the
+    // file-granular sides are wrong — a delta commit removes nothing, so a
+    // replaced key's pre-image lives in a KEPT file and the diff would
+    // misread updates as inserts (and resolution needs complete bucket
+    // sets anyway). Those buckets diff at BUCKET granularity: both sides
+    // read the bucket's full file set (each LWW-resolved by readFiles),
+    // and the equal-lsn filter below strips the untouched carry-over keys
+    // exactly as it strips compaction copies. COW-only diffs keep the
+    // tighter file-granular sides.
+    val deltaBuckets = (removed0 ++ added0).filter(_.isDelta).map(_.bucket).toSet
+    val removed = from.files.filter(f =>
+      deltaBuckets.contains(f.bucket) || !toPaths.contains(f.path))
+    val added = to.files.filter(f =>
+      deltaBuckets.contains(f.bucket) || !fromPaths.contains(f.path))
     val dataCols = m.schemaById(to.schemaId).columns.map(_.name)
     // both sides keep tombstones: a key is "live" only when present AND not
     // deleted, but a new-side tombstone still carries the DELETING commit's
@@ -1361,8 +1469,40 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     readFiles(meta, files, targetSchemaId)
 
   /** Read a set of data files, projecting every file group (by the schema
-    * it was written under) into `targetSchemaId` via column-ID mapping. */
+    * it was written under) into `targetSchemaId` via column-ID mapping.
+    *
+    * Merge-on-read: when the set contains DELTA files (see
+    * [[DataFileMeta.isDelta]]) a key may appear in several files, newer
+    * layers superseding older ones — the raw union is LWW-resolved to one
+    * row per key by (lsn, tombstone-priority) before serving. Pure-base
+    * sets (the copy-on-write invariant: one row per key) skip the
+    * resolution entirely, so COW tables pay nothing. Resolution is sound
+    * only over COMPLETE per-bucket file sets; callers that read partial
+    * subsets of a delta-carrying bucket must use [[readFilesRaw]] and own
+    * the semantics (vacuum/compact simply refuse delta files instead). */
   private def readFiles(m: TableMeta, files: Seq[DataFileMeta], targetSchemaId: Int): DataFrame = {
+    val raw = readFilesRaw(m, files, targetSchemaId)
+    if (!files.exists(_.isDelta)) raw
+    else resolveLww(m, raw, targetSchemaId)
+  }
+
+  /** LWW winner per key over possibly-layered rows: the same native
+    * ObjectHashAggregate the write path uses (map-side partial agg, no
+    * sort/window), with stored-row priorities (tombstone beats live on the
+    * impossible-by-invariant lsn tie, mirroring `Dedup.opPriority`). */
+  private def resolveLww(m: TableMeta, df: DataFrame, targetSchemaId: Int): DataFrame = {
+    graft.functions.LwwMaxBy.tuneSession(spark)
+    val cols = m.schemaById(targetSchemaId).columns.map(_.name) ++
+      Seq(LsnCol, DeletedCol)
+    val pri = graft.cdc.Dedup.opPriority(
+      when(col(DeletedCol), lit("D")).otherwise(lit("S")))
+    df.groupBy(m.keyCols.map(col): _*)
+      .agg(graft.functions.LwwMaxBy.lwwMaxBy(
+        struct(cols.map(col): _*), col(LsnCol), pri).as("__w"))
+      .select(col("__w.*"))
+  }
+
+  private def readFilesRaw(m: TableMeta, files: Seq[DataFileMeta], targetSchemaId: Int): DataFrame = {
     val target = m.schemaById(targetSchemaId)
     val extra = metaCols(m)
     if (files.isEmpty) {

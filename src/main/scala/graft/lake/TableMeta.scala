@@ -67,7 +67,26 @@ case class DataFileMeta(
     // manifests (false) used java.lang.String UTF-16 order, which diverges
     // for supplementary characters — pruners must not trust their STRING
     // bounds (numeric bounds are order-agnostic and stay usable).
-    statsUtf8: Boolean = false)
+    statsUtf8: Boolean = false,
+    // true ⇒ merge-on-read DELTA file (written by `merge(delta = true)`):
+    // its rows are the batch's LWW winners LAYERED ON TOP of the bucket's
+    // older files instead of replacing them — a key may appear in several
+    // files of the bucket, and readers must resolve last-writer-wins by
+    // (lsn, tombstone-priority) across ALL the bucket's files before
+    // serving rows. Consequences readers/maintenance must honor:
+    //  - any read of a file set containing a delta file goes through LWW
+    //    resolution (LakeTable.readFiles) or a per-bucket merge reader
+    //    (SQL scan) — never raw union;
+    //  - file-granular stat pruning inside a delta-carrying bucket is
+    //    UNSOUND (dropping one file breaks resolution) — prune whole
+    //    buckets only; row counts over-count superseded rows, so manifest
+    //    aggregate pushdown must bail;
+    //  - vacuum/compact must not rewrite delta files (a delta tombstone
+    //    masks older rows in OTHER files; dropping or repacking it outside
+    //    full resolution resurrects them) — `foldDeltas` is the maintenance
+    //    op that collapses a bucket back to one-row-per-key base files.
+    // Missing/legacy ⇒ false (copy-on-write base file).
+    isDelta: Boolean = false)
 
 case class Snapshot(
     snapshotId: Long,

@@ -222,6 +222,13 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String,
     val curPaths = s.files.map(_.path).toSet
     val added = s.files.filterNot(f => parentPaths.contains(f.path))
     val removed = parent.files.filterNot(f => curPaths.contains(f.path))
+    // a merge-on-read DELTA commit removes nothing: a replaced key's
+    // pre-image stays live in a kept file (and a delta tombstone's masked
+    // row stays counted), so the file-diff retraction math cannot see it —
+    // fall back to a full recompute for this step. (A `fold` commit is
+    // fine: both diff sides are complete bucket sets, which readFileSubset
+    // LWW-resolves, and the step nets zero like a compaction.)
+    if (added.exists(_.isDelta)) return fullStep(r, s)
     val vt = table(r.name)
     if (added.isEmpty && removed.isEmpty) {
       // nothing changed (e.g. metadata-only commit): just advance the ledger

@@ -89,6 +89,32 @@ object CatalogOps {
              WHEN MATCHED THEN UPDATE SET lang = 'merged', n_chars = s.n_chars + 1
              WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, 'new', s.n_chars)""")
 
+    // q77 table: MERGE-ON-READ ingest — one COW base commit, then two DELTA
+    // commits (updates, deletes, and stale redeliveries that must lose to
+    // stored state) layered WITHOUT rewriting the base files. The table is
+    // deliberately left UNFOLDED so the registered query reads through the
+    // per-bucket LWW merge reader — the scale path for trickle ingest,
+    // where a COW beat would rewrite every hash bucket.
+    val tm = graft.lake.LakeTable.createOrReplace(s,
+      cat.tablePath("main", "docs_mor"), schema, Seq("doc_id"), numBuckets = 8)
+    val src = Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    tm.merge(src.withColumn("lsn", col("doc_id")).withColumn("op", lit("I")), 0)
+    tm.merge(src.filter(col("doc_id") % 7 === 0)
+      .withColumn("lang", lit("mor-u"))
+      .withColumn("n_chars", col("n_chars") + 10)
+      .withColumn("lsn", col("doc_id") + 1000000L).withColumn("op", lit("U")),
+      1, delta = true)
+    tm.merge(
+      src.filter(col("doc_id") % 11 === 0)
+        .withColumn("lsn", col("doc_id") + 2000000L).withColumn("op", lit("D"))
+        .unionByName(src.filter(col("doc_id") % 13 === 0)
+          .withColumn("lang", lit("stale-must-lose"))
+          .withColumn("lsn", lit(5L)).withColumn("op", lit("U"))),
+      2, delta = true)
+    require(tm.meta.currentSnapshot.exists(_.files.exists(_.isDelta)),
+      "q77 setup must leave delta layers in place")
+
     // q41 table: the vector side of the co-bucketed fact-to-fact join —
     // same bucket count as `docs` and a single-column key, so the join
     // below qualifies for a storage-partitioned join (zero exchanges)
@@ -192,5 +218,27 @@ object CatalogOps {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
              |  CAST(sum(label) AS BIGINT) AS total_label
              |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+             |GROUP BY lang""".stripMargin)),
+
+    // MERGE-ON-READ ingest (S4's delta mode) — the table carries a COW base
+    // plus two unfolded delta layers (setup above): updates, deletes, and
+    // stale redeliveries that must lose to stored state. This rollup reads
+    // through the per-bucket LWW merge reader, so agreement with the oracle
+    // proves the layered read resolves exactly the state a full
+    // copy-on-write replay would have produced — updates applied, deleted
+    // keys gone, stale rows invisible.
+    OpQuery("q77_sql_mor_ingest",
+      (s, d) => {
+        ensureCatalog(s, d)
+        s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+                 FROM graftsql.main.docs_mor GROUP BY lang""")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'mor-u' ELSE lang END AS lang,
+             |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+             |  FROM documents WHERE doc_id % 11 <> 0)
              |GROUP BY lang""".stripMargin)))
 }

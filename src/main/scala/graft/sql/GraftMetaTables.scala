@@ -58,6 +58,7 @@ object GraftMetaTables {
     StructField("lsn_max", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
     StructField("has_tombstones", BooleanType, nullable = false),
+    StructField("is_delta", BooleanType, nullable = false),
     StructField("col_mins", MapType(StringType, StringType), nullable = false),
     StructField("col_maxs", MapType(StringType, StringType), nullable = false)))
 
@@ -126,7 +127,7 @@ object GraftMetaTables {
         stats.toSeq.sortBy(_._1).map(kv => UTF8String.fromString(kv._2)).toArray[Any])
       new GenericInternalRow(Array[Any](
         UTF8String.fromString(f.path), f.bucket, f.schemaId, f.rowCount,
-        f.lsnMin, f.lsnMax, f.sizeBytes, f.hasTombstones,
+        f.lsnMin, f.lsnMax, f.sizeBytes, f.hasTombstones, f.isDelta,
         toMap(f.colMins), toMap(f.colMaxs)))
     }
 }

@@ -35,7 +35,8 @@ object GraftProcedures {
   val Namespace = "system"
 
   val names: Seq[String] =
-    Seq("compact", "vacuum", "rebucket", "expire_snapshots", "rollback",
+    Seq("compact", "vacuum", "rebucket", "fold_deltas", "expire_snapshots",
+      "rollback",
       "create_view", "refresh_views", "drop_view", "create_tag", "drop_tag",
       "add_constraint", "drop_constraint", "mirror",
       "create_branch", "publish_branch", "drop_branch")
@@ -84,6 +85,17 @@ object GraftProcedures {
         val t = table(wh, input)
         t.rebucket(input.getInt(1))
         Array[InternalRow](new GenericInternalRow(Array[Any](t.meta.numBuckets)))
+      }, warehouse)
+    case "fold_deltas" => Proc(
+      "fold_deltas",
+      "collapse merge-on-read delta layers into one base file per affected " +
+        "bucket (layout-only; tombstones kept for vacuum to retire)",
+      Array(
+        in("table", StringType, None, "target table as 'namespace.table'")),
+      new StructType().add("buckets_folded", IntegerType, nullable = false),
+      (wh, input) => {
+        val n = table(wh, input).foldDeltas()
+        Array[InternalRow](new GenericInternalRow(Array[Any](n)))
       }, warehouse)
     case "expire_snapshots" => Proc(
       "expire_snapshots",

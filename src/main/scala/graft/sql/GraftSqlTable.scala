@@ -326,6 +326,9 @@ class GraftScanBuilder(root: String, meta: TableMeta, schemaId: Int,
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (aggregation.groupByExpressions.nonEmpty) return None
     if (prunedFiles.exists(_.hasTombstones)) return None
+    // merge-on-read layers: superseded rows inflate rowCount and can own a
+    // column bound no live row has — only LWW-resolved reads are exact
+    if (prunedFiles.exists(_.isDelta)) return None
     val cols = meta.schemaById(schemaId).columns
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[graft.lake.ColumnDef] =
       e match {
@@ -469,13 +472,21 @@ object GraftScanBuilder {
         prunedFiles = prunedFiles.filter(_.bucket == b)
       }
     }
+    // merge-on-read: LWW resolution is sound only over a bucket's COMPLETE
+    // file set — dropping one file of a delta-carrying bucket could prune
+    // the very winner that supersedes a surviving stale row (or vice
+    // versa). Bucket-equality pruning above keeps/drops whole buckets and
+    // stays exact; the file-granular stat pruning below must keep every
+    // file of a delta bucket.
+    val deltaBuckets = files.filter(_.isDelta).map(_.bucket).toSet
     val colId: Map[String, String] = meta.schemaById(schemaId).columns
       .map(c => c.name -> c.id.toString).toMap
     def cmp(f: graft.lake.DataFileMeta, rendered: String, v: Any): Option[Int] =
       cmpStat(f, rendered, v)
     def keep(f: graft.lake.DataFileMeta, attr: String,
         test: (graft.lake.DataFileMeta, Option[String], Option[String]) => Option[Boolean]): Boolean =
-      colId.get(attr) match {
+      if (deltaBuckets.contains(f.bucket)) true
+      else colId.get(attr) match {
         case None => true
         case Some(id) => test(f, f.colMins.get(id), f.colMaxs.get(id)).getOrElse(true)
       }
@@ -566,10 +577,14 @@ object GraftScanBuilder {
         sel = sel.filter(f => buckets.contains(f.bucket))
       }
     }
+    // file-granular stat pruning must keep delta buckets whole (see
+    // pruneFiles) — bucket-membership pruning above is bucket-granular
+    val deltaBuckets = files.filter(_.isDelta).map(_.bucket).toSet
     meta.schemaById(schemaId).columns.find(_.name == attr).foreach { c =>
       val cid = c.id.toString
       sel = sel.filter { f =>
-        (f.colMins.get(cid), f.colMaxs.get(cid)) match {
+        deltaBuckets.contains(f.bucket) ||
+        ((f.colMins.get(cid), f.colMaxs.get(cid)) match {
           case (Some(mn), Some(mx)) => values.exists { v =>
             (cmpStat(f, mn, v), cmpStat(f, mx, v)) match {
               case (Some(c1), Some(c2)) => c1 <= 0 && c2 >= 0
@@ -577,7 +592,7 @@ object GraftScanBuilder {
             }
           }
           case _ => true // no stats ⇒ the file must stay
-        }
+        })
       }
     }
     sel
@@ -694,8 +709,8 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
   // set; per-file ColSpec resolution + parquet predicate building over a
   // large selection is driver work worth doing once. Keyed on the selected
   // list, which runtime filter() can shrink between calls.
-  private var plannedCache: Option[(Seq[graft.lake.DataFileMeta], Array[GraftInputPartition])] = None
-  private def plannedPartitions: Array[GraftInputPartition] = plannedCache match {
+  private var plannedCache: Option[(Seq[graft.lake.DataFileMeta], Array[InputPartition])] = None
+  private def plannedPartitions: Array[InputPartition] = plannedCache match {
     case Some((sel, parts)) if sel eq selected => parts
     case _ =>
       val parts = buildPartitions()
@@ -703,11 +718,14 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
       parts
   }
 
-  private def buildPartitions(): Array[GraftInputPartition] = {
+  private def colSpecsFor(f: graft.lake.DataFileMeta,
+      fields: Seq[StructField]): Array[ColSpec] = {
     val target = meta.schemaById(schemaId)
-    selected.map { f =>
-      val storedById = meta.schemaById(f.schemaId).byId
-      val cols = required.fields.map { rf =>
+    val storedById = meta.schemaById(f.schemaId).byId
+    fields.map { rf =>
+      if (rf.name == LakeTable.LsnCol || rf.name == LakeTable.DeletedCol)
+        ColSpec(rf.name, rf.dataType.json, rf.name, rf.dataType.json)
+      else {
         val cd = target.columns.find(_.name == rf.name)
           .getOrElse(sys.error(s"column ${rf.name} not in schema $schemaId"))
         storedById.get(cd.id) match {
@@ -715,6 +733,21 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
           case None => ColSpec(rf.name, rf.dataType.json, null, null) // added later: null
         }
       }
+    }.toArray
+  }
+
+  private def buildPartitions(): Array[InputPartition] = {
+    // merge-on-read: buckets holding DELTA files plan as ONE partition per
+    // bucket whose reader LWW-resolves across all the bucket's files (the
+    // Hudi realtime-read shape); resolution is bucket-local because the
+    // bucket hash co-locates every version of a key, so no shuffle is
+    // needed — the task holds one bucket's winners in memory, the same
+    // bound the write path's bucket sizing already assumes. Buckets
+    // without deltas keep the per-file readers (and the vectorized path).
+    val deltaBuckets = selected.filter(_.isDelta).map(_.bucket).toSet
+    val (layered, plain) = selected.partition(f => deltaBuckets.contains(f.bucket))
+    val plainParts: Seq[InputPartition] = plain.map { f =>
+      val cols = colSpecsFor(f, required.fields.toSeq)
       // columnar eligibility: no tombstones to filter (footer-proven), every
       // required column identity-mapped (no rename/widen remapping), and a
       // non-empty simple-typed projection
@@ -728,21 +761,50 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
       // effective inside a file
       val pred = GraftParquetFilters.build(residualFilters ++ runtimeIn, cols.toSeq)
       GraftInputPartition(s"$root/${f.path}", cols, columnar, f.bucket, pred)
-    }.toArray
+    }
+    val mergeParts: Seq[InputPartition] =
+      if (layered.isEmpty) Seq.empty
+      else {
+        // read layout = required fields, then any key column the query
+        // didn't project, then _lsn + _deleted — resolution needs them all;
+        // the reader emits only the first |required| values
+        val targetByName = meta.schemaById(schemaId).columns.map(c =>
+          c.name -> StructField(c.name, c.dataType, c.nullable)).toMap
+        val layout: Seq[StructField] = required.fields.toSeq ++
+          meta.keyCols.filterNot(required.fieldNames.contains).map(targetByName) ++
+          Seq(StructField(LakeTable.LsnCol, LongType, nullable = false),
+            StructField(LakeTable.DeletedCol, BooleanType, nullable = false))
+        val keyIdx = meta.keyCols.map(k => layout.indexWhere(_.name == k)).toArray
+        val lsnIdx = layout.indexWhere(_.name == LakeTable.LsnCol)
+        val delIdx = layout.indexWhere(_.name == LakeTable.DeletedCol)
+        layered.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fs) =>
+          // NO per-file parquet predicates here: row-group/record filtering
+          // before resolution could drop the winner that supersedes a
+          // surviving stale row; Spark re-applies all filters post-scan
+          val slices = fs.map(f =>
+            MergeFileSlice(s"$root/${f.path}", colSpecsFor(f, layout)))
+          GraftMergeInputPartition(b, slices.toArray, keyIdx, lsnIdx, delIdx,
+            required.fields.length)
+        }
+      }
+    (plainParts ++ mergeParts).toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    plannedPartitions.map(p => p: InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   /** Whole-scan columnar decision: Spark requires every partition of one
     * scan to agree (mixed row/columnar scans are rejected), so the scan is
     * vectorized iff ALL selected files qualify — true for append-mostly
     * tables (no tombstones), falling back to the row reader once a file in
-    * the selection carries deletes or needs column-ID remapping. */
+    * the selection carries deletes, needs column-ID remapping, or sits in a
+    * merge-on-read bucket. */
   override def createReaderFactory(): PartitionReaderFactory = {
     val parts = plannedPartitions
-    new GraftReaderFactory(parts.nonEmpty && parts.forall(_.columnar),
-      GraftStreamingWrite.sessionHadoopConf())
+    val allColumnar = parts.nonEmpty && parts.forall {
+      case g: GraftInputPartition => g.columnar
+      case _ => false
+    }
+    new GraftReaderFactory(allColumnar, GraftStreamingWrite.sessionHadoopConf())
   }
 }
 
@@ -783,6 +845,24 @@ case class GraftInputPartition(filePath: String, cols: Array[ColSpec],
     new GenericInternalRow(Array[Any](bucket))
 }
 
+/** One file of a merge-on-read bucket: its path plus the READ LAYOUT
+  * projection (required columns, then resolution extras — unprojected keys,
+  * `_lsn`, `_deleted`) mapped to this file's stored names/types. */
+case class MergeFileSlice(filePath: String, cols: Array[ColSpec])
+    extends Serializable
+
+/** One merge-on-read BUCKET: every file (base + delta layers) of a bucket
+  * that holds at least one delta file. The reader resolves last-writer-wins
+  * across the layers before serving rows — see [[GraftBucketMergeReader]].
+  * Carries the bucket as its partition key, so storage-partitioned joins
+  * keep working over layered tables. */
+case class GraftMergeInputPartition(bucket: Int, files: Array[MergeFileSlice],
+    keyIdx: Array[Int], lsnIdx: Int, delIdx: Int, outLen: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 /** `hadoopConf` is the session hadoop conf captured ON THE DRIVER (a bare
   * `new Configuration()` on an executor misses every `spark.hadoop.*`
   * setting — defaultFS, object-store credentials — so reads would only ever
@@ -792,8 +872,12 @@ class GraftReaderFactory(allColumnar: Boolean,
     hadoopConf: Map[String, String]) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = allColumnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition],
-      GraftStreamingWrite.toConfiguration(hadoopConf))
+    partition match {
+      case m: GraftMergeInputPartition =>
+        new GraftBucketMergeReader(m, GraftStreamingWrite.toConfiguration(hadoopConf))
+      case p: GraftInputPartition =>
+        new GraftPartitionReader(p, GraftStreamingWrite.toConfiguration(hadoopConf))
+    }
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition],
       GraftStreamingWrite.toConfiguration(hadoopConf))
@@ -939,4 +1023,97 @@ private[sql] object GroupReads {
       case (FloatType, DoubleType, f: Float) => f.toDouble
       case _ => sys.error(s"unsupported widen $from -> $to")
     }
+}
+
+/** Merge-on-read reader for ONE bucket: reads every file of the bucket
+  * (base + delta layers, each through its own stored-schema projection),
+  * resolves last-writer-wins per key by (lsn, tombstone-priority) in a local
+  * hash map — bucket-local is globally correct because the bucket hash
+  * co-locates every version of a key — and serves the live winners. Memory
+  * is one bucket's keys × the projected width, the same bound the write
+  * path's bucket sizing (`numBuckets` chosen so a bucket fits a task)
+  * already assumes; `foldDeltas` retires the layers and returns the bucket
+  * to the per-file (and vectorized) readers. Tombstone winners resolve like
+  * any other row and are then filtered — a delta tombstone must be able to
+  * beat a live base row. No record filters are pushed to the files: a
+  * predicate dropping the superseding row before resolution would resurrect
+  * the stale one (Spark re-applies every filter post-scan). */
+class GraftBucketMergeReader(p: GraftMergeInputPartition,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.schema.MessageType
+
+  private val winners: java.util.Iterator[Array[Any]] = {
+    val map = new java.util.HashMap[Seq[Any], Array[Any]]()
+    p.files.foreach { slice =>
+      val hPath = new org.apache.hadoop.fs.Path(slice.filePath)
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+      val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val want = slice.cols.flatMap(c => Option(c.storedName)).toSet
+      val projected = new MessageType(fileSchema.getName,
+        fileSchema.getFields.asScala.filter(f => want.contains(f.getName)).asJava)
+      val sliceConf = new org.apache.hadoop.conf.Configuration(conf)
+      sliceConf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projected.toString)
+      val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+        ParquetReader.builder(new GroupReadSupport(), hPath).withConf(sliceConf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val vals = new Array[Any](slice.cols.length)
+          var i = 0
+          while (i < slice.cols.length) {
+            val c = slice.cols(i)
+            vals(i) =
+              if (c.storedName == null || !g.getType.containsField(c.storedName) ||
+                  g.getFieldRepetitionCount(c.storedName) == 0) null
+              else GroupReads.widen(
+                GroupReads.read(g, c.storedName, DataType.fromJson(c.storedTypeJson)),
+                DataType.fromJson(c.storedTypeJson), DataType.fromJson(c.outTypeJson))
+            i += 1
+          }
+          // binary key components get value equality via ByteBuffer wrapping
+          val key: Seq[Any] = p.keyIdx.toSeq.map { ki =>
+            vals(ki) match {
+              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+              case v => v
+            }
+          }
+          val prev = map.get(key)
+          if (prev == null || newer(vals, prev)) map.put(key, vals)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    map.values().iterator()
+  }
+
+  private def lsnOf(v: Array[Any]): Long = v(p.lsnIdx).asInstanceOf[Long]
+  private def deletedOf(v: Array[Any]): Boolean =
+    v(p.delIdx).asInstanceOf[Boolean]
+  /** Same order as the engine's stored-row LWW (Dedup.opPriority: D=2,
+    * S=-1); equal (lsn, priority) pairs carry identical payloads by the
+    * engine invariant, so keeping the incumbent is deterministic. */
+  private def newer(a: Array[Any], b: Array[Any]): Boolean = {
+    val la = lsnOf(a); val lb = lsnOf(b)
+    la > lb || (la == lb && deletedOf(a) && !deletedOf(b))
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    while (winners.hasNext) {
+      val v = winners.next()
+      if (!deletedOf(v)) {
+        current = new GenericInternalRow(java.util.Arrays.copyOf(
+          v.asInstanceOf[Array[AnyRef]], p.outLen).asInstanceOf[Array[Any]])
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }

@@ -227,6 +227,12 @@ object CdcCli {
       table.rebucket(n.toInt)
       println(s"[rebucket] buckets $before -> ${table.meta.numBuckets}")
 
+    case "fold" :: tableDir :: Nil =>
+      // collapse merge-on-read delta layers back into base files
+      val table = LakeTable.forPath(spark, tableDir)
+      val folded = table.foldDeltas()
+      println(s"[fold] folded=$folded delta buckets")
+
     case "changes" :: tableDir :: fromSnap :: rest =>
       val table = LakeTable.forPath(spark, tableDir)
       val feed = table.changes(fromSnap.toLong, rest.headOption.map(_.toLong))

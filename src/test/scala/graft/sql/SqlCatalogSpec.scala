@@ -514,7 +514,8 @@ class SqlCatalogSpec extends SparkTestBase {
       e.getMessage.contains("unknown procedure"))
     assert(spark.sql("SHOW PROCEDURES IN g15.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet ==
-      Set("compact", "vacuum", "rebucket", "expire_snapshots", "rollback",
+      Set("compact", "vacuum", "rebucket", "fold_deltas", "expire_snapshots",
+        "rollback",
         "create_view", "refresh_views", "drop_view", "create_tag", "drop_tag",
         "add_constraint", "drop_constraint", "mirror",
         "create_branch", "publish_branch", "drop_branch"))

@@ -1,0 +1,111 @@
+package graft.sql
+
+import graft.SparkTestBase
+import graft.cdc._
+import graft.lake._
+import org.apache.spark.sql.functions._
+
+/** The SQL surface over merge-on-read tables: layered buckets read through
+  * the per-bucket merge reader (LWW-resolved, stale values can never
+  * resurface through file/row-group pruning), manifest aggregate pushdown
+  * bails (raw rowCounts over-count superseded rows), bucket-clustered
+  * GROUP BY stays exchange-free, the `$changes` feed stays exact, and
+  * maintenance (fold) is CALL-able. */
+class SqlMorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def setupCatalog(name: String): LakeCatalog = {
+    val wh = tmpDir("morwh")
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    new LakeCatalog(spark, wh)
+  }
+
+  private def batch(rows: (Long, String, String, String, String, String, String)*) =
+    rows.toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+
+  private def layeredTable(cat: LakeCatalog, ns: String): LakeTable = {
+    val t = cat.createTable(ns, "files", CdcPipeline.baseTableSchema,
+      Seq("repo", "path", "commit"), numBuckets = 4)
+    t.merge(batch((1 to 30).map(i =>
+      (i.toLong, "I", s"r${i % 6}", s"p$i", s"c$i", "scala", s"v$i")): _*), 0)
+    t.merge(batch(
+      (31L, "U", "r1", "p1", "c1", "scala", "updated"),
+      (32L, "D", "r2", "p2", "c2", "scala", null),
+      (33L, "I", "rX", "pX", "cX", "py", "new")), 1, delta = true)
+    t
+  }
+
+  test("SQL reads a layered table exactly; point lookups and stale values stay correct") {
+    val cat = setupCatalog("mor1")
+    val t = layeredTable(cat, "nsa")
+    val sql = spark.sql("SELECT repo, path, commit, lang, content FROM mor1.nsa.files")
+      .collect().map(_.toSeq).toSet
+    val api = t.currentState().select("repo", "path", "commit", "lang", "content")
+      .collect().map(_.toSeq).toSet
+    assert(sql == api && sql.size == 30) // 30 inserts +1 new -1 delete
+    // the superseded pre-image must be unreachable — if pruning dropped the
+    // delta layer (content='updated' excludes 'v1') while keeping the base
+    // file, the stale row would leak back
+    assert(spark.sql(
+      "SELECT count(*) FROM mor1.nsa.files WHERE content = 'v1'").head().getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT content FROM mor1.nsa.files WHERE repo='r1' AND path='p1' AND commit='c1'")
+      .as[String].collect().toSeq == Seq("updated"))
+    // the tombstoned key is gone through SQL too
+    assert(spark.sql(
+      "SELECT count(*) FROM mor1.nsa.files WHERE repo='r2' AND path='p2'").head().getLong(0) == 0)
+    // aggregates are exact: the manifest COUNT shortcut must bail on delta
+    // files (raw rowCount = 34 here; the true live count is 30)
+    assert(spark.sql("SELECT count(*) FROM mor1.nsa.files").head().getLong(0) == 30)
+  }
+
+  test("bucket-clustered GROUP BY stays exchange-free over merge partitions") {
+    val cat = setupCatalog("mor2")
+    val t = cat.createTable("nsb", "km", CdcPipeline.baseTableSchema,
+      Seq("repo"), numBuckets = 4)
+    t.merge(batch((1 to 12).map(i =>
+      (i.toLong, "I", s"r$i", s"p$i", s"c$i", "scala", s"v$i")): _*), 0)
+    t.merge(batch((13L, "U", "r1", "pZ", "cZ", "scala", "v1b")), 1, delta = true)
+    val q = spark.sql("SELECT repo, count(*) AS n FROM mor2.nsb.km GROUP BY repo")
+    assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .forall(_._2 == 1L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket layout must still serve the aggregation clustering:\n$plan")
+  }
+
+  test("$files exposes is_delta; CALL fold_deltas retires the layers through SQL") {
+    val cat = setupCatalog("mor3")
+    val t = layeredTable(cat, "nsc")
+    val flagged = spark.sql(
+      "SELECT count(*) FROM mor3.nsc.`files$files` WHERE is_delta").head().getLong(0)
+    assert(flagged >= 1)
+    val pre = spark.sql("SELECT * FROM mor3.nsc.files").collect().map(_.toSeq).toSet
+    val folded = spark.sql("CALL mor3.system.fold_deltas(table => 'nsc.files')")
+      .head().getInt(0)
+    assert(folded >= 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM mor3.nsc.`files$files` WHERE is_delta").head().getLong(0) == 0)
+    assert(spark.sql("SELECT * FROM mor3.nsc.files").collect().map(_.toSeq).toSet == pre)
+    // post-fold the manifest COUNT shortcut may serve again — and must be 30
+    assert(spark.sql("SELECT count(*) FROM mor3.nsc.files").head().getLong(0) == 30)
+    assert(t.currentState().count() == 30)
+  }
+
+  test("$changes floor feed emits exactly the delta commits' changes") {
+    val cat = setupCatalog("mor4")
+    val t = layeredTable(cat, "nsd")
+    // snapshot after the base merge = the feed floor
+    val baseSnap = t.meta.snapshots.find(_.operation == "merge").get.snapshotId
+    val feed = spark.read
+      .option("fromSnapshot", baseSnap.toString)
+      .table("mor4.nsd.`files$changes`")
+      .select("repo", "path", "commit", "content", "_change_type", "_lsn")
+      .collect().map(_.toSeq).toSet
+    assert(feed == Set(
+      Seq("r1", "p1", "c1", "updated", "upsert", 31L),
+      Seq("r2", "p2", "c2", null, "delete", 32L),
+      Seq("rX", "pX", "cX", "new", "upsert", 33L)))
+  }
+}
