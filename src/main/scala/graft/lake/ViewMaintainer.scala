@@ -222,26 +222,54 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String,
     val curPaths = s.files.map(_.path).toSet
     val added = s.files.filterNot(f => parentPaths.contains(f.path))
     val removed = parent.files.filterNot(f => curPaths.contains(f.path))
-    // a merge-on-read DELTA commit removes nothing: a replaced key's
-    // pre-image stays live in a kept file (and a delta tombstone's masked
-    // row stays counted), so the file-diff retraction math cannot see it —
-    // fall back to a full recompute for this step. (A `fold` commit is
-    // fine: both diff sides are complete bucket sets, which readFileSubset
-    // LWW-resolves, and the step nets zero like a compaction.)
-    if (added.exists(_.isDelta)) return fullStep(r, s)
-    val vt = table(r.name)
+    if (added.exists(_.isDelta)) {
+      // a merge-on-read DELTA commit removes nothing: a replaced key's
+      // pre-image stays live in a KEPT file (and a delta tombstone's masked
+      // row stays counted), so the file-diff retraction math below cannot
+      // see it. But the commit's own rows name exactly the keys whose state
+      // changed — the anti-stale probe guarantees every delta row is a true
+      // winner — so the exact diff is the delta rows (+1) against the
+      // PARENT winners of those keys (−1): read the touched buckets' parent
+      // file sets once (LWW-resolved by readFileSubset), key-pruned by a
+      // broadcast semi join on the batch's keys. Cost = batch + touched
+      // buckets read ONCE — cheaper than the COW incremental step (which
+      // reads touched buckets on both diff sides) and never the table.
+      // (A `fold` commit takes the file-granular path below: both sides are
+      // complete bucket sets, netting zero like a compaction.)
+      if (removed.nonEmpty || added.exists(!_.isDelta))
+        return fullStep(r, s) // unknown mixed commit shape: stay correct
+      val touched = added.map(_.bucket).toSet
+      val parentFiles = parent.files.filter(f => touched.contains(f.bucket))
+      val newRows = base.readFileSubset(added, s.schemaId)
+      val keys = newRows.select(base.meta.keyCols.map(col): _*)
+      val prevRows = base.readFileSubset(parentFiles, s.schemaId)
+        .join(broadcast(keys), base.meta.keyCols, "left_semi")
+      applyDiff(r, s, newRows, prevRows)
+      return (added.size + parentFiles.size).toLong
+    }
     if (added.isEmpty && removed.isEmpty) {
       // nothing changed (e.g. metadata-only commit): just advance the ledger
+      val vt = table(r.name)
       vt.replace(vt.currentState(), s.snapshotId)
       return 0L
     }
-    def weighted(files: Seq[DataFileMeta], w: Long): DataFrame =
-      base.readFileSubset(files, s.schemaId)
-        .filter(!col(LakeTable.DeletedCol))
+    applyDiff(r, s, base.readFileSubset(added, s.schemaId),
+      base.readFileSubset(removed, s.schemaId))
+    (added.size + removed.size).toLong
+  }
+
+  /** One snapshot's diff applied to the stored view: live rows weighted
+    * +1 (new side) / −1 (old side), aggregated, full-outer combined with
+    * the stored groups, groups whose live-row count hits zero dropped. */
+  private def applyDiff(r: RollupView, s: Snapshot,
+      addedRows: DataFrame, removedRows: DataFrame): Unit = {
+    val vt = table(r.name)
+    def weighted(df: DataFrame, w: Long): DataFrame =
+      df.filter(!col(LakeTable.DeletedCol))
         .select((r.groupCols.map(col) ++
           r.sumCols.map { case (src, _) => col(src) } :+
           lit(w).as("__w")): _*)
-    val delta = weighted(added, 1L).unionByName(weighted(removed, -1L))
+    val delta = weighted(addedRows, 1L).unionByName(weighted(removedRows, -1L))
       .groupBy(r.groupCols.map(col): _*)
       .agg(sum(col("__w")).as("__dn"),
         r.sumCols.map { case (src, alias) =>
@@ -259,7 +287,6 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String,
             coalesce(delta(s"__d_$alias"), lit(0L))).as(alias) }: _*)
       .filter(col(r.countAlias) > 0)
     vt.replace(merged, s.snapshotId)
-    (added.size + removed.size).toLong
   }
 
   // ---------------------------------------------------- distinct sketch views

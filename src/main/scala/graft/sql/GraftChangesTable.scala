@@ -106,13 +106,15 @@ class GraftChangesScan(root: String, options: CaseInsensitiveStringMap,
       .getOrElse(m.currentSnapshotId)
     private lazy val parts =
       GraftChangesScan.partitions(root, m, schemaAtPlan, required, from, to)
-    override def planInputPartitions(): Array[InputPartition] =
-      parts.map(p => p: InputPartition)
+    override def planInputPartitions(): Array[InputPartition] = parts
     // whole-scan columnar decision, like GraftScan: Spark rejects mixed
     // row/columnar scans, so vectorize iff every selected file qualifies
+    // (bootstrap merge partitions over layered buckets never do)
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftChangesReaderFactory(parts.nonEmpty && parts.forall(_.columnar),
-        GraftStreamingWrite.sessionHadoopConf())
+      new GraftChangesReaderFactory(parts.nonEmpty && parts.forall {
+        case g: GraftChangesPartition => g.columnar
+        case _ => false
+      }, GraftStreamingWrite.sessionHadoopConf())
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -126,7 +128,7 @@ object GraftChangesScan {
     * an "upsert"), lsnMin above the floor (no carry-over rows to filter), and
     * the projection identity-maps to stored columns. */
   private[sql] def partitions(root: String, m: TableMeta, target: SchemaVersion,
-      required: StructType, fromSnapshotId: Long, toSnapshotId: Long): Array[GraftChangesPartition] = {
+      required: StructType, fromSnapshotId: Long, toSnapshotId: Long): Array[InputPartition] = {
     val fromSnap =
       if (fromSnapshotId <= 0) None
       else Some(m.snapshotById(fromSnapshotId).getOrElse(sys.error(
@@ -190,21 +192,66 @@ object GraftChangesScan {
       f.name != GraftChangesTable.ChangeTypeCol && f.name != LakeTable.LsnCol)
     val wantCt = required.fieldNames.contains(GraftChangesTable.ChangeTypeCol)
     val wantLsn = required.fieldNames.contains(LakeTable.LsnCol)
-    added.map { f =>
+    // Merge-on-read: a BOOTSTRAP read (no fromSnapshot) over a table with
+    // live delta layers must not serve raw files — a key superseded by a
+    // delta layer would emit BOTH versions as upserts, and a delta
+    // tombstone's masked pre-image would emit alongside its delete. Buckets
+    // holding delta files plan as one merge partition that LWW-resolves the
+    // bucket's complete file set and emits live winners as upserts and
+    // tombstone winners as deletes — exactly the documented bootstrap image.
+    // Incremental ranges need none of this: the anti-stale probe in
+    // `merge(delta = true)` guarantees every delta row is a TRUE change, so
+    // per-file planning + the lsn floor stays exact (multiple layers of one
+    // key in a range emit as multiple change events, like any CDC log).
+    val mergeBuckets: Set[Int] =
+      if (fromSnap.isDefined) Set.empty
+      else added.filter(_.isDelta).map(_.bucket).toSet
+    val (layered, plain) = added.partition(f => mergeBuckets.contains(f.bucket))
+    def colSpecsFor(f: graft.lake.DataFileMeta,
+        fields: Seq[StructField]): Array[ColSpec] = {
       val storedById = m.schemaById(f.schemaId).byId
-      val cols = dataFields.map { rf =>
-        val cd = targetByName(rf.name)
-        storedById.get(cd.id) match {
-          case Some(st) => ColSpec(cd.name, cd.dataTypeJson, st.name, st.dataTypeJson)
-          case None => ColSpec(cd.name, cd.dataTypeJson, null, null)
+      fields.map { rf =>
+        if (rf.name == LakeTable.LsnCol || rf.name == LakeTable.DeletedCol)
+          ColSpec(rf.name, rf.dataType.json, rf.name, rf.dataType.json)
+        else {
+          val cd = targetByName(rf.name)
+          storedById.get(cd.id) match {
+            case Some(st) => ColSpec(cd.name, cd.dataTypeJson, st.name, st.dataTypeJson)
+            case None => ColSpec(cd.name, cd.dataTypeJson, null, null)
+          }
         }
-      }
+      }.toArray
+    }
+    val plainParts: Seq[InputPartition] = plain.map { f =>
+      val cols = colSpecsFor(f, dataFields.toSeq)
       val identity = cols.forall(c => c.storedName == c.outName &&
         c.storedTypeJson == c.outTypeJson && GraftScan.vectorizable(c.outTypeJson))
       val columnar = !f.hasTombstones && f.lsnMin > lsnFloor && identity &&
         (cols.nonEmpty || wantLsn) // ≥1 stored column must drive the reader
       GraftChangesPartition(s"$root/${f.path}", cols, lsnFloor, wantCt, wantLsn, columnar)
-    }.toArray
+    }
+    val mergeParts: Seq[InputPartition] =
+      if (layered.isEmpty) Seq.empty
+      else {
+        // read layout = projected data fields, then any key column the query
+        // didn't project, then _lsn + _deleted — resolution needs them all
+        val tgtField: Map[String, StructField] = target.columns.map(c =>
+          c.name -> StructField(c.name, c.dataType, c.nullable)).toMap
+        val layout: Seq[StructField] = dataFields.toSeq ++
+          m.keyCols.filterNot(dataFields.map(_.name).contains).map(tgtField) ++
+          Seq(StructField(LakeTable.LsnCol, LongType, nullable = false),
+            StructField(LakeTable.DeletedCol, BooleanType, nullable = false))
+        val keyIdx = m.keyCols.map(k => layout.indexWhere(_.name == k)).toArray
+        val lsnIdx = layout.indexWhere(_.name == LakeTable.LsnCol)
+        val delIdx = layout.indexWhere(_.name == LakeTable.DeletedCol)
+        layered.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (_, fs) =>
+          val slices = fs.map(f =>
+            MergeFileSlice(s"$root/${f.path}", colSpecsFor(f, layout)))
+          GraftChangesMergePartition(slices.toArray, keyIdx, lsnIdx, delIdx,
+            dataFields.length, wantCt, wantLsn)
+        }
+      }
+    (plainParts ++ mergeParts).toArray
   }
 }
 
@@ -288,7 +335,6 @@ class GraftChangesStream(root: String, target: SchemaVersion,
     GraftChangesScan.partitions(root, meta, target, required,
       start.asInstanceOf[GraftChangesOffset].snapshotId,
       end.asInstanceOf[GraftChangesOffset].snapshotId)
-      .map(p => p: InputPartition)
   // row readers only: the factory is created once for the stream's life but
   // columnar eligibility varies per micro-batch's file set
   override def createReaderFactory(): PartitionReaderFactory =
@@ -300,6 +346,14 @@ case class GraftChangesPartition(filePath: String, cols: Array[ColSpec],
     lsnFloor: Long, wantChangeType: Boolean, wantLsn: Boolean,
     columnar: Boolean) extends InputPartition
 
+/** One merge-on-read BUCKET of a bootstrap feed read: every file of a
+  * delta-carrying bucket, LWW-resolved before serving so the bootstrap
+  * image holds exactly one event per key — live winners as "upsert",
+  * tombstone winners as "delete" (see [[GraftChangesMergeReader]]). */
+case class GraftChangesMergePartition(files: Array[MergeFileSlice],
+    keyIdx: Array[Int], lsnIdx: Int, delIdx: Int, dataLen: Int,
+    wantChangeType: Boolean, wantLsn: Boolean) extends InputPartition
+
 /** Ships the driver-captured session hadoop conf to executor readers — a
   * bare `new Configuration()` there misses every `spark.hadoop.*` setting
   * (defaultFS, object-store credentials); see [[GraftReaderFactory]]. */
@@ -307,8 +361,12 @@ class GraftChangesReaderFactory(allColumnar: Boolean,
     hadoopConf: Map[String, String]) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = allColumnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftChangesPartitionReader(partition.asInstanceOf[GraftChangesPartition],
-      GraftStreamingWrite.toConfiguration(hadoopConf))
+    partition match {
+      case m: GraftChangesMergePartition =>
+        new GraftChangesMergeReader(m, GraftStreamingWrite.toConfiguration(hadoopConf))
+      case p: GraftChangesPartition =>
+        new GraftChangesPartitionReader(p, GraftStreamingWrite.toConfiguration(hadoopConf))
+    }
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftChangesColumnarReader(partition.asInstanceOf[GraftChangesPartition],
       GraftStreamingWrite.toConfiguration(hadoopConf))
@@ -423,21 +481,14 @@ class GraftChangesPartitionReader(p: GraftChangesPartition,
     false
   }
 
+  private val colReaders = new ColReaders(p.cols)
+
   private def toRow(g: Group, lsn: Long): InternalRow = {
     val deleted = GroupReads.isDeleted(g)
     val vals = new Array[Any](p.cols.length +
       (if (p.wantChangeType) 1 else 0) + (if (p.wantLsn) 1 else 0))
     var i = 0
-    while (i < p.cols.length) {
-      val c = p.cols(i)
-      vals(i) =
-        if (c.storedName == null || !g.getType.containsField(c.storedName) ||
-            g.getFieldRepetitionCount(c.storedName) == 0) null
-        else GroupReads.widen(
-          GroupReads.read(g, c.storedName, DataType.fromJson(c.storedTypeJson)),
-          DataType.fromJson(c.storedTypeJson), DataType.fromJson(c.outTypeJson))
-      i += 1
-    }
+    while (i < p.cols.length) { vals(i) = colReaders.read(g, i); i += 1 }
     if (p.wantChangeType) { vals(i) = if (deleted) delete else upsert; i += 1 }
     if (p.wantLsn) vals(i) = lsn
     new GenericInternalRow(vals)
@@ -445,4 +496,39 @@ class GraftChangesPartitionReader(p: GraftChangesPartition,
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+/** Bootstrap feed reader for ONE merge-on-read bucket: LWW-resolves the
+  * bucket's complete file set (base + delta layers) via
+  * [[BucketMergeResolve]], then emits each winner once — live rows as
+  * "upsert" post-images, tombstone winners as "delete" — so the bootstrap
+  * image is exactly the table's current state, never a superseded layer. */
+class GraftChangesMergeReader(p: GraftChangesMergePartition,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val winners: java.util.Iterator[Array[Any]] =
+    BucketMergeResolve.winners(p.files, p.keyIdx, p.lsnIdx, p.delIdx, conf)
+
+  private val upsert = UTF8String.fromString("upsert")
+  private val delete = UTF8String.fromString("delete")
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!winners.hasNext) false
+    else {
+      val v = winners.next()
+      val deleted = v(p.delIdx).asInstanceOf[Boolean]
+      val vals = new Array[Any](p.dataLen +
+        (if (p.wantChangeType) 1 else 0) + (if (p.wantLsn) 1 else 0))
+      System.arraycopy(v, 0, vals, 0, p.dataLen)
+      var i = p.dataLen
+      if (p.wantChangeType) { vals(i) = if (deleted) delete else upsert; i += 1 }
+      if (p.wantLsn) vals(i) = v(p.lsnIdx)
+      current = new GenericInternalRow(vals)
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }

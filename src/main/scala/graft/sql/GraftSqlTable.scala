@@ -969,26 +969,10 @@ class GraftPartitionReader(p: GraftInputPartition,
 
   private def isDeleted(g: Group): Boolean = GroupReads.isDeleted(g)
 
-  private def toRow(g: Group): InternalRow = {
-    val vals = new Array[Any](p.cols.length)
-    var i = 0
-    while (i < p.cols.length) {
-      val c = p.cols(i)
-      vals(i) =
-        if (c.storedName == null || !g.getType.containsField(c.storedName) ||
-            g.getFieldRepetitionCount(c.storedName) == 0) null
-        else widen(read(g, c.storedName, DataType.fromJson(c.storedTypeJson)),
-          DataType.fromJson(c.storedTypeJson), DataType.fromJson(c.outTypeJson))
-      i += 1
-    }
-    new GenericInternalRow(vals)
-  }
+  private val colReaders = new ColReaders(p.cols)
 
-  private def read(g: Group, name: String, dt: DataType): Any =
-    GroupReads.read(g, name, dt)
-
-  private def widen(v: Any, from: DataType, to: DataType): Any =
-    GroupReads.widen(v, from, to)
+  private def toRow(g: Group): InternalRow =
+    new GenericInternalRow(colReaders.readAll(g))
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
@@ -1025,6 +1009,88 @@ private[sql] object GroupReads {
     }
 }
 
+/** Per-file column extraction with the DataType JSON parsed ONCE per column
+  * (the row loops are hot; parsing a type per cell is O(rows × cols) JSON
+  * work — a layered-bucket merge read of a 2M-row bucket would otherwise
+  * spend its CPU in the JSON parser, not the parquet decoder). */
+private[sql] final class ColReaders(cols: Array[ColSpec]) {
+  private val storedTypes: Array[DataType] = cols.map(c =>
+    if (c.storedTypeJson == null) null else DataType.fromJson(c.storedTypeJson))
+  private val outTypes: Array[DataType] = cols.map(c =>
+    if (c.outTypeJson == null) null else DataType.fromJson(c.outTypeJson))
+  def read(g: org.apache.parquet.example.data.Group, i: Int): Any = {
+    val c = cols(i)
+    if (c.storedName == null || !g.getType.containsField(c.storedName) ||
+        g.getFieldRepetitionCount(c.storedName) == 0) null
+    else GroupReads.widen(GroupReads.read(g, c.storedName, storedTypes(i)),
+      storedTypes(i), outTypes(i))
+  }
+  def readAll(g: org.apache.parquet.example.data.Group): Array[Any] = {
+    val vals = new Array[Any](cols.length)
+    var i = 0
+    while (i < cols.length) { vals(i) = read(g, i); i += 1 }
+    vals
+  }
+}
+
+/** Shared last-writer-wins resolution over one bucket's layered files (base
+  * + merge-on-read deltas): reads every file through its own stored-schema
+  * projection and keeps, per key, the (lsn, tombstone-priority) max — the
+  * same order as the engine's stored-row LWW (`Dedup.opPriority`: D beats S
+  * on the impossible-by-invariant lsn tie). Bucket-local resolution is
+  * globally correct because the bucket hash co-locates every version of a
+  * key. Used by the live scan's [[GraftBucketMergeReader]] (which then
+  * drops tombstone winners) and the change feed's bootstrap merge reader
+  * (which emits them as deletes). */
+private[sql] object BucketMergeResolve {
+  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.schema.MessageType
+
+  def winners(files: Array[MergeFileSlice], keyIdx: Array[Int], lsnIdx: Int,
+      delIdx: Int, conf: org.apache.hadoop.conf.Configuration): java.util.Iterator[Array[Any]] = {
+    def lsnOf(v: Array[Any]): Long = v(lsnIdx).asInstanceOf[Long]
+    def deletedOf(v: Array[Any]): Boolean = v(delIdx).asInstanceOf[Boolean]
+    def newer(a: Array[Any], b: Array[Any]): Boolean = {
+      val la = lsnOf(a); val lb = lsnOf(b)
+      la > lb || (la == lb && deletedOf(a) && !deletedOf(b))
+    }
+    val map = new java.util.HashMap[Seq[Any], Array[Any]]()
+    files.foreach { slice =>
+      val hPath = new org.apache.hadoop.fs.Path(slice.filePath)
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+      val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val want = slice.cols.flatMap(c => Option(c.storedName)).toSet
+      val projected = new MessageType(fileSchema.getName,
+        fileSchema.getFields.asScala.filter(f => want.contains(f.getName)).asJava)
+      val sliceConf = new org.apache.hadoop.conf.Configuration(conf)
+      sliceConf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projected.toString)
+      val readers = new ColReaders(slice.cols)
+      val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+        ParquetReader.builder(new GroupReadSupport(), hPath).withConf(sliceConf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val vals = readers.readAll(g)
+          // binary key components get value equality via ByteBuffer wrapping
+          val key: Seq[Any] = keyIdx.toSeq.map { ki =>
+            vals(ki) match {
+              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+              case v => v
+            }
+          }
+          val prev = map.get(key)
+          if (prev == null || newer(vals, prev)) map.put(key, vals)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    map.values().iterator()
+  }
+}
+
 /** Merge-on-read reader for ONE bucket: reads every file of the bucket
   * (base + delta layers, each through its own stored-schema projection),
   * resolves last-writer-wins per key by (lsn, tombstone-priority) in a local
@@ -1041,66 +1107,12 @@ private[sql] object GroupReads {
 class GraftBucketMergeReader(p: GraftMergeInputPartition,
     conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
-  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
-  import org.apache.parquet.hadoop.example.GroupReadSupport
-  import org.apache.parquet.hadoop.util.HadoopInputFile
-  import org.apache.parquet.schema.MessageType
 
-  private val winners: java.util.Iterator[Array[Any]] = {
-    val map = new java.util.HashMap[Seq[Any], Array[Any]]()
-    p.files.foreach { slice =>
-      val hPath = new org.apache.hadoop.fs.Path(slice.filePath)
-      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
-      val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-      val want = slice.cols.flatMap(c => Option(c.storedName)).toSet
-      val projected = new MessageType(fileSchema.getName,
-        fileSchema.getFields.asScala.filter(f => want.contains(f.getName)).asJava)
-      val sliceConf = new org.apache.hadoop.conf.Configuration(conf)
-      sliceConf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        projected.toString)
-      val reader: ParquetReader[org.apache.parquet.example.data.Group] =
-        ParquetReader.builder(new GroupReadSupport(), hPath).withConf(sliceConf).build()
-      try {
-        var g = reader.read()
-        while (g != null) {
-          val vals = new Array[Any](slice.cols.length)
-          var i = 0
-          while (i < slice.cols.length) {
-            val c = slice.cols(i)
-            vals(i) =
-              if (c.storedName == null || !g.getType.containsField(c.storedName) ||
-                  g.getFieldRepetitionCount(c.storedName) == 0) null
-              else GroupReads.widen(
-                GroupReads.read(g, c.storedName, DataType.fromJson(c.storedTypeJson)),
-                DataType.fromJson(c.storedTypeJson), DataType.fromJson(c.outTypeJson))
-            i += 1
-          }
-          // binary key components get value equality via ByteBuffer wrapping
-          val key: Seq[Any] = p.keyIdx.toSeq.map { ki =>
-            vals(ki) match {
-              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-              case v => v
-            }
-          }
-          val prev = map.get(key)
-          if (prev == null || newer(vals, prev)) map.put(key, vals)
-          g = reader.read()
-        }
-      } finally reader.close()
-    }
-    map.values().iterator()
-  }
+  private val winners: java.util.Iterator[Array[Any]] =
+    BucketMergeResolve.winners(p.files, p.keyIdx, p.lsnIdx, p.delIdx, conf)
 
-  private def lsnOf(v: Array[Any]): Long = v(p.lsnIdx).asInstanceOf[Long]
   private def deletedOf(v: Array[Any]): Boolean =
     v(p.delIdx).asInstanceOf[Boolean]
-  /** Same order as the engine's stored-row LWW (Dedup.opPriority: D=2,
-    * S=-1); equal (lsn, priority) pairs carry identical payloads by the
-    * engine invariant, so keeping the incumbent is deterministic. */
-  private def newer(a: Array[Any], b: Array[Any]): Boolean = {
-    val la = lsnOf(a); val lb = lsnOf(b)
-    la > lb || (la == lb && deletedOf(a) && !deletedOf(b))
-  }
 
   private var current: InternalRow = _
   override def next(): Boolean = {
