@@ -151,18 +151,31 @@ class MorSpec extends SparkTestBase {
     assert(rows == Seq("new"))
   }
 
-  test("incremental rollup views stay exact across delta commits (full-refresh fallback)") {
-    val t = freshTable("mor-views")
+  test("rollup views take the exact incremental step across delta commits (reads ∝ batch)") {
+    val t = freshTable("mor-views", buckets = 32)
     val vm = new ViewMaintainer(t, tmpDir("mor-vm"), Seq(
       RollupView("langs", Seq("lang"))))
+    def got() = vm.table("langs").currentState().collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n"))).toMap
+    def want() = t.currentState().groupBy("lang").count().collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("count"))).toMap
     t.merge(b1, 0)
     vm.refreshAll(0L)
+    val totalFiles = t.meta.currentSnapshot.get.files.size
     t.merge(b2, 1, delta = true) // +1 py insert, -1 scala delete, 1 scala update
-    vm.refreshAll(1L)
-    val got = vm.table("langs").currentState().collect()
-      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n"))).toMap
-    val want = t.currentState().groupBy("lang").count().collect()
-      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("count"))).toMap
-    assert(got == want, s"view diverged from recompute: $got vs $want")
+    // delta commits take the EXACT incremental step: the delta files plus the
+    // touched buckets' parent files once — never a full recompute
+    val scanned = vm.refreshAll(1L)("langs")
+    assert(scanned < totalFiles,
+      s"delta refresh read $scanned files, table holds $totalFiles — full recompute?")
+    assert(got() == want(), s"view diverged from recompute: ${got()} vs ${want()}")
+    // a 1-key delta update that MOVES the row between groups (scala → go):
+    // retraction lands in the old group, addition in the new, reading only
+    // the one touched bucket's delta file + its parent files
+    t.merge(batch((40L, "U", "r1", "p1", "c1", "go", "moved")), 2, delta = true)
+    val scanned2 = vm.refreshAll(2L)("langs")
+    assert(scanned2 <= 3, s"1-key delta refresh read $scanned2 files")
+    assert(got() == want() && got()("go") == 1L,
+      s"cross-group delta move diverged: ${got()} vs ${want()}")
   }
 }

@@ -108,4 +108,35 @@ class SqlMorSpec extends SparkTestBase {
       Seq("r2", "p2", "c2", null, "delete", 32L),
       Seq("rX", "pX", "cX", "new", "upsert", 33L)))
   }
+
+  test("$changes bootstrap over a layered table serves the merged image, one event per key") {
+    val cat = setupCatalog("mor5")
+    val t = layeredTable(cat, "nse")
+    // no fromSnapshot → bootstrap: buckets carrying delta layers must be
+    // LWW-resolved before serving, or a superseded base row would emit as a
+    // second upsert next to its replacement, and the deleted key's masked
+    // pre-image would emit next to its delete
+    val feed = spark.read.table("mor5.nse.`files$changes`")
+      .select("repo", "path", "commit", "content", "_change_type")
+      .collect().map(_.toSeq)
+    val perKey = feed.groupBy(r => (r(0), r(1), r(2))).view.mapValues(_.size)
+    assert(perKey.values.forall(_ == 1),
+      s"bootstrap emitted a key more than once: ${perKey.filter(_._2 > 1)}")
+    val m = feed.map(r => (r(0), r(1), r(2)) -> ((r(3), r(4)))).toMap
+    assert(m(("r1", "p1", "c1")) == (("updated", "upsert"))) // post-image, not v1
+    assert(m(("r2", "p2", "c2")) == ((null, "delete")))
+    assert(m(("rX", "pX", "cX")) == (("new", "upsert")))
+    assert(feed.length == 31) // 29 untouched upserts + 1 updated + 1 new + 1 delete
+    // the upsert set IS the live table
+    val upserts = feed.filter(_(4) == "upsert").map(_.take(4)).toSet
+    val live = t.currentState().select("repo", "path", "commit", "content")
+      .collect().map(_.toSeq).toSet
+    assert(upserts == live)
+    // column pruning through the merge partitions: a narrow projection still
+    // resolves on the full key + lsn internally but serves only what's asked
+    val narrow = spark.read.table("mor5.nse.`files$changes`")
+      .select("content", "_change_type").collect().map(_.toSeq).toSet
+    assert(narrow.contains(Seq("updated", "upsert")) &&
+      !narrow.exists(_.head == "v1"))
+  }
 }
