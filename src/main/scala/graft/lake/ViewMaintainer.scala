@@ -85,6 +85,11 @@ case class DistinctSketchView(name: String, groupCols: Seq[String],
     lgK: Int = 12) extends ViewSpec
 
 object ViewMaintainer {
+  /** Above this manifest-reported batch row count the delta-step key probe
+    * joins plain instead of broadcast (a forced broadcast of a bulk commit's
+    * keys would OOM the driver; trickle beats stay broadcast-cheap). */
+  val BroadcastKeyRows: Long = 2L * 1000 * 1000
+
   /** Ownership id stamped on a base table's view materializations (see
     * `existingViewTable` — the guard against name collisions). */
   def viewTableId(baseTableId: String, name: String): String =
@@ -242,8 +247,16 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String,
       val parentFiles = parent.files.filter(f => touched.contains(f.bucket))
       val newRows = base.readFileSubset(added, s.schemaId)
       val keys = newRows.select(base.meta.keyCols.map(col): _*)
+      // broadcast the key probe only when the manifest says the batch is
+      // small (the steady-state trickle beat); a bulk delta commit would
+      // blow the driver through a forced broadcast, so it takes a plain
+      // (bucket-colocated) semi join instead — rowCount is free metadata
+      val keyProbe =
+        if (added.map(_.rowCount).sum <= ViewMaintainer.BroadcastKeyRows)
+          broadcast(keys)
+        else keys
       val prevRows = base.readFileSubset(parentFiles, s.schemaId)
-        .join(broadcast(keys), base.meta.keyCols, "left_semi")
+        .join(keyProbe, base.meta.keyCols, "left_semi")
       applyDiff(r, s, newRows, prevRows)
       return (added.size + parentFiles.size).toLong
     }
