@@ -139,4 +139,39 @@ class SqlMorSpec extends SparkTestBase {
     assert(narrow.contains(Seq("updated", "upsert")) &&
       !narrow.exists(_.head == "v1"))
   }
+
+  test("streaming bootstrap over a layered table serves the merged image, then tails deltas raw") {
+    import org.apache.spark.sql.streaming.Trigger
+    val cat = setupCatalog("mor6")
+    val t = layeredTable(cat, "nsf")
+    val ckpt = tmpDir("morckpt")
+    val out = tmpDir("morout")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("startingSnapshot", "0")
+        .table("mor6.nsf.`files$changes`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out).outputMode("append").start()
+      q.awaitTermination()
+    }
+    def emitted = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("repo"), r.getAs[String]("path"),
+        r.getAs[String]("content"), r.getAs[String]("_change_type"))).toSeq
+    drain()
+    // the bootstrap micro-batch must already be merged: one event per key,
+    // the updated key's post-image only, the tombstoned key as a delete
+    val first = emitted
+    assert(first.length == 31 &&
+      first.groupBy(e => (e._1, e._2)).values.forall(_.size == 1))
+    assert(first.contains(("r1", "p1", "updated", "upsert")) &&
+      first.contains(("r2", "p2", null, "delete")) &&
+      !first.exists(_._3 == "v1"))
+    // a delta commit while the stream is down: the incremental batch serves
+    // the delta rows raw (true changes by the anti-stale probe), exactly once
+    t.merge(batch((40L, "U", "rX", "pX", "cX", "py", "new-2")), 2, delta = true)
+    drain()
+    assert(emitted.length == 32 &&
+      emitted.contains(("rX", "pX", "new-2", "upsert")))
+  }
 }
