@@ -118,6 +118,82 @@ object DedupOps {
       fresh.join(winners, Seq("line")).filter(lineEnc === col("wk")))
   }
 
+  // ---------- q76/q78 substring-dedup building blocks (shared so the full
+  // ---------- and incremental forms cannot drift)
+
+  private[ops] val SubstrK = 8
+
+  /** Tokenized docs with the planted boilerplate paragraph (every 5th doc
+    * shares a 13-token tail, so its k=8 windows repeat across ~N/5 docs):
+    * (doc_id, tk, n). */
+  private[ops] def substrDocs(docs: DataFrame): DataFrame = {
+    val boiler = "this shared boilerplate paragraph repeats across " +
+      "many documents in the training corpus verbatim"
+    docs.select(col("doc_id"),
+      filter(split(lower(when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + boiler))).otherwise(col("text"))),
+        " "), x => x =!= "").as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+  }
+
+  /** (doc_id, pos, w) — every k-token window occurrence (1-based pos). */
+  private[ops] def substrWindows(tok: DataFrame): DataFrame = {
+    val k = SubstrK
+    spread(tok).filter(col("n") >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), (col("n") - (k - 1)).cast("int")),
+        i => struct(i.cast("long").as("pos"),
+          array_join(slice(col("tk"), i, lit(k)), " ").as("w")))).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.w").as("w"))
+  }
+
+  /** Per-doc coverage of the duplicated windows: explode each duplicated
+    * occurrence to its k token positions, distinct, count — then the audit
+    * row (n_tokens, n_dup_tokens, dup_fraction, keep) per input doc. */
+  private[ops] def substrCoverage(tok: DataFrame, win: DataFrame,
+      dupWin: DataFrame): DataFrame = {
+    val covered = win.join(dupWin, Seq("w"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SubstrK - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+    tok.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_fraction",
+        when(col("n_tokens") > 0, round(
+          col("n_dup_tokens").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("dup_fraction") < 0.5)
+  }
+
+  /** Durable window index: one row per DISTINCT k-token window the ingested
+    * corpus carries — the state a pipeline appends per batch (the substring
+    * analogue of q70's lineIndex; at corpus scale the stored key is
+    * xxhash64(w) — 8 bytes per window, collisions only ever over-mark). */
+  def substringWindowIndex(docs: DataFrame): DataFrame =
+    substrWindows(substrDocs(docs)).select(col("w")).distinct()
+
+  /** Incremental substring dedup: audit a new batch against the admitted
+    * corpus at cost ∝ BATCH. A batch window is duplicated iff it already
+    * exists in the index (corpus count ≥ 1, batch adds ≥ 1 → total ≥ 2) or
+    * occurs ≥ 2 times within the batch — together exactly the full
+    * recompute's occurrence test restricted to batch docs, so this carries
+    * a full DuckDB oracle (q78). One batch explode, one map-combined
+    * window-keyed count, one semi join of the batch's singleton windows
+    * against the index (bucketed/bloom-pruned at corpus scale); the corpus
+    * is never re-scanned. */
+  def substringDedupIncremental(batch: DataFrame, index: DataFrame): DataFrame = {
+    val tok = substrDocs(batch)
+    val win = substrWindows(tok)
+    val counts = win.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val dupWin = counts.filter(col("c") >= 2).select(col("w"))
+      .unionByName(counts.filter(col("c") === 1).select(col("w"))
+        .join(index, Seq("w"), "left_semi"))
+    substrCoverage(tok, win, dupWin)
+  }
+
   // --------------------------------------------------------------- queries
 
   val all: Seq[OpQuery] = Seq(
@@ -487,36 +563,11 @@ object DedupOps {
     // doc-keyed exchange. No window over the corpus, nothing on the driver.
     OpQuery("q76_substring_dedup",
       (s, d) => {
-        val k = 8
-        val boiler = "this shared boilerplate paragraph repeats across " +
-          "many documents in the training corpus verbatim"
-        val docs = t(s, d, "documents").select(col("doc_id"),
-          filter(split(lower(when(col("doc_id") % 5 === 0,
-            concat(col("text"), lit(" " + boiler))).otherwise(col("text"))),
-            " "), x => x =!= "").as("tk"))
-          .withColumn("n", size(col("tk")).cast("long"))
-        val win = spread(docs).filter(col("n") >= k)
-          .select(col("doc_id"), explode(transform(
-            sequence(lit(1), (col("n") - (k - 1)).cast("int")),
-            i => struct(i.cast("long").as("pos"),
-              array_join(slice(col("tk"), i, lit(k)), " ").as("w")))).as("x"))
-          .select(col("doc_id"), col("x.pos").as("pos"), col("x.w").as("w"))
+        val tok = substrDocs(t(s, d, "documents"))
+        val win = substrWindows(tok)
         val dupWin = win.groupBy(col("w")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2).select(col("w"))
-        val covered = win.join(dupWin, Seq("w"))
-          .select(col("doc_id"),
-            explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
-          .distinct()
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
-        docs.select(col("doc_id"), col("n").as("n_tokens"))
-          .join(covered, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
-          .withColumn("dup_fraction",
-            when(col("n_tokens") > 0, round(
-              col("n_dup_tokens").cast("double") / col("n_tokens"), 6))
-              .otherwise(lit(0.0)))
-          .withColumn("keep", col("dup_fraction") < 0.5)
+        substrCoverage(tok, win, dupWin)
       },
       Some("""WITH base AS (
              |  SELECT doc_id,
@@ -538,6 +589,54 @@ object DedupOps {
              |              FROM w JOIN dup USING (w))),
              |cnt AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY 1),
              |nt AS (SELECT doc_id, len(tk) AS n_tokens FROM tok)
+             |SELECT doc_id, n_tokens, n_dup_tokens, dup_fraction,
+             |  dup_fraction < 0.5 AS keep
+             |FROM (
+             |  SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+             |    coalesce(cnt.n_dup_tokens, 0) AS n_dup_tokens,
+             |    CASE WHEN nt.n_tokens > 0
+             |      THEN round(CAST(coalesce(cnt.n_dup_tokens, 0) AS DOUBLE)
+             |                   / nt.n_tokens, 6)
+             |      ELSE 0.0 END AS dup_fraction
+             |  FROM nt LEFT JOIN cnt USING (doc_id))""".stripMargin)),
+
+    // INCREMENTAL substring dedup — q76's CDC-native form, completing the
+    // incremental trio (q40 minhash bands, q70 lines, q78 k-token windows):
+    // a durable window index (distinct admitted windows) is built from the
+    // ingested corpus (doc_id < 250), and the new batch (doc_id ≥ 250) is
+    // audited against it at cost ∝ BATCH — a batch window is duplicated iff
+    // it exists in the index or repeats within the batch, which is exactly
+    // the full q76 occurrence test restricted to batch docs. Full DuckDB
+    // oracle: the q76 SQL (windows over the whole corpus = index ∪ batch)
+    // with the final select filtered to batch docs; DedupSpec asserts
+    // incremental ≡ full directly.
+    OpQuery("q78_substring_dedup_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        substringDedupIncremental(docs.filter(col("doc_id") >= 250),
+          substringWindowIndex(docs.filter(col("doc_id") < 250)))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN lower(text) ||
+             |      ' this shared boilerplate paragraph repeats across many documents in the training corpus verbatim'
+             |    ELSE lower(text) END AS t
+             |  FROM documents),
+             |tok AS (SELECT doc_id,
+             |          list_filter(string_split(t, ' '), x -> x <> '') AS tk
+             |        FROM base),
+             |w AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], ' ') AS w
+             |      FROM (SELECT doc_id, tk,
+             |              unnest(generate_series(1, len(tk) - 7)) AS i
+             |            FROM tok WHERE len(tk) >= 8)),
+             |dup AS (SELECT w FROM w GROUP BY 1 HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT doc_id, p
+             |        FROM (SELECT w.doc_id,
+             |                unnest(generate_series(w.pos, w.pos + 7)) AS p
+             |              FROM w JOIN dup USING (w))
+             |        WHERE doc_id >= 250),
+             |cnt AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY 1),
+             |nt AS (SELECT doc_id, len(tk) AS n_tokens FROM tok WHERE doc_id >= 250)
              |SELECT doc_id, n_tokens, n_dup_tokens, dup_fraction,
              |  dup_fraction < 0.5 AS keep
              |FROM (

@@ -270,6 +270,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("q78 incremental substring dedup ≡ full q76 restricted to the batch") {
+    val full = graft.SparkEntry.queries("q76_substring_dedup")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 250)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val inc = graft.SparkEntry.queries("q78_substring_dedup_incremental")(spark, dir)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(inc == full, "incremental audit diverged from the full recompute")
+    assert(inc.nonEmpty)
+    // the batch shares planted boilerplate with the ingested corpus, so
+    // cross-set duplication must be detected through the index alone
+    val crossSet = graft.SparkEntry.queries("q78_substring_dedup_incremental")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .collect()
+    assert(crossSet.nonEmpty && crossSet.forall(_.getLong(2) >= 13),
+      "planted cross-set boilerplate not covered via the window index")
+  }
+
   test("q67 line dedup is invariant to the shuffle layout") {
     def run() = graft.SparkEntry.queries("q67_line_dedup")(spark, dir)
       .collect().map(_.mkString("|")).sorted.toSeq
