@@ -85,10 +85,16 @@ case class DistinctSketchView(name: String, groupCols: Seq[String],
     lgK: Int = 12) extends ViewSpec
 
 object ViewMaintainer {
-  /** Above this manifest-reported batch row count the delta-step key probe
-    * joins plain instead of broadcast (a forced broadcast of a bulk commit's
-    * keys would OOM the driver; trickle beats stay broadcast-cheap). */
-  val BroadcastKeyRows: Long = 2L * 1000 * 1000
+  /** Above this manifest-reported batch size the delta-step key probe joins
+    * plain instead of broadcast (a forced broadcast of a bulk commit's keys
+    * would OOM the driver; trickle beats stay broadcast-cheap). Byte-based:
+    * the key set is a subset of the files' content, so on-disk bytes bound
+    * the broadcast from above — a row-count gate would wave through a
+    * near-cutoff batch of wide string keys. Legacy files without a recorded
+    * size estimate conservatively at 64 B/row. */
+  val BroadcastKeyBytes: Long = 64L << 20
+  private[lake] def approxBytes(f: DataFileMeta): Long =
+    if (f.sizeBytes > 0) f.sizeBytes else f.rowCount * 64L
 
   /** Ownership id stamped on a base table's view materializations (see
     * `existingViewTable` — the guard against name collisions). */
@@ -245,19 +251,24 @@ class ViewMaintainer(base: LakeTable, viewsRoot: String,
         return fullStep(r, s) // unknown mixed commit shape: stay correct
       val touched = added.map(_.bucket).toSet
       val parentFiles = parent.files.filter(f => touched.contains(f.bucket))
-      val newRows = base.readFileSubset(added, s.schemaId)
-      val keys = newRows.select(base.meta.keyCols.map(col): _*)
-      // broadcast the key probe only when the manifest says the batch is
-      // small (the steady-state trickle beat); a bulk delta commit would
-      // blow the driver through a forced broadcast, so it takes a plain
-      // (bucket-colocated) semi join instead — rowCount is free metadata
-      val keyProbe =
-        if (added.map(_.rowCount).sum <= ViewMaintainer.BroadcastKeyRows)
-          broadcast(keys)
-        else keys
-      val prevRows = base.readFileSubset(parentFiles, s.schemaId)
-        .join(keyProbe, base.meta.keyCols, "left_semi")
-      applyDiff(r, s, newRows, prevRows)
+      // cached: the batch subplan feeds BOTH the key probe and applyDiff's
+      // +1 side — without the cache each delta file would be parquet-decoded
+      // and LWW-aggregated twice per view per snapshot
+      val newRows = base.readFileSubset(added, s.schemaId).cache()
+      try {
+        val keys = newRows.select(base.meta.keyCols.map(col): _*)
+        // broadcast the key probe only when the manifest says the batch is
+        // small (the steady-state trickle beat); a bulk delta commit would
+        // blow the driver through a forced broadcast, so it takes a plain
+        // (bucket-colocated) semi join instead — sizeBytes is free metadata
+        val keyProbe =
+          if (added.map(ViewMaintainer.approxBytes).sum <= ViewMaintainer.BroadcastKeyBytes)
+            broadcast(keys)
+          else keys
+        val prevRows = base.readFileSubset(parentFiles, s.schemaId)
+          .join(keyProbe, base.meta.keyCols, "left_semi")
+        applyDiff(r, s, newRows, prevRows)
+      } finally newRows.unpersist()
       return (added.size + parentFiles.size).toLong
     }
     if (added.isEmpty && removed.isEmpty) {

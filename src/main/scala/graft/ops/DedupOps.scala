@@ -169,9 +169,13 @@ object DedupOps {
   }
 
   /** Durable window index: one row per DISTINCT k-token window the ingested
-    * corpus carries — the state a pipeline appends per batch (the substring
-    * analogue of q70's lineIndex; at corpus scale the stored key is
-    * xxhash64(w) — 8 bytes per window, collisions only ever over-mark). */
+    * corpus carries, stored as the raw window STRING so the oracle and the
+    * incremental≡full equivalence stay exact — the state a pipeline appends
+    * per batch (the substring analogue of q70's lineIndex). At corpus scale
+    * the cheaper option is keying the index by xxhash64(w) — 8 bytes per
+    * window, collisions only ever over-mark a span — at the cost of
+    * exactness; that variant is a one-line change here, not what this
+    * implementation does. */
   def substringWindowIndex(docs: DataFrame): DataFrame =
     substrWindows(substrDocs(docs)).select(col("w")).distinct()
 

@@ -233,22 +233,14 @@ object GraftChangesScan {
     val mergeParts: Seq[InputPartition] =
       if (layered.isEmpty) Seq.empty
       else {
-        // read layout = projected data fields, then any key column the query
-        // didn't project, then _lsn + _deleted — resolution needs them all
-        val tgtField: Map[String, StructField] = target.columns.map(c =>
-          c.name -> StructField(c.name, c.dataType, c.nullable)).toMap
-        val layout: Seq[StructField] = dataFields.toSeq ++
-          m.keyCols.filterNot(dataFields.map(_.name).contains).map(tgtField) ++
-          Seq(StructField(LakeTable.LsnCol, LongType, nullable = false),
-            StructField(LakeTable.DeletedCol, BooleanType, nullable = false))
-        val keyIdx = m.keyCols.map(k => layout.indexWhere(_.name == k)).toArray
-        val lsnIdx = layout.indexWhere(_.name == LakeTable.LsnCol)
-        val delIdx = layout.indexWhere(_.name == LakeTable.DeletedCol)
+        val ml = MergeLayout.of(dataFields.toSeq, m.keyCols,
+          target.columns.map(c =>
+            c.name -> StructField(c.name, c.dataType, c.nullable)).toMap)
         layered.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (_, fs) =>
           val slices = fs.map(f =>
-            MergeFileSlice(s"$root/${f.path}", colSpecsFor(f, layout)))
-          GraftChangesMergePartition(slices.toArray, keyIdx, lsnIdx, delIdx,
-            dataFields.length, wantCt, wantLsn)
+            MergeFileSlice(s"$root/${f.path}", colSpecsFor(f, ml.fields)))
+          GraftChangesMergePartition(slices.toArray, ml.keyIdx, ml.lsnIdx,
+            ml.delIdx, dataFields.length, wantCt, wantLsn)
         }
       }
     (plainParts ++ mergeParts).toArray

@@ -765,26 +765,17 @@ class GraftScan(root: String, meta: TableMeta, schemaId: Int,
     val mergeParts: Seq[InputPartition] =
       if (layered.isEmpty) Seq.empty
       else {
-        // read layout = required fields, then any key column the query
-        // didn't project, then _lsn + _deleted — resolution needs them all;
-        // the reader emits only the first |required| values
-        val targetByName = meta.schemaById(schemaId).columns.map(c =>
-          c.name -> StructField(c.name, c.dataType, c.nullable)).toMap
-        val layout: Seq[StructField] = required.fields.toSeq ++
-          meta.keyCols.filterNot(required.fieldNames.contains).map(targetByName) ++
-          Seq(StructField(LakeTable.LsnCol, LongType, nullable = false),
-            StructField(LakeTable.DeletedCol, BooleanType, nullable = false))
-        val keyIdx = meta.keyCols.map(k => layout.indexWhere(_.name == k)).toArray
-        val lsnIdx = layout.indexWhere(_.name == LakeTable.LsnCol)
-        val delIdx = layout.indexWhere(_.name == LakeTable.DeletedCol)
+        val ml = MergeLayout.of(required.fields.toSeq, meta.keyCols,
+          meta.schemaById(schemaId).columns.map(c =>
+            c.name -> StructField(c.name, c.dataType, c.nullable)).toMap)
         layered.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fs) =>
           // NO per-file parquet predicates here: row-group/record filtering
           // before resolution could drop the winner that supersedes a
           // surviving stale row; Spark re-applies all filters post-scan
           val slices = fs.map(f =>
-            MergeFileSlice(s"$root/${f.path}", colSpecsFor(f, layout)))
-          GraftMergeInputPartition(b, slices.toArray, keyIdx, lsnIdx, delIdx,
-            required.fields.length)
+            MergeFileSlice(s"$root/${f.path}", colSpecsFor(f, ml.fields)))
+          GraftMergeInputPartition(b, slices.toArray, ml.keyIdx, ml.lsnIdx,
+            ml.delIdx, required.fields.length)
         }
       }
     (plainParts ++ mergeParts).toArray
@@ -1042,6 +1033,31 @@ private[sql] final class ColReaders(cols: Array[ColSpec]) {
   * key. Used by the live scan's [[GraftBucketMergeReader]] (which then
   * drops tombstone winners) and the change feed's bootstrap merge reader
   * (which emits them as deletes). */
+/** Merge-read layout shared by the live scan's and the change feed's
+  * layered-bucket planners: the projected fields, then any key column the
+  * projection misses, then `_lsn` + `_deleted`, plus the index positions
+  * [[BucketMergeResolve.winners]] needs. One implementation so the two
+  * merge planners cannot silently diverge (the reader emits only the first
+  * |projected| values). */
+private[sql] case class MergeLayout(fields: Seq[StructField],
+    keyIdx: Array[Int], lsnIdx: Int, delIdx: Int)
+
+private[sql] object MergeLayout {
+  def of(projected: Seq[StructField], keyCols: Seq[String],
+      targetField: Map[String, StructField]): MergeLayout = {
+    val fields = projected ++
+      keyCols.filterNot(projected.map(_.name).contains).map(k =>
+        targetField.getOrElse(k,
+          sys.error(s"key column $k missing from the target schema"))) ++
+      Seq(StructField(LakeTable.LsnCol, LongType, nullable = false),
+        StructField(LakeTable.DeletedCol, BooleanType, nullable = false))
+    MergeLayout(fields,
+      keyCols.map(k => fields.indexWhere(_.name == k)).toArray,
+      fields.indexWhere(_.name == LakeTable.LsnCol),
+      fields.indexWhere(_.name == LakeTable.DeletedCol))
+  }
+}
+
 private[sql] object BucketMergeResolve {
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
   import org.apache.parquet.hadoop.example.GroupReadSupport

@@ -126,7 +126,7 @@ class SqlMorSpec extends SparkTestBase {
     assert(m(("r1", "p1", "c1")) == (("updated", "upsert"))) // post-image, not v1
     assert(m(("r2", "p2", "c2")) == ((null, "delete")))
     assert(m(("rX", "pX", "cX")) == (("new", "upsert")))
-    assert(feed.length == 31) // 29 untouched upserts + 1 updated + 1 new + 1 delete
+    assert(feed.length == 31) // 28 untouched upserts + 1 updated + 1 new + 1 delete
     // the upsert set IS the live table
     val upserts = feed.filter(_(4) == "upsert").map(_.take(4)).toSet
     val live = t.currentState().select("repo", "path", "commit", "content")
