@@ -364,9 +364,12 @@ object CdcPipeline {
       trigger: Trigger = Trigger.AvailableNow(),
       views: Option[ViewMaintainer] = None,
       compactEvery: Int = 0,
-      quarantineDir: Option[String] = None): Unit =
+      quarantineDir: Option[String] = None,
+      delta: Boolean = false,
+      foldEvery: Int = 0): Unit =
     start(spark, logDir, table, checkpoint, lineageDir, evolution,
-      maxFilesPerTrigger, salts, trigger, views, compactEvery, quarantineDir)
+      maxFilesPerTrigger, salts, trigger, views, compactEvery, quarantineDir,
+      delta = delta, foldEvery = foldEvery)
       .awaitTermination()
 
   /** Batch replay of a bounded log (same code path as one giant micro-batch). */

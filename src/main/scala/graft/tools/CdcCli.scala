@@ -167,6 +167,12 @@ object CdcCli {
           graft.lake.ViewMaintainer.forTable(table,
             java.nio.file.Paths.get(tableDir).toAbsolutePath.getParent.toString)
         }
+      // optional 5th arg: foldEvery — merge-on-read mode (the trickle-beat
+      // write path): every beat commits as a delta layer (write ∝ batch)
+      // and every Nth epoch folds the layers back to base files
+      val foldEvery = rest.drop(4).headOption.map(_.toInt).getOrElse(0)
+      if (foldEvery > 0)
+        println(s"[stream] merge-on-read mode: delta commits, fold every $foldEvery epochs")
       CdcPipeline.run(spark, logDir, table, ckpt,
         lineageDir = Some(s"$tableDir/_lineage"),
         maxFilesPerTrigger = rest.drop(1).headOption.map(_.toInt),
@@ -175,7 +181,8 @@ object CdcCli {
         compactEvery = rest.drop(3).headOption.map(_.toInt).getOrElse(0),
         // dead-letter sink: malformed envelopes land here with a reason
         // instead of failing the stream (a real feed always has a few)
-        quarantineDir = Some(s"$tableDir/_quarantine"))
+        quarantineDir = Some(s"$tableDir/_quarantine"),
+        delta = foldEvery > 0, foldEvery = foldEvery)
       val sec = (System.nanoTime() - t0) / 1e9
       val m = table.meta
       val nq = quarantineCount(spark, tableDir) - nqBefore
@@ -350,7 +357,7 @@ object CdcCli {
 
     case other =>
       System.err.println(s"unknown args: $other\n" +
-        "usage: gen <logDir> <n> [repos] [files] [multi] | gen-json <logDir> <n> [repos] [files] | stream-json <logDir> <tableDir> <ckpt> [buckets] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] | show <tableDir> | reconcile <logDir> <tableDir> [json] | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | fold <tableDir> | changes <tableDir> <fromSnap> [toSnap] | changes-json <tableDir> <outDir> <fromSnap|full> [toSnap] [schemaVersion] [to=N] [asof=N] [version=N] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
+        "usage: gen <logDir> <n> [repos] [files] [multi] | gen-json <logDir> <n> [repos] [files] | stream-json <logDir> <tableDir> <ckpt> [buckets] | route <logDir> <outDir> <ckpt> <t1,t2,..> | stream <logDir> <tableDir> <ckpt> [buckets] [maxFilesPerTrigger] [beatSec] [compactEvery] [foldEvery] | show <tableDir> | reconcile <logDir> <tableDir> [json] | vacuum <tableDir> [upToLsn] | rebucket <tableDir> <n> | compact <tableDir> [targetMB] [minFiles] | fold <tableDir> | changes <tableDir> <fromSnap> [toSnap] | changes-json <tableDir> <outDir> <fromSnap|full> [toSnap] [schemaVersion] [to=N] [asof=N] [version=N] | expire <tableDir> [keepLast] [olderThanMs] | mirror <srcTableDir> <destTableDir> [beatSec] | tag <tableDir> <name> [snapshotId] | sql <warehouseDir> <query> | explain <logDir> | bench <logDir> [buckets]")
       sys.exit(1)
   }
 }
