@@ -57,6 +57,26 @@ class CdcPipelineSpec extends SparkTestBase {
     assert(lin.filter(col("lsnMin") > col("lsnMax")).count() == 0)
   }
 
+  test("merge-on-read streaming (delta + foldEvery) == COW replay, byte-identical incl. evolution") {
+    val dir = tmpDir("pipemor")
+    writeLog(s"$dir/log", 6)
+    val mor = freshTable(s"$dir/t1")
+    // every beat a delta commit, folded every 2 epochs — the trickle-beat
+    // write path end-to-end through the streaming entry (the CLI's
+    // [foldEvery] arg drives exactly this)
+    CdcPipeline.run(spark, s"$dir/log", mor, s"$dir/ckpt1",
+      evolution = evolution, maxFilesPerTrigger = Some(1),
+      delta = true, foldEvery = 2)
+    val cow = freshTable(s"$dir/t2")
+    CdcPipeline.replayBatch(spark,
+      spark.read.schema(CdcPipeline.envelopeSchema).parquet(s"$dir/log"),
+      cow, evolution)
+    assert(stateSha(mor) == stateSha(cow))
+    assert(mor.meta.committedEpochs.size == 6)
+    assert(mor.meta.snapshots.exists(_.operation == "delta-merge"))
+    assert(mor.meta.snapshots.exists(_.operation == "fold"))
+  }
+
   test("kill/resume mid-stream from checkpoint reproduces identical state") {
     val dir = tmpDir("pipe")
     writeLog(s"$dir/log", 8)
