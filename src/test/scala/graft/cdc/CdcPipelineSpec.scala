@@ -111,6 +111,39 @@ class CdcPipelineSpec extends SparkTestBase {
     assert(stateSha(t) == stateSha(ref))
   }
 
+  test("kill/resume in merge-on-read mode: layered restarts still reach the COW state") {
+    val dir = tmpDir("pipemorkr")
+    writeLog(s"$dir/log", 8)
+    val ref = freshTable(s"$dir/ref")
+    CdcPipeline.run(spark, s"$dir/log", ref, s"$dir/ckptRef", evolution = evolution)
+    // interrupted MOR ingest: restarts land mid-layer and mid-fold cadence —
+    // the epoch ledger must keep delta commits exactly-once and a fold that
+    // never ran just leaves layers for the next matching epoch
+    val t = freshTable(s"$dir/t")
+    val partial = s"$dir/logPartial"
+    val all = new java.io.File(s"$dir/log").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def copyFirst(k: Int): Unit = {
+      new java.io.File(partial).mkdirs()
+      all.take(k).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(partial, f.getName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyFirst(3)
+    CdcPipeline.run(spark, partial, t, s"$dir/ckptT", evolution = evolution,
+      maxFilesPerTrigger = Some(1), delta = true, foldEvery = 2)
+    copyFirst(6)
+    CdcPipeline.run(spark, partial, t, s"$dir/ckptT", evolution = evolution,
+      maxFilesPerTrigger = Some(2), delta = true, foldEvery = 2)
+    copyFirst(8)
+    CdcPipeline.run(spark, partial, t, s"$dir/ckptT", evolution = evolution,
+      delta = true, foldEvery = 2)
+    assert(stateSha(t) == stateSha(ref))
+    assert(t.meta.snapshots.exists(_.operation == "delta-merge"))
+  }
+
   test("reconciler finds zero missing and zero stale rows after replay") {
     val dir = tmpDir("pipe")
     writeLog(s"$dir/log", 4)
