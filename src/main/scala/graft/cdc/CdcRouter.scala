@@ -36,11 +36,16 @@ object CdcRouter {
 
   /** One routing target: the table plus the per-table ingest state that must
     * survive across micro-batches (schema-version tracker, evolution plan,
-    * lineage sink). */
+    * lineage sink). `delta`/`foldEvery` opt the target into merge-on-read
+    * beats — the routed-feed case is where COW write amplification bites
+    * hardest, since each beat's per-table slice is tiny but still rewrites
+    * that table's touched buckets. */
   final case class RouteTarget(
       table: LakeTable,
       evolution: Map[Int, Seq[SchemaChange]] = Map.empty,
-      lineageDir: Option[String] = None) {
+      lineageDir: Option[String] = None,
+      delta: Boolean = false,
+      foldEvery: Int = 0) {
     private[cdc] val versions = new TableVersions
   }
 
@@ -95,7 +100,8 @@ object CdcRouter {
         val slice = batch.filter(disc === lit(name)).drop(discriminator)
         CdcPipeline.processBatch(slice, epochId, rt.table, rt.evolution,
           rt.versions, rt.lineageDir, salts = salts,
-          quarantineDir = quarantineDir.map(d => s"$d/table=$name"))
+          quarantineDir = quarantineDir.map(d => s"$d/table=$name"),
+          delta = rt.delta, foldEvery = rt.foldEvery)
       }
   }
 

@@ -68,6 +68,34 @@ class CdcRouterSpec extends SparkTestBase {
     assert(bare("code").table.currentState().isEmpty)
   }
 
+  test("per-target merge-on-read: delta-routed tables reach the COW-routed state") {
+    val dir = tmpDir("routermor")
+    val f = feed.cache()
+    try {
+      // two micro-batches so the delta target actually layers, then folds
+      val routesMor = Map(
+        "code" -> CdcRouter.RouteTarget(LakeTable.createOrReplace(spark,
+          s"$dir/mor/code", CdcPipeline.baseTableSchema, ChangeEvent.keyCols,
+          numBuckets = 8), delta = true, foldEvery = 2),
+        "docs" -> CdcRouter.RouteTarget(LakeTable.createOrReplace(spark,
+          s"$dir/mor/docs", docsSchema, ChangeEvent.keyCols, numBuckets = 4)))
+      val routesCow = freshRoutes(s"$dir/cow")
+      Seq(0L, 1L).foreach { epoch =>
+        val half = f.filter(pmod(col("lsn"), lit(2)) === epoch)
+        CdcRouter.processBatch(half, epoch, routesMor)
+        CdcRouter.processBatch(half, epoch, routesCow)
+      }
+      assert(dump(routesMor("code").table) == dump(routesCow("code").table))
+      assert(dump(routesMor("docs").table) == dump(routesCow("docs").table))
+      // the delta target really took the MOR path (and folded on epoch 1);
+      // the COW-configured sibling never did
+      val ops = routesMor("code").table.meta.snapshots.map(_.operation)
+      assert(ops.contains("delta-merge") && ops.contains("fold"), ops.toString)
+      assert(!routesCow("code").table.meta.snapshots.map(_.operation)
+        .contains("delta-merge"))
+    } finally f.unpersist()
+  }
+
   test("non-string discriminator routes by its string rendering — consistently") {
     val dir = tmpDir("router-int")
     // integer discriminator (a numeric table id, as some feeds carry):
