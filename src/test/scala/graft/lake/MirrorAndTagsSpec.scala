@@ -54,6 +54,32 @@ class MirrorAndTagsSpec extends SparkTestBase {
     assert(liveSet(dest) == liveSet(src))
   }
 
+  test("mirror: a merge-on-read source (delta commits) replicates exactly") {
+    val src = freshTable()
+    src.merge(batch((1 to 30).map(i =>
+      (i.toLong, "I", s"r${i % 5}", s"p$i", "c", "scala", s"v$i")): _*), 0)
+    val destRoot = tmpDir("mirmor") + "/dst"
+    TableMirror.syncOnce(src, destRoot)
+    val dest = LakeTable.forPath(spark, destRoot)
+    // a delta commit layers instead of rewriting; the mirror beat rides
+    // changes(), which widens to bucket granularity for delta-touched
+    // buckets and classifies updates as updates — the follower must land
+    // on the exact merged state, deletes included
+    src.merge(batch(
+      (41L, "U", "r1", "p1", "c", "scala", "v1-mor"),
+      (42L, "D", "r2", "p2", "c", "scala", null),
+      (43L, "I", "rX", "pX", "c", "go", "new")), 1, delta = true)
+    val inc = TableMirror.syncOnce(src, destRoot)
+    assert(inc.mode == "incremental", s"got $inc")
+    assert(liveSet(dest) == liveSet(src))
+    assert(dest.currentState().filter($"repo" === "r2" && $"path" === "p2").isEmpty)
+    // a fold on the source is layout-only: the next beat must be a no-op
+    assert(src.foldDeltas() >= 1)
+    val after = TableMirror.syncOnce(src, destRoot)
+    assert(after.rowsApplied == 0, s"fold leaked rows into the feed: $after")
+    assert(liveSet(dest) == liveSet(src))
+  }
+
   test("mirror: incremental beat reads only touched buckets, not the table") {
     val src = freshTable(buckets = 8)
     src.merge(batch((1 to 400).map(i =>
