@@ -95,6 +95,19 @@ class JdbcSinkSpec extends SparkTestBase {
     JdbcWarehouseSync.syncOnce(t, sink)
     assert(sink.watermark() == wm)
     assert(readBack(url, "code_files") == lakeState(t))
+
+    // beat 3 lands as a merge-on-read DELTA commit: manifest pruning picks
+    // only the delta layer (its rows are true winners by the anti-stale
+    // probe) and the sink still converges — update overwrites, delete lands
+    val b3 = Seq(
+      (51L, "U", "r1", "p1", "c1", "scala", "v1-mor"),
+      (52L, "D", "r9", "p99", "c99", "go", null))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    t.merge(b3, 2, delta = true)
+    assert(JdbcWarehouseSync.syncOnce(t, sink) > 0)
+    assert(readBack(url, "code_files") == lakeState(t))
+    assert(!readBack(url, "code_files").exists(r =>
+      r(0) == "r9" && r(1) == "p99"))
   }
 
   test("upsert survives drivers reporting SUCCESS_NO_INFO batch counts (no lost inserts)") {
