@@ -69,18 +69,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregates' buffers store exact (Long/Int) — cast here (SimplifyCasts
     // erases the no-op ones after resolution, so resolved-LONG inputs keep
     // the primitive fast path)
-    import org.apache.spark.sql.catalyst.expressions.Cast
-    import org.apache.spark.sql.types.{IntegerType, LongType}
+    // ranking args are passed UNCAST: the aggregates accept any integral
+    // type (widened internally) and REJECT non-integral ones at analysis —
+    // a blanket Cast(_, LongType) would accept a DOUBLE score and silently
+    // truncate every rank in [0,1) to 0
     ext.injectFunction((FunctionIdentifier("lww_max_by"),
       info("lww_max_by", "lww_max_by(row, lsn, pri) - last-writer-wins winner row"),
       (args: Seq[Expression]) => { arity("lww_max_by", args, 3)
-        LwwMaxBy(args(0), Cast(args(1), LongType),
-          Cast(args(2), IntegerType)).toAggregateExpression() }))
+        LwwMaxBy(args(0), args(1), args(2)).toAggregateExpression() }))
     ext.injectFunction((FunctionIdentifier("top_k_by"),
       info("top_k_by",
         "top_k_by(row, ord, tie, k) - array of the group's top-k rows by (ord DESC, tie ASC)"),
       (args: Seq[Expression]) => { arity("top_k_by", args, 4)
-        TopKBy(args(0), Cast(args(1), LongType), Cast(args(2), LongType),
+        TopKBy(args(0), args(1), args(2),
           intLit("top_k_by", args(3), "k")).toAggregateExpression() }))
     ext.injectFunction((FunctionIdentifier("theta_sketch_agg"),
       info("theta_sketch_agg",

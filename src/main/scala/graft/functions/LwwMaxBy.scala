@@ -36,16 +36,17 @@ case class LwwMaxBy(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[LwwBuffer] with TernaryLike[Expression] {
 
-  // the buffer stores (Long lsn, Int pri); the SQL builder casts narrower
-  // integrals up front (a bare INT lsn would otherwise ClassCastException
-  // mid-aggregation) — this check makes a miswired construction fail at
-  // analysis, not at runtime; the engine's call sites pass the exact types
+  // the buffer stores (Long lsn, Int pri); any INTEGRAL lsn/pri widens
+  // losslessly in update(). Non-integral types fail at ANALYSIS — a
+  // blanket cast would accept DOUBLE/STRING and silently truncate
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    if (lsn.dataType != LongType)
-      TypeCheckResult.TypeCheckFailure(s"lww_max_by: lsn must be BIGINT, got ${lsn.dataType}")
-    else if (pri.dataType != IntegerType)
-      TypeCheckResult.TypeCheckFailure(s"lww_max_by: pri must be INT, got ${pri.dataType}")
+    if (!TopKBy.integral(lsn.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"lww_max_by: lsn must be an integral type (TINYINT..BIGINT), got ${lsn.dataType}")
+    else if (!Seq(ByteType, ShortType, IntegerType).contains(pri.dataType))
+      TypeCheckResult.TypeCheckFailure( // buffer stores pri as Int: BIGINT would truncate
+        s"lww_max_by: pri must be TINYINT, SMALLINT or INT, got ${pri.dataType}")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -72,16 +73,27 @@ case class LwwMaxBy(
   override def createAggregationBuffer(): LwwBuffer = new LwwBuffer(Long.MinValue, Int.MinValue, null)
 
   override def update(buf: LwwBuffer, input: InternalRow): LwwBuffer = {
+    // rows with a NULL lsn are skipped like SQL max_by (the previous unbox
+    // coerced null to 0L, letting a null-lsn row beat negative lsns); a
+    // NULL pri on an lsn tie loses the tie (never crashes the task)
     val l = if (lsnOrdinal >= 0) input.getLong(lsnOrdinal)
-      else lsn.eval(input).asInstanceOf[Long]
+      else {
+        val v = lsn.eval(input)
+        if (v == null) return buf
+        TopKBy.toLong(v)
+      }
+    def priOf(): Int = {
+      val v = pri.eval(input)
+      if (v == null) Int.MinValue else TopKBy.toLong(v).toInt
+    }
     // evaluate pri (a CASE WHEN over the op string) ONLY when it can decide:
     // on a strict lsn win it is irrelevant, and most rows lose on lsn alone —
     // that skips a per-row string compare + box for the bulk of the input
     if (buf.row == null || l > buf.lsn) {
-      buf.lsn = l; buf.pri = pri.eval(input).asInstanceOf[Int]
+      buf.lsn = l; buf.pri = priOf()
       buf.row = toUnsafe(valueStruct.eval(input).asInstanceOf[InternalRow]).copy()
     } else if (l == buf.lsn) {
-      val p = pri.eval(input).asInstanceOf[Int]
+      val p = priOf()
       if (p > buf.pri) {
         buf.pri = p
         buf.row = toUnsafe(valueStruct.eval(input).asInstanceOf[InternalRow]).copy()

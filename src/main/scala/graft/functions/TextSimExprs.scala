@@ -41,7 +41,8 @@ object TextSimHelpers {
   }
 
   /** 64-bit SimHash over the distinct tokens of the array: per-bit majority
-    * vote of the tokens' xxhash64 values. */
+    * vote of the tokens' xxhash64 values. Null elements are skipped (a
+    * tokenizer emitting nulls must not crash the task). */
   def simhash64(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val seen = new java.util.HashSet[Long](n * 2)
@@ -49,13 +50,16 @@ object TextSimHelpers {
     var total = 0
     var i = 0
     while (i < n) {
-      val h = xxhStr(tokens.getUTF8String(i), 42L)
-      if (seen.add(h)) {
-        total += 1
-        var bit = 0
-        while (bit < 64) {
-          if ((h & (1L << bit)) != 0L) counts(bit) += 1
-          bit += 1
+      val s = tokens.getUTF8String(i)
+      if (s != null) {
+        val h = xxhStr(s, 42L)
+        if (seen.add(h)) {
+          total += 1
+          var bit = 0
+          while (bit < 64) {
+            if ((h & (1L << bit)) != 0L) counts(bit) += 1
+            bit += 1
+          }
         }
       }
       i += 1
@@ -77,20 +81,29 @@ object TextSimHelpers {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val base = xxhStr(shingles.getUTF8String(i), 42L)
-      var j = 0
-      while (j < k) {
-        val hj = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, base)
-        if (hj < mins(j)) mins(j) = hj
-        j += 1
+      val s = shingles.getUTF8String(i) // null elements skipped, like simhash
+      if (s != null) {
+        val base = xxhStr(s, 42L)
+        var j = 0
+        while (j < k) {
+          val hj = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, base)
+          if (hj < mins(j)) mins(j) = hj
+          j += 1
+        }
       }
       i += 1
     }
+    // NOTE: an empty (or all-null) input yields the degenerate all-MaxValue
+    // signature, which collides in every LSH band. The engine's shingle
+    // producer never emits an empty array (a short doc gets one whole-doc
+    // shingle); a caller feeding raw arrays must pre-filter empties.
     new GenericArrayData(mins)
   }
 
   /** LSH band keys: hash r consecutive signature entries per band. */
   def bandKeys(sig: ArrayData, b: Int, r: Int): ArrayData = {
+    require(sig.numElements() >= b * r, s"lsh_band_keys: signature has " +
+      s"${sig.numElements()} entries, bands x rows needs ${b * r}")
     val out = new Array[Long](b)
     var band = 0
     while (band < b) {
@@ -107,9 +120,33 @@ object TextSimHelpers {
   }
 }
 
+/** Analysis-time input validation shared by the SQL-registered scalar
+  * expressions — without it a type misuse (e.g. `jaccard_sim(1, 2)`)
+  * passes analysis and dies mid-stage as a ClassCastException, unlike the
+  * aggregates in this package which all validate up front. */
+private[functions] object TextSimChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def stringArray(name: String, dts: DataType*): TypeCheckResult =
+    dts.find {
+      case ArrayType(StringType, _) => false
+      case _ => true
+    } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$name: inputs must be ARRAY<STRING>, got $bad")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  def longArray(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case bad => TypeCheckResult.TypeCheckFailure(
+      s"$name: input must be ARRAY<BIGINT>, got $bad")
+  }
+}
+
 case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
+  override def checkInputDataTypes() =
+    TextSimChecks.stringArray(prettyName, left.dataType, right.dataType)
   override def nullSafeEval(a: Any, b: Any): Any =
     TextSimHelpers.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -121,6 +158,8 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def checkInputDataTypes() =
+    TextSimChecks.stringArray(prettyName, child.dataType)
   override def nullSafeEval(a: Any): Any =
     TextSimHelpers.simhash64(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -129,8 +168,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"minhash_sig: k must be positive, got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes() =
+    TextSimChecks.stringArray(prettyName, child.dataType)
   override def nullSafeEval(a: Any): Any =
     TextSimHelpers.minhash(a.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -139,8 +181,11 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 }
 
 case class LshBandKeys(child: Expression, b: Int, r: Int) extends UnaryExpression {
+  require(b > 0 && r > 0, s"lsh_band_keys: b and r must be positive, got ($b, $r)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_band_keys"
+  override def checkInputDataTypes() =
+    TextSimChecks.longArray(prettyName, child.dataType)
   override def nullSafeEval(a: Any): Any =
     TextSimHelpers.bandKeys(a.asInstanceOf[ArrayData], b, r)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -26,13 +26,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * count, intersections/unions of exact sketches are exact), so the
   * testdata-scale oracle is a plain COUNT(DISTINCT); at corpus scale the
   * same plan degrades gracefully to ±ε estimation. Set-operation helpers
-  * build with lgK 20 so they never downsample sketches that arrive exact
-  * below that.
+  * build at lgK 26 — the aggregate's own upper bound — so they can never
+  * downsample a sketch the aggregate produced exact (the union/intersection
+  * gadget allocates lazily, so small inputs cost small memory regardless).
   */
 object ThetaHelpers {
   /** Exact up to 2^16 distinct per group-side at test scale; a corpus
     * deployment tunes this against the ε/bandwidth tradeoff. */
   val DefaultLgK = 16
+
+  /** The aggregate's lgK upper bound — set operations build at this size so
+    * a sketch the aggregate produced EXACT (any lgK up to 26) is never
+    * downsampled into an estimate by the set-op gadget itself. */
+  val MaxLgK = 26
 
   private def wrap(b: Array[Byte]) =
     Sketches.wrapCompactSketch(Memory.wrap(b))
@@ -40,13 +46,13 @@ object ThetaHelpers {
   def estimate(a: Array[Byte]): Double = wrap(a).getEstimate
 
   def unionEstimate(a: Array[Byte], b: Array[Byte]): Double = {
-    val u = SetOperation.builder().setLogNominalEntries(20).buildUnion()
+    val u = SetOperation.builder().setLogNominalEntries(MaxLgK).buildUnion()
     u.union(wrap(a)); u.union(wrap(b))
     u.getResult.getEstimate
   }
 
   def intersectEstimate(a: Array[Byte], b: Array[Byte]): Double = {
-    val i = SetOperation.builder().setLogNominalEntries(20).buildIntersection()
+    val i = SetOperation.builder().setLogNominalEntries(MaxLgK).buildIntersection()
     i.intersect(wrap(a)); i.intersect(wrap(b))
     i.getResult.getEstimate
   }
@@ -117,6 +123,12 @@ case class ThetaSketchAgg(
 case class ThetaEstimate(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "theta_estimate"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: input must be a theta sketch BINARY, got ${child.dataType}")
+  }
   override def nullSafeEval(a: Any): Any =
     ThetaHelpers.estimate(a.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -127,6 +139,13 @@ case class ThetaEstimate(child: Expression) extends UnaryExpression {
 case class ThetaUnionEstimate(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: inputs must be theta sketch BINARY, got ${left.dataType}, ${right.dataType}")
+  }
   override def prettyName: String = "theta_union_estimate"
   override def nullSafeEval(a: Any, b: Any): Any =
     ThetaHelpers.unionEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -140,6 +159,13 @@ case class ThetaUnionEstimate(left: Expression, right: Expression)
 case class ThetaAnotBEstimate(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: inputs must be theta sketch BINARY, got ${left.dataType}, ${right.dataType}")
+  }
   override def prettyName: String = "theta_anotb_estimate"
   override def nullSafeEval(a: Any, b: Any): Any =
     ThetaHelpers.aNotBEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -153,6 +179,13 @@ case class ThetaAnotBEstimate(left: Expression, right: Expression)
 case class ThetaIntersectEstimate(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: inputs must be theta sketch BINARY, got ${left.dataType}, ${right.dataType}")
+  }
   override def prettyName: String = "theta_intersect_estimate"
   override def nullSafeEval(a: Any, b: Any): Any =
     ThetaHelpers.intersectEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])

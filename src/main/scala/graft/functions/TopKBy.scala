@@ -40,16 +40,18 @@ case class TopKBy(
 
   require(k > 0, "topKBy requires k > 0")
 
-  // the buffer stores BIGINT ranking keys; the Column API and SQL builder
-  // cast narrower integrals up front (a bare INT ord would otherwise
-  // ClassCastException mid-aggregation) — this check makes a miswired
-  // construction fail at analysis, not at runtime
+  // the buffer stores BIGINT ranking keys; any INTEGRAL ord/tie widens
+  // losslessly in update(). Non-integral types are REJECTED at analysis —
+  // a blanket cast("long") would accept DOUBLE/DECIMAL/STRING and silently
+  // truncate (every score in [0,1) ranks 0), the worst failure mode
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    if (ord.dataType != LongType)
-      TypeCheckResult.TypeCheckFailure(s"top_k_by: ord must be BIGINT, got ${ord.dataType}")
-    else if (tie.dataType != LongType)
-      TypeCheckResult.TypeCheckFailure(s"top_k_by: tie must be BIGINT, got ${tie.dataType}")
+    if (!TopKBy.integral(ord.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: ord must be an integral type (TINYINT..BIGINT), got ${ord.dataType}")
+    else if (!TopKBy.integral(tie.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: tie must be an integral type (TINYINT..BIGINT), got ${tie.dataType}")
     else if (!valueStruct.dataType.isInstanceOf[StructType])
       TypeCheckResult.TypeCheckFailure(s"top_k_by: row must be a STRUCT, got ${valueStruct.dataType}")
     else TypeCheckResult.TypeCheckSuccess
@@ -69,8 +71,14 @@ case class TopKBy(
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
-    val o = ord.eval(input).asInstanceOf[Long]
-    val t = tie.eval(input).asInstanceOf[Long]
+    // rows with a NULL ranking value are skipped, like SQL max_by — the
+    // previous unboxing coerced null to 0L, letting null-ranked rows WIN
+    // over negative ranks
+    val ov = ord.eval(input)
+    val tv = tie.eval(input)
+    if (ov == null || tv == null) return buf
+    val o = TopKBy.toLong(ov)
+    val t = TopKBy.toLong(tv)
     // evaluate + copy the (wide) value row ONLY when it actually enters the
     // buffer — for the bulk of a large group every row loses to the current
     // k-th entry and costs two long reads and one compare
@@ -169,13 +177,28 @@ final class TopKBuffer(val k: Int) {
 }
 
 object TopKBy {
+  private[functions] def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private[functions] def toLong(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case b: java.lang.Byte => b.longValue()
+    case other => throw new IllegalStateException(
+      s"top_k_by: non-integral ranking value $other") // unreachable post-check
+  }
+
   /** Column API: array of the group's top-k value structs, ranked by
-    * (ord DESC, tie ASC); `posexplode` the result for 1-based ranks. Both
-    * ranking columns must be non-null; narrower integrals are cast to
-    * BIGINT here (SimplifyCasts erases the no-op casts for LONG inputs). */
+    * (ord DESC, tie ASC); `posexplode` the result for 1-based ranks.
+    * NULL-ranked rows are skipped (max_by semantics); integral ranking
+    * types widen to BIGINT internally, non-integral types fail analysis
+    * (rank by a DOUBLE score via a scaled BIGINT, e.g. `(score * 1e6)
+    * .cast("long")`, so the truncation is explicit and chosen). */
   def topKBy(value: Column, ord: Column, tie: Column, k: Int): Column =
     ColumnShim.column(
       TopKBy(ColumnShim.expression(value),
-        ColumnShim.expression(ord.cast("long")),
-        ColumnShim.expression(tie.cast("long")), k).toAggregateExpression())
+        ColumnShim.expression(ord),
+        ColumnShim.expression(tie), k).toAggregateExpression())
 }

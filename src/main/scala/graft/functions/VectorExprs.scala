@@ -20,14 +20,22 @@ import org.apache.spark.sql.types._
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
-  // inputs must already be array<double> (call sites cast); no
-  // ExpectsInputTypes — AbstractDataType is private[sql] in Spark 4
+  // inputs must already be array<double> (call sites cast); typed misuse
+  // fails at analysis via checkInputDataTypes (AbstractDataType is
+  // private[sql] in Spark 4, so no ExpectsInputTypes)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  // length-mismatched vectors (mixed embedding models in one table) yield
+  // NULL, matching the composed zip_with/aggregate form (which null-pads) —
+  // a truncated similarity over the common prefix would be silently wrong
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    VectorChecks.doubleArrays(prettyName, left.dataType, right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -45,14 +53,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.getDouble($i);
-         |  double $y = $b.getDouble($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -60,15 +72,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shared analysis-time check: both inputs ARRAY<DOUBLE>. */
+private[functions] object VectorChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def doubleArrays(name: String, dts: DataType*): TypeCheckResult =
+    dts.find {
+      case ArrayType(DoubleType, _) => false
+      case _ => true
+    } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$name: inputs must be ARRAY<DOUBLE>, got $bad")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+}
+
 /** Codegen'd dot product (used by the LSH hyperplane projections). */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true // length mismatch -> NULL
+  override def checkInputDataTypes() =
+    VectorChecks.doubleArrays(prettyName, left.dataType, right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var i = 0
     while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
     dot
@@ -79,12 +109,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -101,10 +135,14 @@ case class L2Distance(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_distance"
+  override def nullable: Boolean = true // length mismatch -> NULL
+  override def checkInputDataTypes() =
+    VectorChecks.doubleArrays(prettyName, left.dataType, right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0; var i = 0
     while (i < n) {
       val d = a.getDouble(i) - b.getDouble(i)
@@ -118,13 +156,17 @@ case class L2Distance(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $s += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($s);
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin
     })
 

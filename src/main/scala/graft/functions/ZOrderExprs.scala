@@ -54,7 +54,8 @@ object ZOrderHelpers {
   def boundariesOf[T](sorted: IndexedSeq[T]): IndexedSeq[T] = {
     val cells = 1 << BucketBits
     if (sorted.isEmpty) IndexedSeq.empty
-    else (1 until cells).map(i => sorted((i * sorted.size) / cells))
+    // long arithmetic: i * size overflows Int for samples past ~8.4M rows
+    else (1 until cells).map(i => sorted(((i.toLong * sorted.size) / cells).toInt))
       .distinct.toIndexedSeq
   }
 

@@ -138,4 +138,47 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   private def SparkEntry_q(name: String) = graft.SparkEntry.queries(name)
+
+  test("vector kernels: length mismatch is NULL (never a truncated similarity); type misuse fails analysis") {
+    import spark.implicits._
+    import graft.functions.VectorExprs._
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0)), // match
+      (2L, Seq(1.0, 0.0, 0.0), Seq(1.0, 0.0))       // mixed embedding dims
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), cosineSim(col("a"), col("b")).as("cos"),
+      dotProduct(col("a"), col("b")).as("dot"), l2Distance(col("a"), col("b")).as("l2"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(got(1L) == ((false, false, false)))
+    assert(got(2L) == ((true, true, true)),
+      "a 768-dim vs 1536-dim pair must be NULL, not a prefix similarity")
+    // interpreted path agrees with codegen (eval via filter on a literal expr)
+    val ex = intercept[Exception] {
+      Seq((1, 2)).toDF("x", "y").select(cosineSim(col("x"), col("y"))).collect()
+    }
+    assert(ex.getMessage.contains("ARRAY<DOUBLE>"), ex.getMessage)
+  }
+
+  test("text-sim kernels: null tokens are skipped, not NPEs; type misuse fails analysis") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[String]("a", "b", "c")),
+      (2L, Seq[String]("a", null, "b", "c"))).toDF("id", "toks")
+    val hashes = df.select(col("id"),
+      graft.functions.TextSimExprs.simhash64(col("toks")).as("sh"),
+      graft.functions.TextSimExprs.minhashSig(col("toks"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(hashes(1L) == hashes(2L), "null elements must hash as absent")
+    val ex = intercept[Exception] {
+      Seq((1, 2)).toDF("x", "y")
+        .select(graft.functions.TextSimExprs.jaccardSim(col("x"), col("y"))).collect()
+    }
+    assert(ex.getMessage.contains("ARRAY<STRING>"), ex.getMessage)
+    // theta scalar on a non-sketch column: analysis error, not a mid-stage CCE
+    val ex2 = intercept[Exception] {
+      Seq("not a sketch").toDF("s")
+        .select(graft.functions.ThetaSketch.thetaEstimate(col("s"))).collect()
+    }
+    assert(ex2.getMessage.contains("BINARY"), ex2.getMessage)
+  }
 }

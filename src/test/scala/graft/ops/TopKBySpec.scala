@@ -73,6 +73,33 @@ class TopKBySpec extends SparkTestBase {
     assert(got.toSeq == Seq((1, 10L), (2, 20L)))
   }
 
+  test("non-integral ranking types fail at analysis; integrals widen; NULL ranks skip") {
+    import spark.implicits._
+    // DOUBLE ord used to cast("long") silently — every score in [0,1)
+    // ranked 0 and the 'top k' was the k lowest tie ids. Must now REFUSE.
+    val scored = Seq((1, 0.9, 1L), (1, 0.1, 2L)).toDF("grp", "score", "tie")
+    val ex = intercept[Exception] {
+      scored.groupBy(col("grp"))
+        .agg(TopKBy.topKBy(struct(col("score")), col("score"), col("tie"), 1))
+        .collect()
+    }
+    assert(ex.getMessage.contains("integral"), ex.getMessage)
+    // INT ord widens losslessly (no caller-side cast needed)
+    val ints = Seq((1, 5, 1L), (1, 9, 2L)).toDF("grp", "ord", "tie")
+    val top = ints.groupBy(col("grp"))
+      .agg(TopKBy.topKBy(struct(col("ord")), col("ord"), col("tie"), 1).as("t"))
+      .select(explode(col("t"))).select(col("col.ord")).as[Int].collect()
+    assert(top.toSeq == Seq(9))
+    // NULL-ranked rows are skipped (max_by semantics) — a null used to
+    // unbox to rank 0 and beat every negative rank
+    val withNulls = Seq((1, Some(-5L), 1L), (1, None, 2L), (1, Some(-9L), 3L))
+      .toDF("grp", "ord", "tie")
+    val winner = withNulls.groupBy(col("grp"))
+      .agg(TopKBy.topKBy(struct(col("ord"), col("tie")), col("ord"), col("tie"), 1).as("t"))
+      .select(explode(col("t"))).select(col("col.tie")).as[Long].collect()
+    assert(winner.toSeq == Seq(1L), s"null rank must not win: ${winner.toSeq}")
+  }
+
   test("q68 plans as partial+final ObjectHashAggregate with no Window") {
     val p = graft.SparkEntry.queries("q68_domain_topk")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
