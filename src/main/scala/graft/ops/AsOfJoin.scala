@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,9 +41,13 @@ object AsOfJoin {
     // select below would produce ambiguous references), and a payload name
     // equal to a left column would emit two same-named output columns —
     // both silently poisonous downstream; refuse loudly instead
-    require(!leftCols.exists(_.startsWith("__graft_asof")),
+    // case-INSENSITIVE checks: Spark resolves columns case-insensitively by
+    // default, so "Name" vs "name" is exactly the ambiguous-output poison
+    // these guards exist to refuse
+    val leftLower = leftCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    require(!leftLower.exists(_.startsWith("__graft_asof")),
       "left input uses the reserved __graft_asof* column-name prefix")
-    val clash = payload.filter(leftCols.contains)
+    val clash = payload.filter(p => leftLower.contains(p.toLowerCase(java.util.Locale.ROOT)))
     require(clash.isEmpty,
       s"payload column(s) ${clash.mkString(", ")} collide with left " +
         "columns: alias one side before the as-of join")

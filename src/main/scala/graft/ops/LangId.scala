@@ -9,9 +9,12 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Character-n-gram language identification (Cavnar–Trenkle-style profiles,
-  * argmax over per-language trigram-occurrence scores) as a PURE Column
-  * composition — no UDF, fully codegen'd, and exactly reproducible in ANSI
-  * SQL for the DuckDB oracle.
+  * argmax over per-language trigram-occurrence scores) — the hot path is a
+  * native codegen'd kernel expression ([[LangIdPredict]], see `predict`);
+  * the equivalent pure-Column ladder (`scores`+`argmax`) is kept as the
+  * readable spec but overflows janino's method limit at this profile size
+  * (falls back to interpreted eval — don't put it on a hot path). Both are
+  * exactly reproducible in ANSI SQL for the DuckDB oracle.
   *
   * Profiles are derived AT CLASS-INIT TIME from a small embedded training
   * corpus: top trigrams per language by frequency, minus trigrams shared by
@@ -75,7 +78,11 @@ object LangId {
   val langs: Seq[String] = training.keys.toSeq.sorted
 
   private def normalizeStr(s: String): String =
-    " " + s.toLowerCase.replaceAll("[^a-z]+", " ").trim + " "
+    // Locale.ROOT: the default-locale toLowerCase folds capital I to dotless
+    // U+0131 under tr/az locales, silently shifting the derived profiles
+    // (and the generated oracle SQL) per machine — breaking the
+    // deterministic-by-construction guarantee
+    " " + s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z]+", " ").trim + " "
 
   private def trigramsOf(s: String): Seq[String] = {
     val n = normalizeStr(s)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import graft.cdc.ChangeEvent
 
 /** Streaming-analytics operators over the change feed itself (distinct from
@@ -12,7 +12,8 @@ import graft.cdc.ChangeEvent
   * keyed state via mapGroupsWithState. */
 object StreamOps {
 
-  /** Event-time windowed change-rate stats: ops/sec per op-kind per window,
+  /** Event-time windowed change stats: per-window event COUNTS per op-kind
+    * (raw counts, not a rate — divide by the window length for ops/sec),
     * late data bounded by `watermark`. Append-output-compatible (closes a
     * window only once the watermark passes it). */
   def windowedChangeStats(envelope: DataFrame, windowLen: String,

@@ -70,4 +70,18 @@ class LangIdSpec extends SparkTestBase {
       .select(LangId.predict(col("text")).as("pred"))
     assert(df.collect().map(_.getString(0)).forall(_ == "unknown"))
   }
+
+  test("kernel predict ≡ the scores+argmax Column ladder (the readable spec)") {
+    // the ladder is the documentation-grade formulation (it overflows
+    // janino at this profile size and runs interpreted — never hot-path it);
+    // this pins that the codegen'd kernel computes exactly the same thing
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val viaKernel = docs.select(col("doc_id"), LangId.predict(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaLadder = docs.select(col("doc_id") +: LangId.scores(col("text")): _*)
+      .select(col("doc_id"), LangId.argmax.as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaKernel == viaLadder)
+  }
 }
