@@ -37,6 +37,14 @@ object MigrationRunner {
         mid = l.drop("-- id:".length).trim
       case l if l.toLowerCase.startsWith("-- depends:") =>
         depends ++= l.drop("-- depends:".length).trim.split("\\s+").filter(_.nonEmpty)
+      case l if l.startsWith("--") &&
+          l.replaceAll("\\s", "").toLowerCase.matches("--(id|depends):.*") =>
+        // '--id:' / '-- id :' would otherwise be swallowed as a comment and
+        // the migration silently keep its filename id — dependents then fail
+        // on an 'unknown dependency', or worse the file applies under an
+        // unintended ledger id. Refuse the near-miss loudly.
+        sys.error(s"malformed migration directive '$l' in $id — " +
+          "write exactly '-- id: <id>' or '-- depends: <ids>'")
       case l if l.startsWith("--") => // comment
       case stmt => changes += parseStatement(stmt.stripSuffix(";").trim)
     }
@@ -108,13 +116,35 @@ object MigrationRunner {
     * Returns the ids applied by THIS call (already-applied ids are skipped
     * via the table's ledger). */
   def migrate(table: LakeTable, dir: String): Seq[String] =
-    topoSort(load(dir)).filter(m => table.applyMigration(m.id, m.changes)).map(_.id)
+    applyOrdered(table, topoSort(load(dir)))
+
+  private def applyOrdered(table: LakeTable, ordered: Seq[Migration]): Seq[String] =
+    ordered.filter(m => table.applyMigration(m.id, m.changes)).map(_.id)
 
   /** Reference `cron_tasks.py:48-56`: loop every tenant namespace and bring
-    * each one's `tableName` up to date. Returns ns -> newly applied ids. */
-  def migrateAll(cat: LakeCatalog, tableName: String, dir: String): Map[String, Seq[String]] =
-    cat.listNamespaces().flatMap { ns =>
+    * each one's `tableName` up to date. Returns ns -> newly applied ids.
+    *
+    * Per-tenant ISOLATION (the reference's per-tenant cron shape): one
+    * drifted tenant must not block the schema rollout for the fleet — a
+    * failing namespace is recorded and the loop continues; after the sweep
+    * the collected failures raise ONE aggregate error (loud, but every
+    * healthy tenant is already migrated). The migration set is loaded and
+    * topo-sorted ONCE so every tenant sees the same consistent file set
+    * (and N tenants don't cost N directory re-parses per beat). */
+  def migrateAll(cat: LakeCatalog, tableName: String, dir: String): Map[String, Seq[String]] = {
+    val ordered = topoSort(load(dir))
+    val failures = Seq.newBuilder[(String, Throwable)]
+    val applied = cat.listNamespaces().flatMap { ns =>
       if (!cat.tableExists(ns, tableName)) None
-      else Some(ns -> migrate(cat.loadTable(ns, tableName), dir))
+      else try Some(ns -> applyOrdered(cat.loadTable(ns, tableName), ordered))
+      catch { case e: Exception => failures += ns -> e; None }
     }.toMap
+    val failed = failures.result()
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"migration failed for ${failed.size} namespace(s) " +
+          s"(${failed.map(_._1).sorted.mkString(", ")}); the rest migrated — " +
+          s"first cause: ${failed.head._2.getMessage}", failed.head._2)
+    applied
+  }
 }

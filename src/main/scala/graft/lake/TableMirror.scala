@@ -62,6 +62,18 @@ object TableMirror {
         d
       }
     if (toSnap == 0L) return MirrorSync("noop", -1L, toSnap, 0L)
+    // the delta transform claims 'op'/'lsn' and the feed claims
+    // '_change_type': a source DATA column with one of those names would be
+    // silently overwritten (op) or make every merge ambiguous (lsn) —
+    // refuse loudly instead (names compared the way Spark resolves them:
+    // case-insensitively)
+    val reserved = Set("op", "lsn", "_change_type")
+    val clash = srcMeta.currentSchema.columns.map(_.name)
+      .filter(n => reserved.contains(n.toLowerCase(java.util.Locale.ROOT)))
+    require(clash.isEmpty,
+      s"source data column(s) ${clash.mkString(", ")} collide with the " +
+        "mirror's reserved envelope names (op, lsn, _change_type): rename " +
+        "them before mirroring")
 
     alignSchema(srcMeta, dest)
     val watermark = dest.meta.properties.get(WatermarkProp).map(_.toLong)
@@ -70,11 +82,24 @@ object TableMirror {
       case Some(from) if from == toSnap => MirrorSync("noop", from, toSnap, 0L)
       case Some(from) if srcMeta.snapshotById(from).isDefined =>
         val feed = src.changes(from, Some(toSnap))
-        val delta = feed
-          .withColumn("op",
-            when(col("_change_type") === "delete", lit("D")).otherwise(lit("U")))
-          .withColumnRenamed(LakeTable.LsnCol, "lsn")
-          .drop("_change_type")
+        // changes() emits the SNAPSHOT's schema; the dest was just aligned
+        // to the source's CURRENT schema. When the source evolved after its
+        // last data commit the two differ — project by COLUMN ID in one
+        // select: survivors take their current name, vanished ids drop, and
+        // columns added after the snapshot null-fill (exact: the source's
+        // own stored value for every pre-add row is null too)
+        val snapSchema = srcMeta.schemaById(
+          srcMeta.snapshotById(toSnap).get.schemaId)
+        val cur = srcMeta.currentSchema
+        val curById = cur.byId
+        val snapIds = snapSchema.columns.map(_.id).toSet
+        val dataCols = snapSchema.columns.flatMap(c =>
+          curById.get(c.id).map(cc => col(c.name).as(cc.name)))
+        val addedCols = cur.columns.filterNot(c => snapIds.contains(c.id))
+          .map(c => lit(null).cast(c.dataType).as(c.name))
+        val delta = feed.select(dataCols ++ addedCols :+
+          when(col("_change_type") === "delete", lit("D")).otherwise(lit("U")).as("op") :+
+          col(LakeTable.LsnCol).as("lsn"): _*)
         val applied = dest.merge(delta, epochId = toSnap)
           .map(_.map(_.rowsApplied).sum).getOrElse(0L)
         MirrorSync("incremental", from, toSnap, applied)
@@ -114,7 +139,15 @@ object TableMirror {
       case _ =>
         diffByName(srcMeta.currentSchema.columns, dest.meta.currentSchema.columns)
     }
-    if (changes.nonEmpty) dest.evolveSchema(changes)
+    // crash-safety: evolveSchema and the SchemaProp update are two separate
+    // metadata commits. If a previous beat died between them, the dest
+    // ALREADY matches the target (evolveSchema applies its whole change
+    // list in one atomic commit) and re-applying would require-fail
+    // forever — detect the already-aligned case and just record the id.
+    def aligned: Boolean =
+      dest.meta.currentSchema.columns.map(c => (c.name, c.dataTypeJson)) ==
+        srcMeta.currentSchema.columns.map(c => (c.name, c.dataTypeJson))
+    if (changes.nonEmpty && !aligned) dest.evolveSchema(changes)
     if (!baseId.contains(srcMeta.currentSchemaId))
       dest.setProperty(SchemaProp, Some(srcMeta.currentSchemaId.toString))
   }
@@ -130,15 +163,36 @@ object TableMirror {
     val nowById = now.byId
     val drops = old.columns.filterNot(c => nowById.contains(c.id))
       .map(c => DropColumn(c.name))
-    val renames = now.columns.flatMap(c => oldById.get(c.id).collect {
+    val renames = orderRenames(now.columns.flatMap(c => oldById.get(c.id).collect {
       case o if o.name != c.name => RenameColumn(o.name, c.name)
-    })
+    }))
     val widens = now.columns.flatMap(c => oldById.get(c.id).collect {
       case o if o.dataTypeJson != c.dataTypeJson => WidenType(c.name, c.dataType)
     })
     val adds = now.columns.filterNot(c => oldById.contains(c.id))
       .map(c => AddColumn(c.name, c.dataType, c.nullable))
     drops ++ renames ++ widens ++ adds
+  }
+
+  /** Dependency-order the renames for sequential apply: a rename whose
+    * TARGET name is still the SOURCE of a pending rename must wait for that
+    * rename to free the name (chained b→c, a→b across one diff window would
+    * otherwise apply a→b first and trip evolveSchema's target-exists guard,
+    * wedging the mirror on a legal source evolution). A true name-swap
+    * CYCLE (a→b, b→a) makes no progress here and falls through unordered —
+    * evolveSchema then refuses it loudly, as documented. */
+  private def orderRenames(rs: Seq[RenameColumn]): Seq[RenameColumn] = {
+    var pending = rs
+    val out = Seq.newBuilder[RenameColumn]
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      val sources = pending.map(_.from).toSet
+      val (ready, rest) = pending.partition(r => !sources.contains(r.to))
+      progress = ready.nonEmpty
+      out ++= ready
+      pending = rest
+    }
+    out.result() ++ pending
   }
 
   /** Fallback by-name diff (legacy mirrors only): renames are indistinguishable

@@ -28,6 +28,15 @@ import org.apache.spark.sql.types._
   */
 object GraftParquetFilters {
 
+  // build() runs on the driver once PER FILE during partition planning, but
+  // files share a handful of schemaIds — memoize the DataType JSON parse or
+  // a several-thousand-file scan pays tens of thousands of redundant json4s
+  // parses in planning latency (bounded: distinct type-json strings)
+  private val typeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  private[sql] def typeOf(json: String): DataType =
+    typeCache.computeIfAbsent(json, DataType.fromJson(_))
+
   def build(filters: Seq[Filter], cols: Seq[ColSpec]): Option[FilterPredicate] = {
     val byName = cols.filter(c =>
       c.storedName != null && c.storedTypeJson == c.outTypeJson)
@@ -73,7 +82,7 @@ object GraftParquetFilters {
     val spec = byName.get(attr).getOrElse(return None)
     val name = spec.storedName
     def nullOk[T <: AnyRef](x: => T): T = if (v == null) null.asInstanceOf[T] else x
-    (DataType.fromJson(spec.storedTypeJson), v) match {
+    (GraftParquetFilters.typeOf(spec.storedTypeJson), v) match {
       case (LongType, _) =>
         val c = FilterApi.longColumn(name)
         val x = nullOk(java.lang.Long.valueOf(v match {

@@ -63,6 +63,45 @@ class MigrationSpec extends SparkTestBase {
     assert(res2("org1").isEmpty && res2("org3").size == 4)
   }
 
+  test("a drifted tenant fails loudly but does not block the rest of the fleet") {
+    val dir = tmpDir("migs3")
+    writeMigrations(dir)
+    val cat = new LakeCatalog(spark, tmpDir("migwh3"))
+    Seq("orga", "orgb", "orgc").foreach(ns =>
+      cat.createTable(ns, "code_files", CdcPipeline.baseTableSchema,
+        ChangeEvent.keyCols, numBuckets = 4))
+    // drift orgb: hand-apply the column the first migration adds — its
+    // AddColumn replay will require-fail
+    cat.loadTable("orgb", "code_files").evolveSchema(Seq(
+      AddColumn("branch", org.apache.spark.sql.types.StringType)))
+    val e = intercept[IllegalStateException] {
+      MigrationRunner.migrateAll(cat, "code_files", dir)
+    }
+    assert(e.getMessage.contains("orgb"), e.getMessage)
+    // the healthy tenants migrated despite the failure
+    Seq("orga", "orgc").foreach { ns =>
+      assert(cat.loadTable(ns, "code_files").schema.fieldNames.contains("ref"),
+        s"$ns was blocked by orgb's drift")
+    }
+  }
+
+  test("malformed directives are refused, not silently swallowed as comments") {
+    import MigrationRunner._
+    // '--id:' (no space) would otherwise parse as a comment, the file keeps
+    // its filename id, and dependents referencing the declared id break
+    val e = intercept[Exception] {
+      parse("0007_x", "--id: 0007_add_branch\nALTER TABLE ADD COLUMN b STRING")
+    }
+    assert(e.getMessage.contains("malformed migration directive"), e.getMessage)
+    val e2 = intercept[Exception] {
+      parse("0008_x", "-- depends : 0007_x\nALTER TABLE ADD COLUMN c STRING")
+    }
+    assert(e2.getMessage.contains("malformed migration directive"), e2.getMessage)
+    // the exact forms still parse
+    val ok = parse("f", "-- id: real_id\n-- depends: a b\nALTER TABLE ADD COLUMN d STRING")
+    assert(ok.id == "real_id" && ok.depends == Seq("a", "b"))
+  }
+
   test("two concurrent runners apply each migration exactly once (optimistic lock)") {
     val dir = tmpDir("migs3")
     writeMigrations(dir)

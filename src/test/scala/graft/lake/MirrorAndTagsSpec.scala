@@ -80,6 +80,76 @@ class MirrorAndTagsSpec extends SparkTestBase {
     assert(liveSet(dest) == liveSet(src))
   }
 
+  test("mirror survives schema evolution AFTER the source's last data commit") {
+    val src = freshTable()
+    src.merge(batch((1L, "I", "r1", "p1", "c", "scala", "v1"),
+      (2L, "I", "r2", "p2", "c", "go", "v2")), 0)
+    val destRoot = tmpDir("mirpost") + "/dst"
+    TableMirror.syncOnce(src, destRoot)
+    // data commit, then evolution with NO further data commit: the feed is
+    // in the snapshot's schema, the dest aligns to the CURRENT one — the
+    // beat must project the delta by column id, not wedge on a require
+    src.merge(batch((3L, "U", "r1", "p1", "c", "scala", "v1b")), 1)
+    src.evolveSchema(Seq(RenameColumn("content", "body"),
+      AddColumn("stars", org.apache.spark.sql.types.LongType)))
+    val s = TableMirror.syncOnce(src, destRoot)
+    assert(s.mode == "incremental", s"got $s")
+    val dest = LakeTable.forPath(spark, destRoot)
+    assert(dest.meta.currentSchema.columns.map(_.name) ==
+      src.meta.currentSchema.columns.map(_.name))
+    assert(liveSet(dest) == liveSet(src))
+    assert(dest.currentState().filter($"body" === "v1b").count() == 1)
+  }
+
+  test("mirror replays chained renames from one diff window in dependency order") {
+    val src = freshTable()
+    src.merge(batch((1L, "I", "r1", "p1", "c", "scala", "v1")), 0)
+    val destRoot = tmpDir("mirchain") + "/dst"
+    TableMirror.syncOnce(src, destRoot)
+    // two legal evolution steps between beats: content→body, then lang→content.
+    // In current-column order the diff would try lang→content while content
+    // still exists — the renames must apply dependency-first
+    src.evolveSchema(Seq(RenameColumn("content", "body")))
+    src.evolveSchema(Seq(RenameColumn("lang", "content")))
+    src.merge(Seq((2L, "I", "r9", "p9", "c", "py", "v9"))
+      .toDF("lsn", "op", "repo", "path", "commit", "content", "body"), 1)
+    val s = TableMirror.syncOnce(src, destRoot)
+    assert(s.mode == "incremental", s"got $s")
+    val dest = LakeTable.forPath(spark, destRoot)
+    assert(dest.meta.currentSchema.columns.map(_.name) ==
+      src.meta.currentSchema.columns.map(_.name))
+    assert(liveSet(dest) == liveSet(src))
+  }
+
+  test("mirror recovers when a crash separated schema evolution from its bookmark") {
+    val src = freshTable()
+    src.merge(batch((1L, "I", "r1", "p1", "c", "scala", "v1")), 0)
+    val destRoot = tmpDir("mircrash") + "/dst"
+    TableMirror.syncOnce(src, destRoot)
+    // simulate: the previous beat evolved the dest but died before
+    // recording mirror.source.schema — the dest already matches the target
+    src.evolveSchema(Seq(AddColumn("extra", org.apache.spark.sql.types.StringType)))
+    val dest = LakeTable.forPath(spark, destRoot)
+    dest.evolveSchema(Seq(AddColumn("extra", org.apache.spark.sql.types.StringType)))
+    src.merge(Seq((2L, "U", "r1", "p1", "c", "scala", "v1b", "x"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content", "extra"), 1)
+    val s = TableMirror.syncOnce(src, destRoot) // must not require-fail
+    assert(s.mode == "incremental", s"got $s")
+    assert(liveSet(LakeTable.forPath(spark, destRoot)) == liveSet(src))
+  }
+
+  test("mirror refuses a source whose data columns collide with the envelope names") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType, true)))
+    val t = LakeTable.createOrReplace(spark, tmpDir("mirres"), schema, Seq("k"))
+    t.replace(Seq(("a", "keep-me", 1L)).toDF("k", "op", "lsn"))
+    val ex = intercept[IllegalArgumentException] {
+      TableMirror.syncOnce(t, tmpDir("mirresd") + "/dst")
+    }
+    assert(ex.getMessage.contains("reserved"), ex.getMessage)
+  }
+
   test("mirror: incremental beat reads only touched buckets, not the table") {
     val src = freshTable(buckets = 8)
     src.merge(batch((1 to 400).map(i =>
