@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(shingles, k) - k-entry minhash signature"),
       (args: Seq[Expression]) => { arity("minhash_sig", args, 2)
         MinHashSig(args(0), intLit("minhash_sig", args(1), "k")) }))
+    ext.injectFunction((FunctionIdentifier("minhash_sig_arith"),
+      info("minhash_sig_arith",
+        "minhash_sig_arith(shingles, k) - SQL-reproducible arithmetic-hash minhash signature"),
+      (args: Seq[Expression]) => { arity("minhash_sig_arith", args, 2)
+        MinHashSigArith(args(0), intLit("minhash_sig_arith", args(1), "k")) }))
     // ranking args arrive as whatever integral type the user typed; the
     // aggregates' buffers store exact (Long/Int) — cast here (SimplifyCasts
     // erases the no-op ones after resolution, so resolved-LONG inputs keep

@@ -100,6 +100,92 @@ object TextSimHelpers {
     new GenericArrayData(mins)
   }
 
+  // ---- engine-neutral arithmetic-hash MinHash (the oracle mode) ----------
+  //
+  // The xxhash64 MinHash above is the throughput default, but its hash is
+  // not expressible in ANSI SQL, so q27/q40 carried no DuckDB oracle. This
+  // mode replaces the hash with plain modular arithmetic both engines
+  // compute bit-identically (the same trick as q44/q60/q65's arithmetic
+  // sampling hash and q29's generated classifier SQL):
+  //
+  //   H(s)      = fold over codepoints, acc0 = 7, acc = (acc*31 + cp) mod P
+  //   h_j(s)    = (a_j * H(s) + b_j) mod P          (k fixed affine streams)
+  //   sig[j]    = min over shingles of h_j(s)
+  //   bandKey_i = sig[2i] * P + sig[2i+1]           (r = 2, exact encoding)
+  //
+  // with P = 2^31 - 1 (prime; products stay under 2^62, so 64-bit modular
+  // arithmetic is exact in both engines). DuckDB reproduces H via
+  // `list_reduce(list_prepend(7, codepoints), (a,c) -> (a*31+c) % P)` —
+  // see DedupOps.minhashLshOracleSql, which generates that SQL with the
+  // same a_j/b_j constants inlined. Affine streams over a common base hash
+  // are the standard universal-hash MinHash construction, so the LSH
+  // s-curve is the same as the xxhash mode's.
+
+  val ArithP = 2147483647L // 2^31 - 1
+  def arithA(j: Int): Long = 1L + (j.toLong * 1103515245L + 12345L) % (ArithP - 1L)
+  def arithB(j: Int): Long = (j.toLong * 69069L + 42L) % ArithP
+
+  /** Engine-neutral string hash: codepoint fold with seed 7 (the seed makes
+    * the empty string well-defined without an empty-list reduce in SQL). */
+  def arithHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 7L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % ArithP
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  private val arithCoefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+  private def arithCoefs(k: Int): (Array[Long], Array[Long]) =
+    arithCoefCache.computeIfAbsent(k,
+      kk => (Array.tabulate(kk)(arithA), Array.tabulate(kk)(arithB)))
+
+  /** Arithmetic-mode MinHash signature: one pass over the shingle set, the
+    * same stream layout as [[minhash]] but with the affine streams above.
+    * Same empty-input caveat as the xxhash mode. */
+  def minhashArith(shingles: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = arithCoefs(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val base = arithHash(s)
+        var j = 0
+        while (j < k) {
+          val hj = (as(j) * base + bs(j)) % ArithP
+          if (hj < mins(j)) mins(j) = hj
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Arithmetic-mode band keys: the exact positional encoding
+    * `sig[i·r]·P + sig[i·r+1]` — collision-free over signature values in
+    * [0, P) and reproducible as plain SQL arithmetic. Restricted to r = 2:
+    * P^3 would overflow 64-bit (r=2 is the engine's standard setting; wider
+    * rows would need a modular fold, trading SQL-exactness away). */
+  def bandKeysArith(sig: ArrayData, b: Int): ArrayData = {
+    require(sig.numElements() >= b * 2, s"lsh_band_keys_arith: signature has " +
+      s"${sig.numElements()} entries, bands x 2 rows needs ${b * 2}")
+    val out = new Array[Long](b)
+    var band = 0
+    while (band < b) {
+      out(band) = sig.getLong(band * 2) * ArithP + sig.getLong(band * 2 + 1)
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** LSH band keys: hash r consecutive signature entries per band. */
   def bandKeys(sig: ArrayData, b: Int, r: Int): ArrayData = {
     require(sig.numElements() >= b * r, s"lsh_band_keys: signature has " +
@@ -180,6 +266,32 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class MinHashSigArith(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"minhash_sig_arith: k must be positive, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_arith"
+  override def checkInputDataTypes() =
+    TextSimChecks.stringArray(prettyName, child.dataType)
+  override def nullSafeEval(a: Any): Any =
+    TextSimHelpers.minhashArith(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextSimHelpers.minhashArith($a, $k)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class LshBandKeysArith(child: Expression, b: Int) extends UnaryExpression {
+  require(b > 0, s"lsh_band_keys_arith: b must be positive, got $b")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys_arith"
+  override def checkInputDataTypes() =
+    TextSimChecks.longArray(prettyName, child.dataType)
+  override def nullSafeEval(a: Any): Any =
+    TextSimHelpers.bandKeysArith(a.asInstanceOf[ArrayData], b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextSimHelpers.bandKeysArith($a, $b)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class LshBandKeys(child: Expression, b: Int, r: Int) extends UnaryExpression {
   require(b > 0 && r > 0, s"lsh_band_keys: b and r must be positive, got ($b, $r)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -202,4 +314,8 @@ object TextSimExprs {
     ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), k))
   def lshBandKeys(sig: Column, b: Int, r: Int): Column =
     ColumnShim.column(LshBandKeys(ColumnShim.expression(sig), b, r))
+  def minhashSigArith(shingles: Column, k: Int): Column =
+    ColumnShim.column(MinHashSigArith(ColumnShim.expression(shingles), k))
+  def lshBandKeysArith(sig: Column, b: Int): Column =
+    ColumnShim.column(LshBandKeysArith(ColumnShim.expression(sig), b))
 }

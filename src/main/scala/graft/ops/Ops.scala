@@ -32,10 +32,54 @@ object Tables {
     * downstream kernel to a single core no matter how wide the cluster —
     * measured 6× on the exact-Jaccard verify. A no-op (no shuffle) when the
     * source already plans enough splits, which is what a many-file
-    * warehouse-scale table does. */
+    * warehouse-scale table does.
+    *
+    * The gate reads the ANALYZED plan only (file sizes/counts from the
+    * relation's file index, Range slices, local-rows counts) — it never
+    * converts to an RDD or triggers physical planning, which the previous
+    * `df.rdd.getNumPartitions` probe paid on every call even when it
+    * no-op'd (asserted in PlanSpec via the query-planning tracker). */
   def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism max 8
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    if (plannedSplitsAtLeast(df, par)) df else df.repartition(par)
+  }
+
+  /** Conservative (lower-bound) estimate of whether the source plans at
+    * least `par` scan splits, from analyzed-plan metadata alone.
+    *
+    * File relations use Spark's own split math: every packed split's weight
+    * (bytes + openCost per file) is ≤ maxSplitBytes, so
+    * `(bytes + files·openCost) / maxSplitBytes` never over-counts the
+    * planned splits. Under-counting only costs a redundant round-robin
+    * shuffle of a small input; over-counting would silently pin the
+    * downstream kernel to one core — the failure mode this helper exists
+    * to prevent — so unknown leaf shapes answer `false` (repartition). */
+  private def plannedSplitsAtLeast(df: DataFrame, par: Int): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LRange}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val sc = df.sparkSession.sparkContext
+    val conf = df.sparkSession.sessionState.conf
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    if (leaves.isEmpty) return true
+    var est = 0L
+    leaves.foreach {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        val files = fs.location.inputFiles.length.toLong
+        val bytes = fs.location.sizeInBytes
+        val maxSplit = math.max(1L,
+          math.min(conf.filesMaxPartitionBytes,
+            math.max(conf.filesOpenCostInBytes,
+              bytes / math.max(1, sc.defaultParallelism))))
+        est += (bytes + files * conf.filesOpenCostInBytes) / maxSplit
+      case r: LRange =>
+        est += r.numSlices.getOrElse(sc.defaultParallelism).toLong
+      case l: LocalRelation =>
+        // LocalTableScanExec parallelizes to min(rows, default parallelism)
+        est += math.min(math.max(l.data.length, 1), sc.defaultParallelism).toLong
+      case _ => return false
+    }
+    est >= par
   }
 
   /** Distributed top-k: `orderBy().limit(k)` plans TakeOrderedAndProject —

@@ -63,6 +63,60 @@ class DedupSpec extends SparkTestBase {
     assert(full.nonEmpty)
   }
 
+  test("arith-mode minhash LSH: precision, recall, and the q40 oracle identity") {
+    // the arithmetic-hash mode (q27/q40's registered form, SQL-reproducible)
+    // must behave like a real MinHash: exact-verify precision and the same
+    // s-curve recall as the xxhash mode
+    val lsh = DedupOps.minhashLshPairs(docs, w = 3, k = 32, b = 16, r = 2,
+      threshold = 0.5, arith = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactPairs(3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(lsh.subsetOf(exact.keySet),
+      s"arith LSH emitted pairs below threshold: ${lsh -- exact.keySet}")
+    val high = exact.filter(_._2 >= 0.6).keySet
+    if (high.nonEmpty) {
+      val recall = high.count(lsh.contains).toDouble / high.size
+      assert(recall >= 0.9, s"arith recall $recall over ${high.size} pairs with j>=0.6")
+    }
+    // the q40 oracle identity: incremental(batch vs index) ∪ within-batch
+    // ≡ full recompute restricted to pairs touching the batch — this is
+    // exactly what lets q40's generated SQL reuse q27's pipeline with a
+    // final batch predicate
+    val corpus = docs.filter(col("doc_id") % 3 =!= 2)
+    val batch = docs.filter(col("doc_id") % 3 === 2)
+    val inc = DedupOps.minhashLshIncremental(batch, corpus,
+      DedupOps.bandIndex(corpus, 3, 32, 16, 2, arith = true),
+      3, 32, 16, 2, 0.5, arith = true).collect().map(_.toSeq).toSet
+    val fullRestricted = DedupOps.minhashLshPairs(docs, 3, 32, 16, 2, 0.5,
+      arith = true)
+      .filter(col("id_a") % 3 === 2 || col("id_b") % 3 === 2)
+      .collect().map(_.toSeq).toSet
+    assert(inc == fullRestricted,
+      s"arith incremental != full-restricted: missing ${(fullRestricted -- inc).size}, " +
+        s"extra ${(inc -- fullRestricted).size}")
+  }
+
+  test("arith hash constants are pinned (cross-engine contract)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextSimHelpers
+    // H("ab") = ((7*31 + 'a')*31 + 'b') mod P — the exact fold the DuckDB
+    // oracle runs via list_reduce(list_prepend(7, codepoints), ...). A
+    // change to seed/multiplier/P breaks every q27/q40 oracle silently, so
+    // the constants are pinned here by value.
+    assert(TextSimHelpers.arithHash(UTF8String.fromString("ab")) == 9832L)
+    assert(TextSimHelpers.arithHash(UTF8String.fromString("")) == 7L)
+    assert(TextSimHelpers.ArithP == 2147483647L)
+    assert(TextSimHelpers.arithA(0) == 1L + 12345L % 2147483646L)
+    assert(TextSimHelpers.arithB(0) == 42L)
+    // band keys are the exact positional encoding, collision-free below P
+    val sig = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(3L, 5L, 7L, 11L))
+    val keys = TextSimHelpers.bandKeysArith(sig, 2)
+    assert(keys.getLong(0) == 3L * 2147483647L + 5L)
+    assert(keys.getLong(1) == 7L * 2147483647L + 11L)
+  }
+
   test("incremental simhash against a stored chunk index ≡ full recompute") {
     import org.apache.spark.sql.functions.col
     val corpus = docs.filter(col("doc_id") % 3 =!= 2)
