@@ -28,7 +28,8 @@ import scala.jdk.CollectionConverters._
   *    drops tombstones once the stream watermark guarantees nothing older
   *    can still arrive.
   */
-class LakeTable private (val spark: SparkSession, val root: String) {
+class LakeTable private (val spark: SparkSession, val root: String,
+    private[graft] val commitIo: CommitIo) {
   import LakeTable._
 
   def meta: TableMeta = load(root)
@@ -162,7 +163,8 @@ class LakeTable private (val spark: SparkSession, val root: String) {
       f(m) match {
         case None => return false // aborted: someone else already did it
         case Some(next) =>
-          if (tryWriteVersion(metaDir, next.copy(version = m.version + 1))) return true
+          if (tryWriteVersion(metaDir, next.copy(version = m.version + 1), commitIo))
+            return true
       }
       attempts += 1
       if (attempts > 5) sys.error(s"commit conflict persisted after $attempts attempts at $root")
@@ -1403,7 +1405,12 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     * referenced by a successful commit or removed. */
   private def commitOrClean[A](staging: Path)(commit: => A): A =
     try commit catch {
-      case e: Throwable => deleteRecursively(staging); throw e
+      case e: Throwable =>
+        // a simulated kill -9 must leave the staging dir behind exactly as
+        // a dead process would — recovering it is cleanOrphanedStaging's
+        // job, and the torture spec asserts precisely that
+        if (!CommitFault.isSimulatedCrash(e)) deleteRecursively(staging)
+        throw e
     }
 
   /** Reap write artifacts nothing references and older than `olderThanMs`:
@@ -1535,7 +1542,7 @@ class LakeTable private (val spark: SparkSession, val root: String) {
     while (true) {
       val m = load(root)
       val next = f(m).copy(version = m.version + 1)
-      if (tryWriteVersion(metaDir, next)) return
+      if (tryWriteVersion(metaDir, next, commitIo)) return
       attempts += 1
       if (attempts > 5) sys.error(s"commit conflict persisted after $attempts attempts at $root")
     }
@@ -1551,7 +1558,8 @@ object LakeTable {
   def create(spark: SparkSession, root: String, schema: StructType,
       keyCols: Seq[String], lsnCol: String = "lsn",
       numBuckets: Int = 32,
-      tableId: Option[String] = None): LakeTable = {
+      tableId: Option[String] = None,
+      io: CommitIo = PosixCommitIo): LakeTable = {
     require(keyCols.forall(schema.fieldNames.contains), "key cols must be in schema")
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
@@ -1568,13 +1576,14 @@ object LakeTable {
       schemas = Seq(TableMeta.schemaVersionOf(1, schema, 1)),
       currentSchemaId = 1,
       snapshots = Seq.empty, currentSnapshotId = 0L, version = 0L)
-    require(tryWriteVersion(metaDir, m.copy(version = 1L)), s"table exists at $root")
-    new LakeTable(spark, root)
+    require(tryWriteVersion(metaDir, m.copy(version = 1L), io), s"table exists at $root")
+    new LakeTable(spark, root, io)
   }
 
-  def forPath(spark: SparkSession, root: String): LakeTable = {
+  def forPath(spark: SparkSession, root: String,
+      io: CommitIo = PosixCommitIo): LakeTable = {
     require(exists(root), s"no lake table at $root")
-    new LakeTable(spark, root)
+    new LakeTable(spark, root, io)
   }
 
   /** Session-free metadata read — for callers that only need the table's
@@ -1588,10 +1597,11 @@ object LakeTable {
   }
 
   def createOrReplace(spark: SparkSession, root: String, schema: StructType,
-      keyCols: Seq[String], numBuckets: Int = 32): LakeTable = {
+      keyCols: Seq[String], numBuckets: Int = 32,
+      io: CommitIo = PosixCommitIo): LakeTable = {
     val p = Paths.get(root)
     if (Files.exists(p)) deleteRecursively(p)
-    create(spark, root, schema, keyCols, numBuckets = numBuckets)
+    create(spark, root, schema, keyCols, numBuckets = numBuckets, io = io)
   }
 
   def deleteRecursively(p: Path): Unit =
@@ -1693,7 +1703,7 @@ object LakeTable {
     * reuse) and dedups identical file sets outright: a rollback's restored
     * snapshot or a metadata-only commit shares its target's/parent's
     * manifest at zero cost. */
-  private def externalize(metaDir: Path, m: TableMeta): TableMeta = {
+  private def externalize(metaDir: Path, m: TableMeta, io: CommitIo): TableMeta = {
     if (m.snapshots.isEmpty) return m
     val dir = metaDir.resolve("manifests")
     m.copy(snapshots = m.snapshots.map { s =>
@@ -1701,7 +1711,7 @@ object LakeTable {
       else {
         val json = TableMeta.manifestJson(s.files)
         val name = "m-" + sha256Hex(json).take(32) + ".json"
-        ensureManifestFile(dir, name, json)
+        ensureManifestFile(dir, name, json, io)
         manifestCache.synchronized {
           cacheManifestLocked(dir.resolve(name).toString, s.files)
         }
@@ -1718,21 +1728,15 @@ object LakeTable {
     * (safe: the caller cleans staging and retries) — silently proceeding
     * could publish a version whose manifest the sweeper still sees as
     * expired. Idempotent by content addressing. */
-  private def ensureManifestFile(dir: Path, name: String, json: String): Unit = {
+  private def ensureManifestFile(dir: Path, name: String, json: String,
+      io: CommitIo): Unit = {
     val f = dir.resolve(name)
     if (!Files.exists(f)) {
-      Files.createDirectories(dir)
-      val tmp = Files.createTempFile(dir, ".tmp-", ".json")
-      try {
-        Files.writeString(tmp, json)
-        // atomic create-if-absent; a concurrent identical write is benign
-        try Files.createLink(f, tmp)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      } finally Files.deleteIfExists(tmp)
-    } else {
-      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
-        .fromMillis(System.currentTimeMillis()))
-    }
+      // atomic create-if-absent; a concurrent identical write is benign
+      // (content-addressed — the loser's bytes are the winner's bytes)
+      io.putIfAbsent(f, json)
+      ()
+    } else io.freshen(f)
   }
 
   /** Iceberg's previous-versions retention: superseded version files are
@@ -1775,34 +1779,28 @@ object LakeTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Atomic create-if-absent of the next metadata version: write a temp
-    * file, then hard-link it to the version name — link(2) is atomic and
-    * fails with EEXIST if a concurrent writer won, which is the whole
-    * optimistic-concurrency protocol. (POSIX rename would silently replace;
-    * on HDFS this maps to create-no-overwrite, on S3 to a conditional PUT —
-    * out of scope for the sandbox.) */
-  private[lake] def tryWriteVersion(metaDir: Path, m: TableMeta): Boolean = {
+  /** Atomic create-if-absent of the next metadata version — the whole
+    * optimistic-concurrency protocol is one [[CommitIo.putIfAbsent]] of the
+    * version file: a concurrent writer that won the name makes it return
+    * false. The backend decides the mechanism ([[PosixCommitIo]]: temp file
+    * + link(2) EEXIST, as HDFS create-no-overwrite; [[ObjectStoreCommitIo]]:
+    * S3-style conditional PUT) — nothing above this call may assume
+    * rename/link semantics, which is what lets the same commit path run on
+    * an object store (CommitTortureSpec runs both). */
+  private[lake] def tryWriteVersion(metaDir: Path, m: TableMeta,
+      io: CommitIo = PosixCommitIo): Boolean = {
     val target = metaDir.resolve(f"v${m.version}%012d.json")
     if (Files.exists(target)) return false
-    val ext = externalize(metaDir, m)
-    val tmp = Files.createTempFile(metaDir, ".tmp-", ".json")
-    val linked =
-      try {
-        Files.writeString(tmp, TableMeta.toJson(ext))
-        Files.createLink(target, tmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp); false
-        case e: Throwable => Files.deleteIfExists(tmp); throw e
-      }
-    // The link decided commit durability; everything below is best-effort
-    // housekeeping that must NEVER make a durable commit look failed — the
-    // data-writing callers wrap this in commitOrClean, which would delete
-    // the staged files the just-published version references. Non-fatal
-    // failures are logged, never rethrown; interruption is re-flagged.
+    val ext = externalize(metaDir, m, io)
+    val linked = io.putIfAbsent(target, TableMeta.toJson(ext))
+    if (linked) CommitFault.hit(s"version.published:${target.getFileName}")
+    // The conditional put decided commit durability; everything below is
+    // best-effort housekeeping that must NEVER make a durable commit look
+    // failed — the data-writing callers wrap this in commitOrClean, which
+    // would delete the staged files the just-published version references.
+    // Non-fatal failures are logged, never rethrown; interruption is
+    // re-flagged.
     try {
-      Files.deleteIfExists(tmp)
       if (linked) {
         // Heal the last sliver of the reuse-vs-sweep race: a sweeper that
         // stat'ed a reused manifest as expired BEFORE our freshen landed may
@@ -1813,7 +1811,7 @@ object LakeTable {
         ext.snapshots.zip(m.snapshots).foreach { case (e, orig) =>
           if (e.manifestFile.nonEmpty && !Files.exists(mdir.resolve(e.manifestFile)))
             ensureManifestFile(mdir, e.manifestFile,
-              TableMeta.manifestJson(orig.files))
+              TableMeta.manifestJson(orig.files), io)
         }
         pruneOldVersions(metaDir, m.version)
       }

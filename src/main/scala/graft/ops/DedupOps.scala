@@ -312,7 +312,7 @@ object DedupOps {
         val pairs = exactJaccardPairsShared(t(s, d, "documents"), threshold = 0.8,
           name = "q45_dedup_clusters (exact edge reference)",
           scalePath = "q27_dedup_minhash_lsh + connectedComponents")
-        val cc = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        val cc = connectedComponentsShared(pairs.select(col("id_a"), col("id_b")))
           .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         // cluster cardinality: tiny #clusters-sized agg, AQE broadcasts it
         val sizes = cc.groupBy(col("cluster_id"))
@@ -359,7 +359,7 @@ object DedupOps {
         val pairs = exactJaccardPairsShared(docs, threshold = 0.8,
           name = "q61_dedup_keep_best (exact edge reference)",
           scalePath = "q27_dedup_minhash_lsh + connectedComponents")
-        val cc = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        val cc = connectedComponentsShared(pairs.select(col("id_a"), col("id_b")))
           .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         cc.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
           .groupBy(col("cluster_id"))
@@ -758,6 +758,23 @@ object DedupOps {
         .localCheckpoint(true)
       edgeCache.synchronized(edgeCache.put(key, pairs))
       pairs
+    }
+  }
+
+  /** Suite-run memo of [[connectedComponents]], same shape as the edge
+    * memo: q45 and q61 resolve the SAME edge set to the same component
+    * labels (the CC loop is several checkpointed join rounds — the other
+    * recomputed half of the round-4 suite-cost nit). Keyed by the edge
+    * plan's semantic hash, so both callers' `pairs.select(a, b)` over the
+    * shared checkpointed edges hit one entry. */
+  def connectedComponentsShared(edges: DataFrame): DataFrame = {
+    val key = (System.identityHashCode(edges.sparkSession),
+      edges.semanticHash(), -1L)
+    val hit = edgeCache.synchronized(Option(edgeCache.get(key)))
+    hit.getOrElse {
+      val cc = connectedComponents(edges) // already checkpointed per round
+      edgeCache.synchronized(edgeCache.put(key, cc))
+      cc
     }
   }
 
