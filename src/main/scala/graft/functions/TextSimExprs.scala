@@ -169,6 +169,44 @@ object TextSimHelpers {
     new GenericArrayData(mins)
   }
 
+  /** Arithmetic-mode 62-bit SimHash: per-bit majority vote over the
+    * DISTINCT tokens, where token t's vote on bit b is the parity of the
+    * b-th affine stream (a_b·H(t)+c_b mod P) over the engine-neutral base
+    * hash H — every piece plain modular arithmetic, so a DuckDB oracle
+    * reproduces the fingerprint bit-identically (62 bits, not 64: bit 63
+    * would need 1<<63, which overflows SQL BIGINT range checks, and 62
+    * uniform bits lose nothing — the chunk-key pigeonhole and hamming
+    * bound are unchanged with the two top bits constant 0). Distinctness
+    * is by token STRING (the SQL `list_distinct`), unlike the xxhash
+    * mode's by-hash dedup. */
+  def simhash64Arith(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    val counts = new Array[Int](62)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      if (s != null && seen.add(s)) {
+        total += 1
+        val h = arithHash(s)
+        var b = 0
+        while (b < 62) {
+          if (((arithA(b) * h + arithB(b)) % ArithP & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 62) {
+      if (counts(b) * 2 > total) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Arithmetic-mode band keys: the exact positional encoding
     * `sig[i·r]·P + sig[i·r+1]` — collision-free over signature values in
     * [0, P) and reproducible as plain SQL arithmetic. Restricted to r = 2:
@@ -266,6 +304,18 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class SimHash64Arith(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_arith"
+  override def checkInputDataTypes() =
+    TextSimChecks.stringArray(prettyName, child.dataType)
+  override def nullSafeEval(a: Any): Any =
+    TextSimHelpers.simhash64Arith(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextSimHelpers.simhash64Arith($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class MinHashSigArith(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0, s"minhash_sig_arith: k must be positive, got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -316,6 +366,8 @@ object TextSimExprs {
     ColumnShim.column(LshBandKeys(ColumnShim.expression(sig), b, r))
   def minhashSigArith(shingles: Column, k: Int): Column =
     ColumnShim.column(MinHashSigArith(ColumnShim.expression(shingles), k))
+  def simhash64Arith(tokens: Column): Column =
+    ColumnShim.column(SimHash64Arith(ColumnShim.expression(tokens)))
   def lshBandKeysArith(sig: Column, b: Int): Column =
     ColumnShim.column(LshBandKeysArith(ColumnShim.expression(sig), b))
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 
@@ -174,6 +174,81 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Quantized sign-random-projection (SRP) LSH — the SQL-reproducible
+  * variant of the hyperplane bucket pipeline (q30's oracle mode, the
+  * embedding twin of the arithmetic-hash MinHash):
+  *  - components are quantized exactly in both engines:
+  *    f[d] = floor(v[d] · 10^6) as BIGINT (floor, not round — round's
+  *    half-case tie-break differs between JVM and SQL engines);
+  *  - plane `p`'s weight on dimension d is a ±1 Rademacher value derived
+  *    from the shared arithmetic affine stream (a constant both the
+  *    native kernel and the generated SQL inline);
+  *  - bit_p = [ Σ_d w(p,d)·f[d] ≥ 0 ] — pure integer arithmetic, so the
+  *    bucket ids are bit-identical across engines. Rademacher projections
+  *    are standard SRP, so the recall s-curve matches the real-valued
+  *    hyperplane mode's.
+  */
+object SrpArith {
+  import TextSimHelpers.{ArithP, arithA, arithB}
+  val Quant = 1000000L
+  val MaxDim = 4096
+  def weight(plane: Int, dim1: Int): Int = { // dim1 is 1-based (SQL v[d])
+    val idx = plane.toLong * MaxDim + dim1
+    val u = (arithA(1) * idx + arithB(1)) % ArithP
+    if (2L * u < ArithP) 1 else -1
+  }
+  private val rowCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]
+  def weightRow(plane: Int): Array[Int] =
+    rowCache.computeIfAbsent(plane, p => Array.tabulate(MaxDim)(d => weight(p, d + 1)))
+}
+
+object QuantLshHelpers {
+  /** All `tables` bucket ids of one vector in a single pass. */
+  def buckets(v: ArrayData, tables: Int, planes: Int): ArrayData = {
+    val n = v.numElements()
+    require(n <= SrpArith.MaxDim, s"quant_lsh_buckets: dim $n > ${SrpArith.MaxDim}")
+    val f = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      f(d) = math.floor(v.getDouble(d) * SrpArith.Quant).toLong
+      d += 1
+    }
+    val out = new Array[Long](tables)
+    var tb = 0
+    while (tb < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val w = SrpArith.weightRow(tb * planes + p)
+        var s = 0L
+        var i = 0
+        while (i < n) { s += w(i) * f(i); i += 1 }
+        if (s >= 0L) bucket |= (1L << p)
+        p += 1
+      }
+      out(tb) = bucket
+      tb += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class QuantLshBuckets(child: Expression, tables: Int, planes: Int)
+  extends UnaryExpression {
+  require(tables > 0 && planes > 0 && planes < 62,
+    s"quant_lsh_buckets: bad (tables=$tables, planes=$planes)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quant_lsh_buckets"
+  override def checkInputDataTypes() =
+    VectorChecks.doubleArrays(prettyName, child.dataType)
+  override def nullSafeEval(a: Any): Any =
+    QuantLshHelpers.buckets(a.asInstanceOf[ArrayData], tables, planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.QuantLshHelpers.buckets($a, $tables, $planes)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorExprs {
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimilarity(
@@ -184,4 +259,6 @@ object VectorExprs {
   def l2Distance(a: Column, b: Column): Column =
     ColumnShim.column(L2Distance(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+  def quantLshBuckets(v: Column, tables: Int, planes: Int): Column =
+    ColumnShim.column(QuantLshBuckets(ColumnShim.expression(v), tables, planes))
 }

@@ -56,9 +56,12 @@ object DedupOps {
     graft.functions.TextSimExprs.jaccardSim(a, bC)
 
   /** 64-bit SimHash over word unigrams (per-bit majority vote of distinct
-    * token hashes) — native one-pass expression. */
-  def simhash64(c: Column): Column =
-    graft.functions.TextSimExprs.simhash64(tokens(c))
+    * token hashes) — native one-pass expression. `arith = true` selects
+    * the SQL-reproducible 62-bit arithmetic mode (see
+    * TextSimHelpers.simhash64Arith) that gives q28 its exact oracle. */
+  def simhash64(c: Column, arith: Boolean = false): Column =
+    if (arith) graft.functions.TextSimExprs.simhash64Arith(tokens(c))
+    else graft.functions.TextSimExprs.simhash64(tokens(c))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -295,9 +298,15 @@ object DedupOps {
     // sub-quadratic buckets at 10⁹ docs, C(6,2)=15 rows/doc) is the opt-in
     // scale configuration, equivalence-tested in DedupSpec. Both are EXACT
     // for hamming ≤ 3 (pigeonhole: ≤3 flipped blocks leave ≥1 key intact).
+    //
+    // Round 5: registered in the ARITHMETIC 62-bit mode (per-bit majority
+    // of affine-stream parities over the engine-neutral base hash) with a
+    // generated full-pipeline DuckDB oracle — fingerprint, chunk keys,
+    // candidate join and hamming verify all reproduced in SQL. The xxhash
+    // mode stays the library default with its existing equivalence specs.
     OpQuery("q28_dedup_simhash",
-      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),
-      None),
+      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3, arith = true),
+      Some(simhashOracleSql(maxHamming = 3))),
 
     // Cluster resolution: near-dup PAIRS → dedup GROUPS. Pairwise similarity
     // is not transitive, so a production dedup keeps one document per
@@ -733,6 +742,51 @@ object DedupOps {
        |WHERE jac >= $threshold $restrict""".stripMargin
   }
 
+  /** Generated DuckDB oracle for the ARITHMETIC 62-bit SimHash pipeline
+    * (q28): distinct lowercase tokens → H(t) (the shared codepoint fold) →
+    * 62 per-bit majority votes of affine-stream parities → chunk keys =
+    * four 16-bit blocks of the fingerprint → candidate equijoin per chunk →
+    * `bit_count(xor)` hamming verify. Constants inlined from the same
+    * streams the native kernel uses. */
+  private[ops] def simhashOracleSql(maxHamming: Int): String = {
+    val P = graft.functions.TextSimHelpers.ArithP
+    val bitExprs = (0 until 62).map { b =>
+      val a = graft.functions.TextSimHelpers.arithA(b)
+      val c = graft.functions.TextSimHelpers.arithB(b)
+      s"    (CASE WHEN 2 * len(list_filter(h, x -> (($a * x + $c) % $P) % 2 = 1))" +
+        s" > len(h) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" +\n")
+    val chunkExprs = (0 until 4)
+      .map(i => s"(fp // ${1L << (16 * i)}) % 65536").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_distinct(
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tk
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id, list_transform(tk, s ->
+       |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |      list_transform(generate_series(1, length(s)),
+       |        i -> CAST(unicode(s[i]) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % $P)) AS h
+       |  FROM tok),
+       |fp AS (
+       |  SELECT doc_id,
+       |$bitExprs AS fp
+       |  FROM hs),
+       |ck AS (
+       |  SELECT doc_id, fp,
+       |    unnest([$chunkExprs]) AS ckey,
+       |    unnest(generate_series(0, 3)) AS chunk
+       |  FROM fp),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a,
+       |                  b.doc_id AS id_b, b.fp AS fp_b
+       |  FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.ckey = b.ckey
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $maxHamming""".stripMargin
+  }
+
   /** Suite-run memo of the exact-edge build: q21, q45 and q61 all need the
     * SAME exact-Jaccard pair set over the same corpus, and each all-pairs
     * verify costs seconds at bench scale — ~20 s of a 45 s suite spent
@@ -999,10 +1053,10 @@ object DedupOps {
     * exploded rows per doc. (4, 1) is the minimal classic chunk split;
     * (6, 2) is the 10⁹-doc setting. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
-      blocks: Int = 4, comboSize: Int = 1): DataFrame = {
+      blocks: Int = 4, comboSize: Int = 1, arith: Boolean = false): DataFrame = {
     require(blocks - maxHamming >= comboSize,
       s"blocks($blocks) - maxHamming($maxHamming) must be >= comboSize($comboSize) for exact recall")
-    val chunked = simhashChunkIndex(docs, blocks, comboSize)
+    val chunked = simhashChunkIndex(docs, blocks, comboSize, arith)
     val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
@@ -1018,7 +1072,7 @@ object DedupOps {
     * fingerprint rides along: the hamming verify then needs no re-join to
     * the corpus at all). */
   def simhashChunkIndex(docs: DataFrame,
-      blocks: Int = 4, comboSize: Int = 1): DataFrame = {
+      blocks: Int = 4, comboSize: Int = 1, arith: Boolean = false): DataFrame = {
     val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def blockVal(sh: Column, i: Int): Column =
@@ -1027,7 +1081,7 @@ object DedupOps {
       c.foldLeft(lit(0L)) { (acc, i) =>
         shiftleft(acc, widths(i)).bitwiseOR(blockVal(col("sh"), i)) }
     }
-    Tables.spread(docs).select(col("doc_id"), simhash64(col("text")).as("sh"))
+    Tables.spread(docs).select(col("doc_id"), simhash64(col("text"), arith).as("sh"))
       .select(col("doc_id"), col("sh"),
         posexplode(array(comboKeys: _*)).as(Seq("chunk", "ckey")))
   }

@@ -127,12 +127,19 @@ object SimilarityOps {
     // LSH-bucketed near-dup (scale path): L independent hash tables of
     // nPlanes sign bits each (OR-amplification: a pair is a candidate if it
     // collides in ANY table), cosine-verified within buckets only. Recall
-    // per pair at angle θ: 1-(1-(1-θ/π)^nPlanes)^L. No SQL oracle
-    // (hash-specific); SimilaritySpec measures recall vs q26.
+    // per pair at angle θ: 1-(1-(1-θ/π)^nPlanes)^L.
+    //
+    // Round 5: registered in the QUANTIZED sign-random-projection mode
+    // (floor(v·10^6) integer components, ±1 Rademacher weights from the
+    // shared arithmetic stream — see VectorExprs.SrpArith), whose bucket
+    // ids are plain integer arithmetic a DuckDB oracle reproduces
+    // bit-identically; the verify is the same round-6 cosine q26's oracle
+    // already proves cross-engine. The real-valued hyperplane mode stays
+    // the library default; SimilaritySpec measures recall vs q26 for both.
     OpQuery("q30_embedding_neardup_lsh",
       (s, d) => lshNearDup(t(s, d, "embeddings"), nPlanes = 6, tables = 8,
-        dim = 64, floor = 0.40),
-      None),
+        dim = 64, floor = 0.40, arith = true),
+      Some(lshArithOracleSql(nPlanes = 6, tables = 8, dim = 64, floor = 0.40))),
 
     // Distributed Lloyd's k-means over the embedding corpus — the
     // clustering pass behind SemDeDup-style semantic dedup and topic
@@ -187,6 +194,46 @@ object SimilarityOps {
              |FROM a3 a JOIN a3 b
              |  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.40""".stripMargin)))
+
+  /** Generated DuckDB oracle for the QUANTIZED SRP LSH pipeline (q30):
+    * f = floor(v·10^6) per dimension, each plane's sign bit a ±1-weighted
+    * integer sum (weights inlined from `SrpArith.weight` — the same
+    * constants the native kernel uses), bucket ids per table, candidate
+    * equijoin on (table, bucket), round-6 cosine verify. */
+  private def lshArithOracleSql(nPlanes: Int, tables: Int, dim: Int,
+      floor: Double): String = {
+    val bucketExprs = (0 until tables).map { tb =>
+      (0 until nPlanes).map { p =>
+        val plane = tb * nPlanes + p
+        val terms = (1 to dim).map { d =>
+          (if (graft.functions.SrpArith.weight(plane, d) > 0) " + " else " - ") +
+            s"f[$d]"
+        }.mkString
+        s"(CASE WHEN (0$terms) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * ${graft.functions.SrpArith.Quant}) AS BIGINT)) AS f
+       |  FROM embeddings),
+       |bk AS (
+       |  SELECT vec_id,
+       |    unnest([${bucketExprs.mkString(", ")}]) AS bucket,
+       |    unnest(generate_series(1, $tables)) AS tb
+       |  FROM q),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bk a JOIN bk b ON a.tb = b.tb AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id),
+       |vr AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_cosine_similarity(x.v, y.v), 6) AS sim
+       |  FROM cand c
+       |  JOIN q x ON c.id_a = x.vec_id
+       |  JOIN q y ON c.id_b = y.vec_id)
+       |SELECT id_a, id_b, sim FROM vr WHERE sim >= $floor""".stripMargin
+  }
 
   /** The k-means pipeline as DuckDB CTEs (shared by q62/q63): strided init
     * `c0`, two unrolled assign→update iterations (`a1`/`c1`, `a2`/`c2`),
@@ -323,14 +370,18 @@ object SimilarityOps {
   }
 
   def lshNearDup(embeddings: DataFrame, nPlanes: Int, tables: Int, dim: Int,
-      floor: Double): DataFrame = {
+      floor: Double, arith: Boolean = false): DataFrame = {
     // all T×P hyperplanes are constants: per row, T codegen'd bucket ids,
-    // then posexplode into (table, bucket) — no per-row weight generation
-    val bucketsPerTable = array((0 until tables).map { tb =>
-      (0 until nPlanes).map(p =>
-        hyperplaneBit(col("v"), tb * nPlanes + p, dim) * lit(1 << p))
-        .reduce(_ + _)
-    }: _*)
+    // then posexplode into (table, bucket) — no per-row weight generation.
+    // Arith mode computes all T buckets in ONE native pass (quantized
+    // Rademacher SRP — see VectorExprs.QuantLshBuckets).
+    val bucketsPerTable =
+      if (arith) graft.functions.VectorExprs.quantLshBuckets(col("v"), tables, nPlanes)
+      else array((0 until tables).map { tb =>
+        (0 until nPlanes).map(p =>
+          hyperplaneBit(col("v"), tb * nPlanes + p, dim) * lit(1 << p))
+          .reduce(_ + _)
+      }: _*)
     val e = Tables.spread(embeddings)
       .select(col("vec_id"), emb(col("embedding")).as("v"))
     // candidates are ID PAIRS only: the bucket join and the cross-table

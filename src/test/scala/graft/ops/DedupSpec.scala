@@ -155,6 +155,28 @@ class DedupSpec extends SparkTestBase {
       s"planted reordered dup (0, 990001) not found at hamming 0")
   }
 
+  test("arith-mode simhash: planted reorder dup at hamming 0, verified pairs only") {
+    // q28's registered (SQL-reproducible) mode must behave like a real
+    // simhash: order/repetition/whitespace-invariant over distinct tokens,
+    // every emitted pair within the hamming budget, deterministic
+    val planted = docs.filter(col("doc_id") === 0)
+      .select(lit(990001L).as("doc_id"),
+        concat_ws("  ", reverse(split(col("text"), " "))).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+    val pairs = DedupOps.simhashPairs(corpus, maxHamming = 3, arith = true)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.forall(_._3 <= 3))
+    assert(got.exists(p => p._1 == 0L && p._2 == 990001L && p._3 == 0),
+      s"planted reordered dup (0, 990001) not found at hamming 0 (arith mode)")
+    val again = DedupOps.simhashPairs(corpus.repartition(7), maxHamming = 3,
+      arith = true).collect().map(_.toSeq).toSet
+    assert(again == got.map(p => Seq[Any](p._1, p._2, p._3)).toSet)
+    // the fingerprint uses 62 bits (SQL BIGINT-safe): top two bits are 0
+    val fps = DedupOps.simhashChunkIndex(corpus, arith = true)
+      .select(col("sh")).distinct().collect().map(_.getLong(0))
+    assert(fps.forall(f => f >= 0 && (f >> 62) == 0L))
+  }
+
   test("simhash block-combination keys (6,2) ≡ plain chunk split (4,1) — both exact") {
     val corpus = docs.select(col("doc_id"), col("text"))
     val narrow = DedupOps.simhashPairs(corpus, maxHamming = 3)

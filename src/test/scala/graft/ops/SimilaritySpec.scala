@@ -20,6 +20,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall $recall over ${exact.size} pairs")
   }
 
+  test("arith (quantized SRP) LSH: precision, recall, determinism — q30's registered mode") {
+    val exact = SparkEntry_q("q26_embedding_neardup_pairs")(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshNearDup(emb, nPlanes = 6, tables = 8, dim = 64,
+      floor = 0.40, arith = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"arith LSH emitted non-near-dup pairs: ${lsh -- exact}")
+    // Rademacher SRP has the same per-pair collision s-curve as real-valued
+    // hyperplanes — same recall floor as the default mode's spec
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"arith recall $recall over ${exact.size} pairs")
+    val again = SimilarityOps.lshNearDup(emb.repartition(5), nPlanes = 6,
+      tables = 8, dim = 64, floor = 0.40, arith = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == lsh, "arith LSH not partitioning-invariant")
+  }
+
   test("brute-force top-k is deterministic under repartitioning") {
     val a = SparkEntry_q("q22_ann_bruteforce_topk")(spark, dir).collect().map(_.toSeq)
     val b = SparkEntry_q("q22_ann_bruteforce_topk")(spark, dir).collect().map(_.toSeq)
