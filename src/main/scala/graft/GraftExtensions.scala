@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(shingles, k) - k-entry minhash signature"),
       (args: Seq[Expression]) => { arity("minhash_sig", args, 2)
         MinHashSig(args(0), intLit("minhash_sig", args(1), "k")) }))
+    ext.injectFunction((FunctionIdentifier("simhash64_arith"),
+      info("simhash64_arith",
+        "simhash64_arith(tokens) - SQL-reproducible 62-bit arithmetic simhash"),
+      (args: Seq[Expression]) => { arity("simhash64_arith", args, 1)
+        SimHash64Arith(args(0)) }))
     ext.injectFunction((FunctionIdentifier("minhash_sig_arith"),
       info("minhash_sig_arith",
         "minhash_sig_arith(shingles, k) - SQL-reproducible arithmetic-hash minhash signature"),

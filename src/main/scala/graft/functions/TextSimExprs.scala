@@ -183,6 +183,7 @@ object TextSimHelpers {
     val n = tokens.numElements()
     val seen = new java.util.HashSet[UTF8String](n * 2)
     val counts = new Array[Int](62)
+    val (as, bs) = arithCoefs(62) // constants — never re-derive per token
     var total = 0
     var i = 0
     while (i < n) {
@@ -192,7 +193,7 @@ object TextSimHelpers {
         val h = arithHash(s)
         var b = 0
         while (b < 62) {
-          if (((arithA(b) * h + arithB(b)) % ArithP & 1L) == 1L) counts(b) += 1
+          if (((as(b) * h + bs(b)) % ArithP & 1L) == 1L) counts(b) += 1
           b += 1
         }
       }

@@ -203,9 +203,14 @@ object SrpArith {
 }
 
 object QuantLshHelpers {
-  /** All `tables` bucket ids of one vector in a single pass. */
-  def buckets(v: ArrayData, tables: Int, planes: Int): ArrayData = {
+  /** All `tables` bucket ids of one vector in a single pass. `dim` is the
+    * dimensionality the caller's generated ORACLE hard-codes its weight
+    * terms for — a vector of any other length would bucket differently in
+    * the two engines, so it fails loud here instead (review finding). */
+  def buckets(v: ArrayData, tables: Int, planes: Int, dim: Int): ArrayData = {
     val n = v.numElements()
+    require(n == dim,
+      s"quant_lsh_buckets: vector has $n dims, oracle weights generated for $dim")
     require(n <= SrpArith.MaxDim, s"quant_lsh_buckets: dim $n > ${SrpArith.MaxDim}")
     val f = new Array[Long](n)
     var d = 0
@@ -233,19 +238,19 @@ object QuantLshHelpers {
   }
 }
 
-case class QuantLshBuckets(child: Expression, tables: Int, planes: Int)
+case class QuantLshBuckets(child: Expression, tables: Int, planes: Int, dim: Int)
   extends UnaryExpression {
-  require(tables > 0 && planes > 0 && planes < 62,
-    s"quant_lsh_buckets: bad (tables=$tables, planes=$planes)")
+  require(tables > 0 && planes > 0 && planes < 62 && dim > 0,
+    s"quant_lsh_buckets: bad (tables=$tables, planes=$planes, dim=$dim)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "quant_lsh_buckets"
   override def checkInputDataTypes() =
     VectorChecks.doubleArrays(prettyName, child.dataType)
   override def nullSafeEval(a: Any): Any =
-    QuantLshHelpers.buckets(a.asInstanceOf[ArrayData], tables, planes)
+    QuantLshHelpers.buckets(a.asInstanceOf[ArrayData], tables, planes, dim)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      a => s"graft.functions.QuantLshHelpers.buckets($a, $tables, $planes)")
+      a => s"graft.functions.QuantLshHelpers.buckets($a, $tables, $planes, $dim)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -259,6 +264,6 @@ object VectorExprs {
   def l2Distance(a: Column, b: Column): Column =
     ColumnShim.column(L2Distance(
       ColumnShim.expression(a), ColumnShim.expression(b)))
-  def quantLshBuckets(v: Column, tables: Int, planes: Int): Column =
-    ColumnShim.column(QuantLshBuckets(ColumnShim.expression(v), tables, planes))
+  def quantLshBuckets(v: Column, tables: Int, planes: Int, dim: Int): Column =
+    ColumnShim.column(QuantLshBuckets(ColumnShim.expression(v), tables, planes, dim))
 }

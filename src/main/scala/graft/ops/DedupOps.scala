@@ -802,10 +802,29 @@ object DedupOps {
           e: java.util.Map.Entry[(Int, Int, Long), DataFrame]): Boolean = size() > 8
     }
 
+  /** Memo key: session identity + plan semantic hash + the hash of the
+    * leaf relations' concrete FILE LISTS. The file-list term is what makes
+    * the memo safe against in-place data changes: a parquet root's
+    * semanticHash is path-based (InMemoryFileIndex equality is
+    * rootPaths-based), so overwriting the files under the same path would
+    * otherwise serve the OLD corpus's checkpointed result — but parquet
+    * overwrites mint fresh part-file names, so hashing the listed file
+    * paths invalidates the entry (review finding, round 5). */
+  private def memoKey(df: DataFrame, salt: Long): (Int, Int, Long) = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val filesHash = df.queryExecution.analyzed.collectLeaves().map {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val loc = lr.relation.asInstanceOf[HadoopFsRelation].location
+        java.util.Arrays.hashCode(loc.inputFiles.asInstanceOf[Array[AnyRef]]).toLong
+      case other => other.semanticHash.toLong
+    }.foldLeft(17L)((a, h) => a * 1000003L + h)
+    (System.identityHashCode(df.sparkSession), df.semanticHash(),
+      filesHash * 31L + salt)
+  }
+
   def exactJaccardPairsShared(docsIn: DataFrame, threshold: Double,
       name: String, scalePath: String): DataFrame = {
-    val key = (System.identityHashCode(docsIn.sparkSession),
-      docsIn.semanticHash(), math.round(threshold * 1000000L))
+    val key = memoKey(docsIn, math.round(threshold * 1000000L))
     val hit = edgeCache.synchronized(Option(edgeCache.get(key)))
     hit.getOrElse {
       val pairs = exactJaccardPairs(docsIn, threshold, name, scalePath)
@@ -819,11 +838,12 @@ object DedupOps {
     * memo: q45 and q61 resolve the SAME edge set to the same component
     * labels (the CC loop is several checkpointed join rounds — the other
     * recomputed half of the round-4 suite-cost nit). Keyed by the edge
-    * plan's semantic hash, so both callers' `pairs.select(a, b)` over the
-    * shared checkpointed edges hit one entry. */
+    * plan's semantic hash (the edges are themselves a checkpointed memo
+    * value, so their semantic hash pins the concrete pair set), so both
+    * callers' `pairs.select(a, b)` over the shared checkpointed edges hit
+    * one entry. */
   def connectedComponentsShared(edges: DataFrame): DataFrame = {
-    val key = (System.identityHashCode(edges.sparkSession),
-      edges.semanticHash(), -1L)
+    val key = memoKey(edges, -1L)
     val hit = edgeCache.synchronized(Option(edgeCache.get(key)))
     hit.getOrElse {
       val cc = connectedComponents(edges) // already checkpointed per round

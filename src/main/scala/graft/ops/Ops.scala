@@ -47,31 +47,48 @@ object Tables {
   /** Conservative (lower-bound) estimate of whether the source plans at
     * least `par` scan splits, from analyzed-plan metadata alone.
     *
-    * File relations use Spark's own split math: every packed split's weight
-    * (bytes + openCost per file) is ≤ maxSplitBytes, so
-    * `(bytes + files·openCost) / maxSplitBytes` never over-counts the
-    * planned splits. Under-counting only costs a redundant round-robin
-    * shuffle of a small input; over-counting would silently pin the
-    * downstream kernel to one core — the failure mode this helper exists
-    * to prevent — so unknown leaf shapes answer `false` (repartition). */
+    * An explicit repartition/coalesce anywhere above the leaves decides
+    * the output partitioning regardless of the scan, so the TOPMOST such
+    * node answers directly (and a limit answers false — its final stage is
+    * single-partition). File relations then use Spark's own split math,
+    * conservatively: Spark's bytesPerCore includes the per-file openCost
+    * padding, and a packed partition's padded weight can exceed
+    * maxSplitBytes by up to one openCost (the close check tests the raw
+    * length only), so dividing total padded weight by
+    * (maxSplitBytes + openCost) never over-counts the planned splits.
+    * Under-counting only costs a redundant round-robin shuffle of a small
+    * input; over-counting would silently pin the downstream kernel to one
+    * core — the failure mode this helper exists to prevent — so unknown
+    * leaf shapes answer `false` (repartition). */
   private def plannedSplitsAtLeast(df: DataFrame, par: Int): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LRange}
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalRelation, RepartitionOperation, Range => LRange}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val sc = df.sparkSession.sparkContext
     val conf = df.sparkSession.sessionState.conf
-    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val analyzed = df.queryExecution.analyzed
+    // collectFirst traverses pre-order, so the first hit is the TOPMOST
+    val gate = analyzed.collectFirst {
+      // Try: RepartitionByExpression without an explicit count resolves
+      // numPartitions from session state; any resolution hiccup answers
+      // conservatively (repartition)
+      case r: RepartitionOperation =>
+        scala.util.Try(r.numPartitions).toOption.exists(_ >= par)
+      case _: GlobalLimit => false
+    }
+    if (gate.isDefined) return gate.get
+    val leaves = analyzed.collectLeaves()
     if (leaves.isEmpty) return true
     var est = 0L
     leaves.foreach {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        val open = conf.filesOpenCostInBytes
         val files = fs.location.inputFiles.length.toLong
-        val bytes = fs.location.sizeInBytes
+        val padded = fs.location.sizeInBytes + files * open
         val maxSplit = math.max(1L,
           math.min(conf.filesMaxPartitionBytes,
-            math.max(conf.filesOpenCostInBytes,
-              bytes / math.max(1, sc.defaultParallelism))))
-        est += (bytes + files * conf.filesOpenCostInBytes) / maxSplit
+            math.max(open, padded / math.max(1, sc.defaultParallelism))))
+        est += padded / (maxSplit + open)
       case r: LRange =>
         est += r.numSlices.getOrElse(sc.defaultParallelism).toLong
       case l: LocalRelation =>

@@ -376,7 +376,7 @@ object SimilarityOps {
     // Arith mode computes all T buckets in ONE native pass (quantized
     // Rademacher SRP — see VectorExprs.QuantLshBuckets).
     val bucketsPerTable =
-      if (arith) graft.functions.VectorExprs.quantLshBuckets(col("v"), tables, nPlanes)
+      if (arith) graft.functions.VectorExprs.quantLshBuckets(col("v"), tables, nPlanes, dim)
       else array((0 until tables).map { tb =>
         (0 until nPlanes).map(p =>
           hyperplaneBit(col("v"), tb * nPlanes + p, dim) * lit(1 << p))

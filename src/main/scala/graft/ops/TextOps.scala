@@ -621,9 +621,12 @@ object TextOps {
         // digest-join lineage for every stage's count (~2× the suite cost of
         // this query, round-4 verdict nit); the flag form is also the better
         // 100-TB shape — one corpus pass, stage counts as conditional sums.
+        // LEFT join: a NULL-text row has a NULL fingerprint, misses the
+        // winner table, and must still count in the raw stage (the oracle
+        // aggregates raw before its join) — it just never survives s1
         val s1flag = raw.withColumn("fp", fingerprint(col("text")))
-          .join(winners, Seq("fp"))
-          .withColumn("s1", col("doc_id") === col("keep_id"))
+          .join(winners, Seq("fp"), "left")
+          .withColumn("s1", coalesce(col("doc_id") === col("keep_id"), lit(false)))
           .drop("fp", "keep_id")
         val bgrams = bench.select(explode(array_distinct(
           DedupOps.shingles(col("text"), 8))).as("gram")).distinct()

@@ -173,8 +173,10 @@ class CommitTortureSpec extends SparkTestBase {
         // stray tmp files (negative age disables the in-flight guard)
         t2.cleanOrphanedStaging(olderThanMs = -5000)
         val mdir = Paths.get(root, "metadata")
+        // recursive: the manifest-stage crash points leave their tmp files
+        // in metadata/manifests/, not metadata/ itself (review finding)
         val strayTmp = {
-          val s = Files.list(mdir)
+          val s = Files.walk(mdir)
           try s.iterator().asScala.count(_.getFileName.toString.startsWith(".tmp-"))
           finally s.close()
         }
