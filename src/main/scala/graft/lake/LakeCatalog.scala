@@ -51,10 +51,11 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     Paths.get(warehouse, namespaceName(ns), tableName(table)).toString
 
   def createTable(ns: String, table: String, schema: StructType,
-      keyCols: Seq[String], numBuckets: Int = 32): LakeTable = {
+      keyCols: Seq[String], numBuckets: Int = 32,
+      properties: Map[String, String] = Map.empty): LakeTable = {
     createNamespace(ns)
     LakeTable.create(spark, tablePath(ns, table), schema, keyCols,
-      numBuckets = numBuckets)
+      numBuckets = numBuckets, properties = properties)
   }
 
   def tableExists(ns: String, table: String): Boolean =

@@ -1555,11 +1555,25 @@ object LakeTable {
   val BucketCol = "__b"
   val ChangeCols: Seq[String] = Seq("lsn", "op")
 
+  /** Resolve the commit backend a table's properties declare ("commit.io":
+    * "posix" (default) | "conditional-put" — the S3-style whole-object
+    * conditional-PUT mode). Persisted WITH the table so every handle
+    * (catalog loads, SQL writes, streaming commits) publishes through the
+    * right primitive without threading. */
+  private[graft] def resolveIo(root: String, props: Map[String, String]): CommitIo =
+    props.get("commit.io") match {
+      case Some("conditional-put") => new ObjectStoreCommitIo(Paths.get(root, ".store"))
+      case Some("posix") | None => PosixCommitIo
+      case Some(other) =>
+        sys.error(s"unknown commit.io '$other' (posix | conditional-put)")
+    }
+
   def create(spark: SparkSession, root: String, schema: StructType,
       keyCols: Seq[String], lsnCol: String = "lsn",
       numBuckets: Int = 32,
       tableId: Option[String] = None,
-      io: CommitIo = PosixCommitIo): LakeTable = {
+      io: CommitIo = null,
+      properties: Map[String, String] = Map.empty): LakeTable = {
     require(keyCols.forall(schema.fieldNames.contains), "key cols must be in schema")
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
@@ -1575,15 +1589,22 @@ object LakeTable {
       keyCols = keyCols, lsnCol = lsnCol, numBuckets = numBuckets,
       schemas = Seq(TableMeta.schemaVersionOf(1, schema, 1)),
       currentSchemaId = 1,
-      snapshots = Seq.empty, currentSnapshotId = 0L, version = 0L)
-    require(tryWriteVersion(metaDir, m.copy(version = 1L), io), s"table exists at $root")
-    new LakeTable(spark, root, io)
+      snapshots = Seq.empty, currentSnapshotId = 0L, version = 0L,
+      properties = properties)
+    val useIo = if (io != null) io else resolveIo(root, properties)
+    require(tryWriteVersion(metaDir, m.copy(version = 1L), useIo),
+      s"table exists at $root")
+    new LakeTable(spark, root, useIo)
   }
 
+  /** Open an existing table. `io = null` (the default) resolves the commit
+    * backend from the table's own `commit.io` property — explicit values
+    * override (test harnesses, migrations between backends). */
   def forPath(spark: SparkSession, root: String,
-      io: CommitIo = PosixCommitIo): LakeTable = {
+      io: CommitIo = null): LakeTable = {
     require(exists(root), s"no lake table at $root")
-    new LakeTable(spark, root, io)
+    val useIo = if (io != null) io else resolveIo(root, load(root).properties)
+    new LakeTable(spark, root, useIo)
   }
 
   /** Session-free metadata read — for callers that only need the table's
@@ -1598,10 +1619,12 @@ object LakeTable {
 
   def createOrReplace(spark: SparkSession, root: String, schema: StructType,
       keyCols: Seq[String], numBuckets: Int = 32,
-      io: CommitIo = PosixCommitIo): LakeTable = {
+      io: CommitIo = null,
+      properties: Map[String, String] = Map.empty): LakeTable = {
     val p = Paths.get(root)
     if (Files.exists(p)) deleteRecursively(p)
-    create(spark, root, schema, keyCols, numBuckets = numBuckets, io = io)
+    create(spark, root, schema, keyCols, numBuckets = numBuckets, io = io,
+      properties = properties)
   }
 
   def deleteRecursively(p: Path): Unit =

@@ -308,6 +308,27 @@ object DedupOps {
       (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3, arith = true),
       Some(simhashOracleSql(maxHamming = 3))),
 
+    // INCREMENTAL simhash near-dup — q28's CDC-native form, completing the
+    // incremental dedup QUARTET (q40 minhash bands, q70 lines, q78 k-token
+    // windows, q79 simhash chunks): the stored chunk index carries the
+    // 62-bit fingerprint, so a new batch dedups against it at cost ∝
+    // batch × C(blocks, comboSize) with NO re-join to the corpus at all —
+    // the hamming verify reads both fingerprints off the candidate row.
+    // Chunk-key collisions are symmetric, so incremental ≡ the full q28
+    // recompute restricted to pairs touching the batch (DedupSpec pins
+    // it), which with the arith mode gives this a full DuckDB oracle:
+    // q28's generated SQL with a final batch predicate.
+    OpQuery("q79_dedup_simhash_incremental",
+      (s, d) => {
+        val all = t(s, d, "documents")
+        val corpus = all.filter(col("doc_id") % 3 =!= 2)
+        val batch = all.filter(col("doc_id") % 3 === 2)
+        simhashIncremental(batch, simhashChunkIndex(corpus, arith = true),
+          maxHamming = 3, arith = true)
+      },
+      Some(simhashOracleSql(maxHamming = 3,
+        restrict = "AND (id_a % 3 = 2 OR id_b % 3 = 2)"))),
+
     // Cluster resolution: near-dup PAIRS → dedup GROUPS. Pairwise similarity
     // is not transitive, so a production dedup keeps one document per
     // CONNECTED COMPONENT of the pair graph (the MinHashLSH→CC shape every
@@ -748,7 +769,8 @@ object DedupOps {
     * four 16-bit blocks of the fingerprint → candidate equijoin per chunk →
     * `bit_count(xor)` hamming verify. Constants inlined from the same
     * streams the native kernel uses. */
-  private[ops] def simhashOracleSql(maxHamming: Int): String = {
+  private[ops] def simhashOracleSql(maxHamming: Int,
+      restrict: String = ""): String = {
     val P = graft.functions.TextSimHelpers.ArithP
     val bitExprs = (0 until 62).map { b =>
       val a = graft.functions.TextSimHelpers.arithA(b)
@@ -784,7 +806,7 @@ object DedupOps {
        |  FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.ckey = b.ckey
        |  WHERE a.doc_id < b.doc_id)
        |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
-       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $maxHamming""".stripMargin
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $maxHamming $restrict""".stripMargin
   }
 
   /** Suite-run memo of the exact-edge build: q21, q45 and q61 all need the
@@ -1112,10 +1134,10 @@ object DedupOps {
     * [[simhashPairs]] (pigeonhole on intact blocks); DedupSpec asserts
     * incremental ∪ prior ≡ full recompute. */
   def simhashIncremental(newDocs: DataFrame, index: DataFrame, maxHamming: Int,
-      blocks: Int = 4, comboSize: Int = 1): DataFrame = {
+      blocks: Int = 4, comboSize: Int = 1, arith: Boolean = false): DataFrame = {
     require(blocks - maxHamming >= comboSize,
       s"blocks($blocks) - maxHamming($maxHamming) must be >= comboSize($comboSize) for exact recall")
-    val newChunked = simhashChunkIndex(newDocs, blocks, comboSize)
+    val newChunked = simhashChunkIndex(newDocs, blocks, comboSize, arith)
     val cross = newChunked.select(col("chunk"), col("ckey"),
         col("doc_id").as("id_new"), col("sh").as("sh_new"))
       .join(index.select(col("chunk"), col("ckey"),

@@ -204,7 +204,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     val buckets = bucketFromPartitioning
       .orElse(props.get("buckets").map(_.toInt)).getOrElse(32)
-    cat.createTable(ident.namespace()(0), ident.name, schema, keys, buckets)
+    // free-form TBLPROPERTIES persist with the table (previously they were
+    // silently dropped at CREATE); engine-derived and Spark-internal keys
+    // are excluded. This is how `commit.io` = 'conditional-put' selects
+    // the object-store commit backend from plain SQL.
+    val dropProps = Set("keys", "buckets", "provider", "location", "owner",
+      "comment", "external", "path", "format")
+    val userProps = props.toMap.filterNot { case (k, _) =>
+      dropProps.contains(k) || k.startsWith("option.") }
+    cat.createTable(ident.namespace()(0), ident.name, schema, keys, buckets,
+      userProps)
     loadTable(ident)
   }
 

@@ -195,6 +195,41 @@ class CommitTortureSpec extends SparkTestBase {
     }
   }
 
+  test("commit.io table property selects the backend from plain SQL") {
+    val wh = tmpDir("iosqlwh")
+    spark.conf.set("spark.sql.catalog.giosql",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.giosql.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS giosql.ns")
+    spark.sql("CREATE TABLE giosql.ns.t (k STRING, v INT) TBLPROPERTIES " +
+      "('keys'='k', 'buckets'='4', 'commit.io'='conditional-put')")
+    spark.sql("INSERT INTO giosql.ns.t VALUES ('a', 1), ('b', 2)")
+    spark.sql("UPDATE giosql.ns.t SET v = 3 WHERE k = 'a'")
+    val got = spark.sql("SELECT k, v FROM giosql.ns.t ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("a", 3), ("b", 2)))
+    // every handle auto-resolves the backend from the persisted property
+    val root = Paths.get(wh, "ns", "t").toString
+    val t = LakeTable.forPath(spark, root)
+    assert(t.commitIo.name == "store", "forPath did not resolve commit.io")
+    assert(t.meta.properties.get("commit.io").contains("conditional-put"))
+    // the conditional-put path never writes tmp files into the metadata
+    // namespace (its spool lives in .store/); version files are present
+    val mdir = Paths.get(root, "metadata")
+    val names = {
+      val s = Files.walk(mdir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    assert(!names.exists(_.startsWith(".tmp-")),
+      s"conditional-put SQL table leaked tmp files: $names")
+    assert(names.count(n => n.startsWith("v") && n.endsWith(".json")) >= 3)
+    // an unknown backend value fails loud at create
+    intercept[RuntimeException](
+      spark.sql("CREATE TABLE giosql.ns.bad (k STRING) TBLPROPERTIES " +
+        "('keys'='k', 'commit.io'='carrier-pigeon')"))
+  }
+
   test("conditional-put backend: full lifecycle matches the posix twin") {
     def lifecycle(root: String, io: CommitIo): (Set[Seq[Any]], Seq[String]) = {
       val t = LakeTable.createOrReplace(spark, root, CdcPipeline.baseTableSchema,

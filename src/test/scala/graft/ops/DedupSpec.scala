@@ -175,6 +175,20 @@ class DedupSpec extends SparkTestBase {
     val fps = DedupOps.simhashChunkIndex(corpus, arith = true)
       .select(col("sh")).distinct().collect().map(_.getLong(0))
     assert(fps.forall(f => f >= 0 && (f >> 62) == 0L))
+    // the q79 oracle identity: incremental(batch vs stored index) ≡ full
+    // recompute restricted to pairs touching the batch
+    val corp = corpus.filter(col("doc_id") % 3 =!= 2)
+    val batch = corpus.filter(col("doc_id") % 3 === 2)
+    val inc = DedupOps.simhashIncremental(batch,
+      DedupOps.simhashChunkIndex(corp, arith = true), maxHamming = 3,
+      arith = true).collect().map(_.toSeq).toSet
+    val fullRestricted = DedupOps.simhashPairs(corpus, maxHamming = 3,
+      arith = true)
+      .filter(col("id_a") % 3 === 2 || col("id_b") % 3 === 2)
+      .collect().map(_.toSeq).toSet
+    assert(inc == fullRestricted,
+      s"arith simhash incremental != full-restricted: " +
+        s"missing ${(fullRestricted -- inc).size}, extra ${(inc -- fullRestricted).size}")
   }
 
   test("simhash block-combination keys (6,2) ≡ plain chunk split (4,1) — both exact") {
