@@ -100,10 +100,9 @@ class CommitTortureSpec extends SparkTestBase {
     metaContention("store")
   }
 
-  test("cross-process: 2 Spark JVMs merging + compacting concurrently") {
-    val root = tmpDir("torture-merge")
+  private def mergeContention(root: String, properties: Map[String, String]): Unit = {
     LakeTable.createOrReplace(spark, root, CdcPipeline.baseTableSchema,
-      ChangeEvent.keyCols, numBuckets = 8)
+      ChangeEvent.keyCols, numBuckets = 8, properties = properties)
     val (n, rows) = (4, 200)
     val (oa, ob) = run2(Seq("merge", root, "1", n.toString, rows.toString),
       Seq("merge", root, "2", n.toString, rows.toString))
@@ -118,6 +117,20 @@ class CommitTortureSpec extends SparkTestBase {
     val perRepo = t.currentState().groupBy("repo").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perRepo == Map("repo-w1" -> (n * rows).toLong, "repo-w2" -> (n * rows).toLong))
+  }
+
+  test("cross-process: 2 Spark JVMs merging + compacting concurrently") {
+    mergeContention(tmpDir("torture-merge"), Map.empty)
+  }
+
+  test("cross-process merges on the conditional-put backend (via commit.io)") {
+    // the stress children open the table with plain forPath — the persisted
+    // commit.io property is what routes BOTH writer JVMs through the
+    // conditional-put primitive, which is exactly how a real deployment
+    // would select it
+    val root = tmpDir("torture-merge-store")
+    mergeContention(root, Map("commit.io" -> "conditional-put"))
+    assert(LakeTable.forPath(spark, root).commitIo.name == "store")
   }
 
   // ------------------------------------------------------------ kill-9 sweep
