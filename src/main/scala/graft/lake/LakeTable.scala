@@ -967,13 +967,24 @@ class LakeTable private (val spark: SparkSession, val root: String,
   /** Apply several property sets/unsets in ONE metadata commit — the unit
     * an `ALTER TABLE ... SET TBLPROPERTIES ('a'='1','b'='2')` statement
     * needs to be atomic. */
-  def setProperties(kvs: Seq[(String, Option[String])]): Unit =
+  def setProperties(kvs: Seq[(String, Option[String])]): Unit = {
+    // commit.io is validated HERE (the engine level, covering SQL ALTER and
+    // API callers alike): an invalid value would otherwise commit fine and
+    // then brick every later default open at resolveIo — including the
+    // corrective ALTER, whose loadTable resolves first (review finding).
+    kvs.foreach {
+      case ("commit.io", Some(v)) =>
+        require(LakeTable.CommitIoModes.contains(v),
+          s"unknown commit.io '$v' (${LakeTable.CommitIoModes.mkString(" | ")})")
+      case _ => ()
+    }
     retryCommit { m =>
       m.copy(properties = kvs.foldLeft(m.properties) {
         case (acc, (k, Some(v))) => acc + (k -> v)
         case (acc, (k, None)) => acc - k
       })
     }
+  }
 
   // ---------------------------------------------------------- constraints
 
@@ -1560,6 +1571,8 @@ object LakeTable {
     * conditional-PUT mode). Persisted WITH the table so every handle
     * (catalog loads, SQL writes, streaming commits) publishes through the
     * right primitive without threading. */
+  val CommitIoModes: Set[String] = Set("posix", "conditional-put")
+
   private[graft] def resolveIo(root: String, props: Map[String, String]): CommitIo =
     props.get("commit.io") match {
       case Some("conditional-put") => new ObjectStoreCommitIo(Paths.get(root, ".store"))
@@ -1591,7 +1604,16 @@ object LakeTable {
       currentSchemaId = 1,
       snapshots = Seq.empty, currentSnapshotId = 0L, version = 0L,
       properties = properties)
-    val useIo = if (io != null) io else resolveIo(root, properties)
+    // validate the declared backend even when an explicit io overrides it:
+    // an invalid value would persist silently and detonate on the first
+    // default open; a CONTRADICTORY explicit io would commit v1 through a
+    // different primitive than every later handle resolves (review finding)
+    val declared = resolveIo(root, properties)
+    val useIo = if (io != null) io else declared
+    require(io == null || !properties.contains("commit.io") ||
+      io.name == declared.name,
+      s"explicit commit io '${useIo.name}' contradicts declared " +
+        s"commit.io '${properties("commit.io")}'")
     require(tryWriteVersion(metaDir, m.copy(version = 1L), useIo),
       s"table exists at $root")
     new LakeTable(spark, root, useIo)
@@ -1603,8 +1625,20 @@ object LakeTable {
   def forPath(spark: SparkSession, root: String,
       io: CommitIo = null): LakeTable = {
     require(exists(root), s"no lake table at $root")
-    val useIo = if (io != null) io else resolveIo(root, load(root).properties)
+    // raw parse of the latest version file only: resolveIo needs the
+    // properties map, never the hydrated manifests — a full load() here
+    // would double the metadata work of every table open (review finding)
+    val useIo = if (io != null) io else resolveIo(root, rawProperties(root))
     new LakeTable(spark, root, useIo)
+  }
+
+  /** Properties of the latest committed version, without manifest
+    * hydration. The latest version file is never pruned (retention keeps a
+    * 64-version window behind it), so the direct read is safe. */
+  private def rawProperties(root: String): Map[String, String] = {
+    val d = Paths.get(root, "metadata")
+    val v = latestVersion(d).getOrElse(sys.error(s"no metadata at $root"))
+    TableMeta.fromJson(Files.readString(d.resolve(f"v$v%012d.json"))).properties
   }
 
   /** Session-free metadata read — for callers that only need the table's

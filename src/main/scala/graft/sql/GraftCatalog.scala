@@ -205,11 +205,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val buckets = bucketFromPartitioning
       .orElse(props.get("buckets").map(_.toInt)).getOrElse(32)
     // free-form TBLPROPERTIES persist with the table (previously they were
-    // silently dropped at CREATE); engine-derived and Spark-internal keys
-    // are excluded. This is how `commit.io` = 'conditional-put' selects
-    // the object-store commit backend from plain SQL.
-    val dropProps = Set("keys", "buckets", "provider", "location", "owner",
-      "comment", "external", "path", "format")
+    // silently dropped at CREATE); engine-derived keys (the SAME reserved
+    // set ALTER refuses — a stray 'tags'/'snapshot-id' persisted at CREATE
+    // could never be unset) and Spark-internal keys are excluded. This is
+    // how `commit.io` = 'conditional-put' selects the object-store commit
+    // backend from plain SQL.
+    val dropProps = GraftCatalog.ReservedProps ++ Set("provider", "owner",
+      "comment", "external", "path")
     val userProps = props.toMap.filterNot { case (k, _) =>
       dropProps.contains(k) || k.startsWith("option.") }
     cat.createTable(ident.namespace()(0), ident.name, schema, keys, buckets,
@@ -222,9 +224,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // property changes (ALTER TABLE SET/UNSET TBLPROPERTIES) are metadata
     // commits on the free-form properties map; engine-reserved keys stay
     // read-only (they are derived facts, not settings)
-    val reserved = Set("location", "format", "snapshot-id", "keys", "buckets",
-      "lsn-high-water", "vacuum-lsn", "maintained-views", "tags", "constraints",
-      "branches")
+    val reserved = GraftCatalog.ReservedProps
     // validate the WHOLE change list before applying ANY of it, and batch
     // all property changes into one metadata commit: Spark hands ALTER's
     // changes as one list, and a reserved-key (or unsupported-change) error
@@ -315,4 +315,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       java.nio.file.Paths.get(cat.tablePath(oldIdent.namespace()(0), oldIdent.name)),
       java.nio.file.Paths.get(cat.tablePath(newIdent.namespace()(0), newIdent.name)))
   }
+}
+
+object GraftCatalog {
+  /** Engine-managed table-property keys: derived facts surfaced through
+    * SHOW TBLPROPERTIES, never settings. ONE list shared by CREATE's
+    * pass-through filter and ALTER's refusal — two hand-maintained copies
+    * drifted once already (a key filtered at neither site could be set at
+    * CREATE but never unset, review finding). */
+  val ReservedProps: Set[String] = Set("location", "format", "snapshot-id",
+    "keys", "buckets", "lsn-high-water", "vacuum-lsn", "maintained-views",
+    "tags", "constraints", "branches")
 }

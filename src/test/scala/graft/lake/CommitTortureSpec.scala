@@ -241,6 +241,25 @@ class CommitTortureSpec extends SparkTestBase {
     intercept[RuntimeException](
       spark.sql("CREATE TABLE giosql.ns.bad (k STRING) TBLPROPERTIES " +
         "('keys'='k', 'commit.io'='carrier-pigeon')"))
+    // ... and at ALTER (an invalid value committed here would brick every
+    // later open, including the corrective ALTER itself)
+    intercept[Exception](
+      spark.sql("ALTER TABLE giosql.ns.t SET TBLPROPERTIES ('commit.io'='nope')"))
+    assert(LakeTable.forPath(spark, root).commitIo.name == "store",
+      "failed ALTER must not have clobbered the backend")
+    // a contradictory EXPLICIT io at create fails loud instead of writing
+    // v1 through a different primitive than later handles resolve
+    intercept[IllegalArgumentException](
+      LakeTable.create(spark, tmpDir("io-contradict") + "/t",
+        CdcPipeline.baseTableSchema, ChangeEvent.keyCols,
+        io = PosixCommitIo,
+        properties = Map("commit.io" -> "conditional-put")))
+    // engine-derived keys can no longer be smuggled in at CREATE
+    spark.sql("CREATE TABLE giosql.ns.clean (k STRING) TBLPROPERTIES " +
+      "('keys'='k', 'tags'='bogus')")
+    assert(!LakeTable.forPath(spark, Paths.get(wh, "ns", "clean").toString)
+      .meta.properties.contains("tags"),
+      "reserved key persisted through CREATE TBLPROPERTIES")
   }
 
   test("conditional-put backend: full lifecycle matches the posix twin") {
