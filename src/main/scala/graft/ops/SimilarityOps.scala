@@ -163,7 +163,7 @@ object SimilarityOps {
           .select(col("vec_id"), col("label"), col("cluster_id"),
             col("cluster_size"))
       },
-      Some(kmeansOracleCtes + """
+      Some(kmeansOracleCtes() + """
              |SELECT a.vec_id, a.label, a.cluster_id, s.cluster_size
              |FROM a3 a JOIN (SELECT cluster_id, count(*) AS cluster_size
              |                FROM a3 GROUP BY 1) s USING (cluster_id)""".stripMargin)),
@@ -188,12 +188,43 @@ object SimilarityOps {
           .filter(col("sim") >= 0.40)
           .select(col("id_a"), col("id_b"), col("cluster_id"), col("sim"))
       },
-      Some(kmeansOracleCtes + """
+      Some(kmeansOracleCtes() + """
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
              |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
              |FROM a3 a JOIN a3 b
              |  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.40""".stripMargin)))
+             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.40""".stripMargin)),
+
+    // INCREMENTAL semantic dedup — q63's CDC-native form, extending the
+    // incremental quartet (q40 minhash bands, q70 lines, q78 k-token
+    // windows, q79 simhash chunks) to the embedding path: centroids are
+    // fit on the STORED corpus once (the production cadence — periodic
+    // refits, per-batch assignment only), the stored cluster index keeps
+    // (cluster_id, vec_id, v), and a new batch is assigned to the fixed
+    // centroids then cosine-verified only within its own clusters. Cost ∝
+    // batch × avg cluster size. Cluster co-membership is symmetric, so
+    // incremental ≡ the corpus-fit full recompute restricted to pairs
+    // touching the batch (SimilaritySpec pins it) — which gives a full
+    // DuckDB oracle: the k-means CTEs with the fit restricted to the
+    // corpus (`ef`) while `a3` assigns everyone, then q63's verify with a
+    // batch predicate.
+    OpQuery("q80_semantic_dedup_incremental",
+      (s, d) => {
+        val all = t(s, d, "embeddings")
+        val corpus = all.filter(col("vec_id") % 3 =!= 2)
+        val batch = all.filter(col("vec_id") % 3 === 2)
+        val cents = kmeansFit(corpus, k = 8, iters = 2)
+        val index = kmeansAssignTo(corpus, cents)
+          .select(col("cluster_id"), col("vec_id"), col("v"))
+        semanticDedupIncremental(batch, index, cents, floor = 0.40)
+      },
+      Some(kmeansOracleCtes("WHERE vec_id % 3 <> 2") + """
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
+             |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+             |FROM a3 a JOIN a3 b
+             |  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.40
+             |  AND (a.vec_id % 3 = 2 OR b.vec_id % 3 = 2)""".stripMargin)))
 
   /** Generated DuckDB oracle for the QUANTIZED SRP LSH pipeline (q30):
     * f = floor(v·10^6) per dimension, each plane's sign bit a ±1-weighted
@@ -235,42 +266,46 @@ object SimilarityOps {
        |SELECT id_a, id_b, sim FROM vr WHERE sim >= $floor""".stripMargin
   }
 
-  /** The k-means pipeline as DuckDB CTEs (shared by q62/q63): strided init
-    * `c0`, two unrolled assign→update iterations (`a1`/`c1`, `a2`/`c2`),
-    * final assignment `a3`. Mirrors `kmeansAssign(k = 8, iters = 2)`
-    * decision for decision — argmin by lexicographic (rounded distance,
-    * cell), per-dimension means rounded to 6 decimals, empty cluster keeps
-    * its previous centroid. */
-  private def kmeansOracleCtes: String =
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  /** The k-means pipeline as DuckDB CTEs (shared by q62/q63/q80): strided
+    * init `c0`, two unrolled assign→update iterations (`a1`/`c1`,
+    * `a2`/`c2`), final assignment `a3`. Mirrors `kmeansAssign(k = 8,
+    * iters = 2)` decision for decision — argmin by lexicographic (rounded
+    * distance, cell), per-dimension means rounded to 6 decimals, empty
+    * cluster keeps its previous centroid. `fitWhere` restricts the FIT
+    * (init + both update iterations, CTE `ef`) to a subset while `a3`
+    * still assigns every vector — the incremental q80 fits on the stored
+    * corpus only, exactly like `kmeansFit(corpus) + kmeansAssignTo`. */
+  private def kmeansOracleCtes(fitWhere: String = ""): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
              |           FROM embeddings),
+             |ef AS (SELECT * FROM e $fitWhere),
              |c0 AS (
              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
-             |  FROM (SELECT * FROM e
-             |        WHERE vec_id % GREATEST(1, (SELECT count(*) FROM embeddings) // 8) = 0
+             |  FROM (SELECT * FROM ef
+             |        WHERE vec_id % GREATEST(1, (SELECT count(*) FROM ef) // 8) = 0
              |        ORDER BY vec_id LIMIT 8)),
              |a1 AS (
              |  SELECT e.vec_id, CAST(min([round(list_distance(e.v, c.v), 6),
              |    CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cell
-             |  FROM e, c0 c GROUP BY e.vec_id),
+             |  FROM ef e, c0 c GROUP BY e.vec_id),
              |c1 AS (
              |  SELECT p.cell, coalesce(u.v, p.v) AS v
              |  FROM c0 p LEFT JOIN (
              |    SELECT cell, list(m ORDER BY i) AS v FROM (
              |      SELECT a.cell AS cell, t.i AS i, round(avg(e.v[t.i]), 6) AS m
-             |      FROM a1 a JOIN e USING (vec_id), range(1, 65) t(i)
+             |      FROM a1 a JOIN ef e USING (vec_id), range(1, 65) t(i)
              |      GROUP BY a.cell, t.i)
              |    GROUP BY cell) u ON p.cell = u.cell),
              |a2 AS (
              |  SELECT e.vec_id, CAST(min([round(list_distance(e.v, c.v), 6),
              |    CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cell
-             |  FROM e, c1 c GROUP BY e.vec_id),
+             |  FROM ef e, c1 c GROUP BY e.vec_id),
              |c2 AS (
              |  SELECT p.cell, coalesce(u.v, p.v) AS v
              |  FROM c1 p LEFT JOIN (
              |    SELECT cell, list(m ORDER BY i) AS v FROM (
              |      SELECT a.cell AS cell, t.i AS i, round(avg(e.v[t.i]), 6) AS m
-             |      FROM a2 a JOIN e USING (vec_id), range(1, 65) t(i)
+             |      FROM a2 a JOIN ef e USING (vec_id), range(1, 65) t(i)
              |      GROUP BY a.cell, t.i)
              |    GROUP BY cell) u ON p.cell = u.cell),
              |a3 AS (
@@ -288,7 +323,15 @@ object SimilarityOps {
     * order across engines and partitionings), argmin tiebreak on cell id,
     * empty clusters keep their previous centroid. Returns the input with a
     * `cluster_id` column (plus the cast `v` used for the assignment). */
-  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansAssignTo(embeddings, kmeansFit(embeddings, k, iters))
+
+  /** The Lloyd's FIT alone: returns the k×d centroid table (driver state,
+    * aggregate-result-sized). Split out of [[kmeansAssign]] so the
+    * incremental form (q80) can fit on the stored corpus once and assign
+    * new batches against FIXED centroids — the production cadence, where
+    * refits are periodic and per-batch work is assignment only. */
+  def kmeansFit(embeddings: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val e = Tables.spread(embeddings)
       .select(col("vec_id"), col("label"), emb(col("embedding")).as("v"))
     val n = e.count()
@@ -299,19 +342,8 @@ object SimilarityOps {
         .select(col("v")).collect().toSeq
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
     require(centroids.nonEmpty, "no centroids sampled")
-    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      // argmin via array_min over (dist, cell) structs — linear expression
-      // size, lexicographic tiebreak identical to the oracle's list-min
-      val cellOf = array_min(array(cents.map { case (id, cv) =>
-        struct(
-          round(graft.functions.VectorExprs.l2Distance(col("v"),
-            typedlit(cv)), 6).as("d"),
-          lit(id.toLong).as("c"))
-      }: _*)).getField("c")
-      e.withColumn("cluster_id", cellOf)
-    }
     (1 to iters).foreach { _ =>
-      val updated = assign(centroids)
+      val updated = withCluster(e, centroids)
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cluster_id"), col("i"))
         .agg(round(avg(col("x")), 6).as("m"))
@@ -323,7 +355,59 @@ object SimilarityOps {
         (id, updated.getOrElse(id, old)) // empty cluster keeps its centroid
       }
     }
-    assign(centroids)
+    centroids
+  }
+
+  /** Assignment against fixed centroids: one scan, k codegen'd L2 kernels
+    * vs broadcast centroid literals. */
+  def kmeansAssignTo(embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    withCluster(Tables.spread(embeddings)
+      .select(col("vec_id"), col("label"), emb(col("embedding")).as("v")),
+      centroids)
+
+  // argmin via array_min over (dist, cell) structs — linear expression
+  // size, lexicographic tiebreak identical to the oracle's list-min
+  private def withCluster(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cellOf = array_min(array(cents.map { case (id, cv) =>
+      struct(
+        round(graft.functions.VectorExprs.l2Distance(col("v"),
+          typedlit(cv)), 6).as("d"),
+        lit(id.toLong).as("c"))
+    }: _*)).getField("c")
+    e.withColumn("cluster_id", cellOf)
+  }
+
+  /** q63's CDC-native form: the stored index is (cluster_id, vec_id, v)
+    * under corpus-fit centroids; a new batch is assigned to those FIXED
+    * centroids and cosine-verified only against members of its own
+    * clusters (plus batch×batch pairs in the same cluster). Cost ∝
+    * batch × avg cluster size — no corpus refit, no corpus×corpus join.
+    * At 100 TB the index is stored partitioned by cluster_id, so the
+    * cluster equijoin is exchange-free on the corpus side; the vectors
+    * ride the index because the verify needs them (unlike simhash, where
+    * the fingerprint alone verifies). */
+  def semanticDedupIncremental(batch: DataFrame, index: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], floor: Double): DataFrame = {
+    val b = kmeansAssignTo(batch, centroids)
+      .select(col("cluster_id"), col("vec_id"), col("v"))
+    val all = index.select(col("cluster_id"), col("vec_id"), col("v"))
+      .unionByName(b)
+    val l = b.select(col("cluster_id"), col("vec_id").as("id_l"),
+      col("v").as("vl"))
+    val r = all.select(col("cluster_id"), col("vec_id").as("id_r"),
+      col("v").as("vr"))
+    // batch×batch pairs arrive in both orientations; cosine is symmetric
+    // bit-for-bit (same index-order accumulation), so distinct() collapses
+    // them without re-verifying
+    l.join(r, Seq("cluster_id")).filter(col("id_l") =!= col("id_r"))
+      .withColumn("sim", round(cosine(col("vl"), col("vr")), 6))
+      .filter(col("sim") >= floor)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        col("cluster_id"), col("sim"))
+      .distinct()
   }
 
   /** IVF top-k: centroid cells from a deterministic corpus sample, probe the

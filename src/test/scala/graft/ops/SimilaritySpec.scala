@@ -147,6 +147,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("q80 incremental semantic dedup ≡ corpus-fit full recompute restricted to batch pairs") {
+    val all = emb
+    val corpus = all.filter(col("vec_id") % 3 =!= 2)
+    val batch = all.filter(col("vec_id") % 3 === 2)
+    val cents = SimilarityOps.kmeansFit(corpus, k = 8, iters = 2)
+    val index = SimilarityOps.kmeansAssignTo(corpus, cents)
+      .select(col("cluster_id"), col("vec_id"), col("v"))
+    val inc = SimilarityOps.semanticDedupIncremental(batch, index, cents,
+      floor = 0.40).collect().map(_.toSeq).toSet
+    // the contract: full recompute under the SAME corpus-fit centroids,
+    // restricted to pairs touching the batch — including bit-identical sims
+    // (the incremental verify may compute cosine(batch, stored) in either
+    // orientation; index-order accumulation makes that symmetric)
+    val a = SimilarityOps.kmeansAssignTo(all, cents)
+      .select(col("cluster_id"), col("vec_id"), col("v"))
+    val l = a.select(col("cluster_id"), col("vec_id").as("id_a"), col("v").as("va"))
+    val r = a.select(col("cluster_id"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val full = l.join(r, Seq("cluster_id")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(SimilarityOps.cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= 0.40)
+      .filter(col("id_a") % 3 === 2 || col("id_b") % 3 === 2)
+      .select(col("id_a"), col("id_b"), col("cluster_id"), col("sim"))
+      .collect().map(_.toSeq).toSet
+    assert(inc == full,
+      s"incremental≠full: only-inc=${inc -- full} only-full=${full -- inc}")
+    assert(inc.nonEmpty, "no batch-touching semantic pairs — recalibrate")
+    // and the registered q80 is partitioning-invariant
+    val again = SparkEntry_q("q80_semantic_dedup_incremental")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(again == SparkEntry_q("q80_semantic_dedup_incremental")(spark, dir)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("cosine of a vector with itself is 1") {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bad = e.withColumn("c", SimilarityOps.cosine(col("v"), col("v")))
