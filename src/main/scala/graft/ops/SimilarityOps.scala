@@ -39,6 +39,15 @@ object SimilarityOps {
     (0 until nPlanes).map(p => hyperplaneBit(v, p, dim) * lit(1 << p))
       .reduce(_ + _)
 
+  /** q80's deterministic corpus/batch split — ONE definition feeding both
+    * the Column filters and the generated oracle SQL, so the operator and
+    * its oracle cannot drift apart. Declared before `all`: the oracle
+    * strings are built eagerly at object init. */
+  private val Q80SplitMod = 3
+  private val Q80BatchResidue = 2
+  private def isQ80Batch(id: Column): Column =
+    id % Q80SplitMod === Q80BatchResidue
+
   val all: Seq[OpQuery] = Seq(
 
     // Brute-force cosine top-k for a fixed query vector (vec_id = 0),
@@ -211,20 +220,22 @@ object SimilarityOps {
     OpQuery("q80_semantic_dedup_incremental",
       (s, d) => {
         val all = t(s, d, "embeddings")
-        val corpus = all.filter(col("vec_id") % 3 =!= 2)
-        val batch = all.filter(col("vec_id") % 3 === 2)
+        val corpus = all.filter(!isQ80Batch(col("vec_id")))
+        val batch = all.filter(isQ80Batch(col("vec_id")))
         val cents = kmeansFit(corpus, k = 8, iters = 2)
         val index = kmeansAssignTo(corpus, cents)
           .select(col("cluster_id"), col("vec_id"), col("v"))
         semanticDedupIncremental(batch, index, cents, floor = 0.40)
       },
-      Some(kmeansOracleCtes("WHERE vec_id % 3 <> 2") + """
+      Some(kmeansOracleCtes(
+        s"WHERE vec_id % $Q80SplitMod <> $Q80BatchResidue") + s"""
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
              |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
              |FROM a3 a JOIN a3 b
              |  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.40
-             |  AND (a.vec_id % 3 = 2 OR b.vec_id % 3 = 2)""".stripMargin)))
+             |  AND (a.vec_id % $Q80SplitMod = $Q80BatchResidue
+             |       OR b.vec_id % $Q80SplitMod = $Q80BatchResidue)""".stripMargin)))
 
   /** Generated DuckDB oracle for the QUANTIZED SRP LSH pipeline (q30):
     * f = floor(v·10^6) per dimension, each plane's sign bit a ±1-weighted
@@ -392,22 +403,24 @@ object SimilarityOps {
       centroids: Seq[(Int, Seq[Double])], floor: Double): DataFrame = {
     val b = kmeansAssignTo(batch, centroids)
       .select(col("cluster_id"), col("vec_id"), col("v"))
-    val all = index.select(col("cluster_id"), col("vec_id"), col("v"))
-      .unionByName(b)
     val l = b.select(col("cluster_id"), col("vec_id").as("id_l"),
       col("v").as("vl"))
-    val r = all.select(col("cluster_id"), col("vec_id").as("id_r"),
-      col("v").as("vr"))
-    // batch×batch pairs arrive in both orientations; cosine is symmetric
-    // bit-for-bit (same index-order accumulation), so distinct() collapses
-    // them without re-verifying
-    l.join(r, Seq("cluster_id")).filter(col("id_l") =!= col("id_r"))
-      .withColumn("sim", round(cosine(col("vl"), col("vr")), 6))
+    def rSide(df: DataFrame): DataFrame =
+      df.select(col("cluster_id"), col("vec_id").as("id_r"),
+        col("v").as("vr"))
+    // each pair joins exactly once: batch×stored ids are disjoint, and the
+    // batch self-join takes one orientation (q63's shape) — so no distinct
+    // pass and no double cosine verify. The cosine kernel's index-order
+    // accumulation is commutative bit-for-bit, so verifying batch×stored
+    // as (batch, stored) matches the oracle's (min id, max id) orientation.
+    val cand = l.join(rSide(index), Seq("cluster_id"))
+      .unionByName(l.join(rSide(b), Seq("cluster_id"))
+        .filter(col("id_l") < col("id_r")))
+    cand.withColumn("sim", round(cosine(col("vl"), col("vr")), 6))
       .filter(col("sim") >= floor)
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"),
         col("cluster_id"), col("sim"))
-      .distinct()
   }
 
   /** IVF top-k: centroid cells from a deterministic corpus sample, probe the

@@ -173,11 +173,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(inc == full,
       s"incremental≠full: only-inc=${inc -- full} only-full=${full -- inc}")
     assert(inc.nonEmpty, "no batch-touching semantic pairs — recalibrate")
-    // and the registered q80 is partitioning-invariant
-    val again = SparkEntry_q("q80_semantic_dedup_incremental")(spark, dir)
+    // partitioning invariance: same centroids, repartitioned batch + index
+    val incRepart = SimilarityOps.semanticDedupIncremental(
+      batch.repartition(7), index.repartition(5), cents, floor = 0.40)
       .collect().map(_.toSeq).toSet
-    assert(again == SparkEntry_q("q80_semantic_dedup_incremental")(spark, dir)
-      .collect().map(_.toSeq).toSet)
+    assert(incRepart == inc, "incremental semantic dedup not partitioning-invariant")
+    // and the registered q80 reproduces the same contract end-to-end
+    val registered = SparkEntry_q("q80_semantic_dedup_incremental")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(registered == full)
   }
 
   test("cosine of a vector with itself is 1") {
