@@ -1614,7 +1614,20 @@ object LakeTable {
       io.name == declared.name,
       s"explicit commit io '${useIo.name}' contradicts declared " +
         s"commit.io '${properties("commit.io")}'")
-    require(tryWriteVersion(metaDir, m.copy(version = 1L), useIo),
+    // an explicit non-posix io with NO declared commit.io would commit v1
+    // through that backend while every later default open resolves posix — a
+    // silent mixed-backend table (ADVICE r5). Persist the matching mode so
+    // default opens route through the same primitive; an explicit io whose
+    // backend has no named mode must be declared by the caller.
+    val ioMode = Map("posix" -> "posix", "store" -> "conditional-put")
+    val mFinal =
+      if (io != null && !properties.contains("commit.io") && io.name != "posix") {
+        require(ioMode.contains(io.name),
+          s"explicit commit io '${io.name}' has no commit.io mode — declare " +
+            "one in properties so later default opens resolve the same backend")
+        m.copy(properties = properties + ("commit.io" -> ioMode(io.name)))
+      } else m
+    require(tryWriteVersion(metaDir, mFinal.copy(version = 1L), useIo),
       s"table exists at $root")
     new LakeTable(spark, root, useIo)
   }

@@ -22,15 +22,15 @@ object DedupOps {
     * lower(text), ' '), x -> x <> '')`, so a change here must change all
     * of those strings in lockstep. */
   private[ops] def tokens(c: Column): Column =
-    filter(split(lower(c), " "), x => x =!= "")
+    graft.functions.TokenExprs.tokenize(c)
 
-  /** Word w-shingles via sequence+transform (pure Column, codegen'd). */
-  def shingles(c: Column, w: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) < w, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - w),
-        i => array_join(slice(toks, i + 1, lit(w)), " ")))
-  }
+  /** Word w-shingles — native one-pass kernel (the sequence+transform
+    * Column form is an interpreted higher-order chain, ~7 µs/shingle, and
+    * was the hottest stage of every shingle-based query; byte-exactness
+    * with the old form and the oracles is argued at
+    * [[graft.functions.TokenHelpers]], pinned in TextSimSpec). */
+  def shingles(c: Column, w: Int): Column =
+    graft.functions.TokenExprs.wordShingles(c, w)
 
   /** MinHash signature — native one-pass expression (k hash streams per
     * shingle; the k × transform Column form was interpreted and rebuilt k
@@ -141,9 +141,8 @@ object DedupOps {
     val boiler = "this shared boilerplate paragraph repeats across " +
       "many documents in the training corpus verbatim"
     docs.select(col("doc_id"),
-      filter(split(lower(when(col("doc_id") % 5 === 0,
-        concat(col("text"), lit(" " + boiler))).otherwise(col("text"))),
-        " "), x => x =!= "").as("tk"))
+      tokens(when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + boiler))).otherwise(col("text"))).as("tk"))
       .withColumn("n", size(col("tk")).cast("long"))
   }
 
@@ -501,7 +500,10 @@ object DedupOps {
       (s, d) => {
         import graft.functions.ThetaSketch._
         graft.functions.LwwMaxBy.tuneSession(s)
-        val sh = t(s, d, "documents").select(col("lang"),
+        // spread: the single-file corpus would pin the shingle+sketch scan
+        // to one task (measured 1-task hot stage, r6); sketch union is
+        // associative-exact, so partial count is partitioning-invariant
+        val sh = spread(t(s, d, "documents")).select(col("lang"),
           (col("doc_id") % 2 === 0).as("is_a"),
           explode(array_distinct(shingles(col("text"), 3))).as("sh"))
         sh.groupBy(col("lang"))
@@ -821,7 +823,14 @@ object DedupOps {
   private val edgeCache =
     new java.util.LinkedHashMap[(Int, Int, Long), DataFrame](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Int, Long), DataFrame]): Boolean = size() > 8
+          e: java.util.Map.Entry[(Int, Int, Long), DataFrame]): Boolean = {
+        val evict = size() > 8
+        // release the evicted entry's localCheckpoint blocks — without this a
+        // long-lived session cycling through >8 corpora/thresholds pins every
+        // evicted pair set's RDD blocks until session end (ADVICE r5)
+        if (evict) scala.util.Try(e.getValue.unpersist(blocking = false))
+        evict
+      }
     }
 
   /** Memo key: session identity + plan semantic hash + the hash of the
@@ -837,7 +846,13 @@ object DedupOps {
     val filesHash = df.queryExecution.analyzed.collectLeaves().map {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         val loc = lr.relation.asInstanceOf[HadoopFsRelation].location
-        java.util.Arrays.hashCode(loc.inputFiles.asInstanceOf[Array[AnyRef]]).toLong
+        // fold file LENGTH and MTIME in alongside each path: an in-place
+        // rewrite that keeps file names (non-parquet sources, externally
+        // regenerated fixed-name files) must invalidate too (ADVICE r5)
+        loc.listFiles(Nil, Nil).iterator.flatMap(_.files).map { f =>
+          (f.getPath.toString.hashCode.toLong * 31L + f.getLen) * 31L +
+            f.getModificationTime
+        }.foldLeft(11L)((a, h) => a * 1000003L + h)
       case other => other.semanticHash.toLong
     }.foldLeft(17L)((a, h) => a * 1000003L + h)
     (System.identityHashCode(df.sparkSession), df.semanticHash(),
@@ -1101,12 +1116,17 @@ object DedupOps {
     val chunked = simhashChunkIndex(docs, blocks, comboSize, arith)
     val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    // hamming verify BEFORE the cross-chunk dedup (r6): the verify is two
+    // ALU ops on columns already on the candidate row, so running it first
+    // shrinks the dropDuplicates exchange from every chunk collision
+    // (id, id, fp, fp) to the surviving pairs (id, id, hamming) — measured
+    // 25 MB → ~2 MB at bench scale (guide §2.3). Duplicates of a pair
+    // carry identical fingerprints, so the filter commutes with the dedup.
     a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash chunk index `(chunk, ckey, doc_id, sh)` — the durable state
@@ -1153,10 +1173,13 @@ object DedupOps {
         col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    // hamming verify BEFORE the cross-chunk dedup — same rewrite as
+    // [[simhashPairs]] (r6): the dedup exchange carries only surviving
+    // (id, id, hamming) rows instead of every collision with two fps
     cross.unionByName(within)
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -70,9 +70,12 @@ object Tables {
     val gate = analyzed.collectFirst {
       // Try: RepartitionByExpression without an explicit count resolves
       // numPartitions from session state; any resolution hiccup answers
-      // conservatively (repartition)
+      // conservatively (repartition). coalesce (shuffle=false) only CAPS
+      // partitions — a single-split source stays single-split no matter how
+      // large its numPartitions argument — so it never evidences enough
+      // splits and answers false (ADVICE r5).
       case r: RepartitionOperation =>
-        scala.util.Try(r.numPartitions).toOption.exists(_ >= par)
+        r.shuffle && scala.util.Try(r.numPartitions).toOption.exists(_ >= par)
       case _: GlobalLimit => false
     }
     if (gate.isDefined) return gate.get

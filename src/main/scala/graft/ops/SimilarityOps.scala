@@ -343,25 +343,40 @@ object SimilarityOps {
     * new batches against FIXED centroids — the production cadence, where
     * refits are periodic and per-batch work is assignment only. */
   def kmeansFit(embeddings: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
-    val e = Tables.spread(embeddings)
-      .select(col("vec_id"), col("label"), emb(col("embedding")).as("v"))
-    val n = e.count()
+    // count + strided init read the UNSPREAD source: both are k-row-or-
+    // count-sized actions that don't need the repartition the assignment
+    // scans want, and skipping it saves two shuffles per fit (r6)
+    val base = embeddings.select(col("vec_id"), emb(col("embedding")).as("v"))
+    val n = base.count()
     val stride = math.max(1L, n / k)
     var centroids: Seq[(Int, Seq[Double])] =
-      e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      base.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .orderBy(col("vec_id")).limit(k)
         .select(col("v")).collect().toSeq
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
     require(centroids.nonEmpty, "no centroids sampled")
+    val dim = centroids.head._2.length
+    // no spread: the assignment kernel is LINEAR (k codegen'd L2 kernels
+    // per row) and any at-scale parquet input splits by byte range — the
+    // repartition only ever fired on tiny single-file reference corpora,
+    // where it cost an exchange per fit action for microseconds of kernel
+    // work (r6). spread stays on the QUADRATIC kernels (all-pairs verify).
+    val e = base
     (1 to iters).foreach { _ =>
+      // per-dimension means as ONE d-column aggregate over the assignment
+      // scan — the previous posexplode form materialized n×d rows and
+      // hash-aggregated them on (cluster, dim), ~5.7 task-seconds per
+      // iteration at bench scale vs ~0.1 for the direct form (guide §2.3:
+      // aggregate before you shuffle — here the explode itself goes away).
+      // Same doubles summed in the same partition order, then the same
+      // round-6, so the rounded means are unchanged.
+      val aggs = (0 until dim).map(i => round(avg(col("v")(i)), 6).as(s"m$i"))
       val updated = withCluster(e, centroids)
-        .select(col("cluster_id"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cluster_id"), col("i"))
-        .agg(round(avg(col("x")), 6).as("m"))
-        .collect() // k×d rows — driver state, not data
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid.toInt -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+        .groupBy(col("cluster_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // k rows × d cols — driver state, not data
+        .map(r => r.getLong(0).toInt -> (1 to dim).map(r.getDouble).toSeq)
+        .toMap
       centroids = centroids.map { case (id, old) =>
         (id, updated.getOrElse(id, old)) // empty cluster keeps its centroid
       }
@@ -373,7 +388,10 @@ object SimilarityOps {
     * vs broadcast centroid literals. */
   def kmeansAssignTo(embeddings: DataFrame,
       centroids: Seq[(Int, Seq[Double])]): DataFrame =
-    withCluster(Tables.spread(embeddings)
+    // no spread — same reasoning as the fit scan (linear kernel); the
+    // downstream consumers (cluster self-joins) draw their parallelism
+    // from their own exchanges, not this scan's split count
+    withCluster(embeddings
       .select(col("vec_id"), col("label"), emb(col("embedding")).as("v")),
       centroids)
 
@@ -436,10 +454,13 @@ object SimilarityOps {
     // Deterministic coarse centroids: an evenly-strided corpus sample in
     // vec_id order. Unique cell ids (0..nCells-1 by sample position), stable
     // across runs and partitioning-invariant — `limit` without an order, or
-    // residue-class ids, would be neither (round-1 defect).
-    val n = e.count()
+    // residue-class ids, would be neither (round-1 defect). Count + sample
+    // read the UNSPREAD source: tiny actions, no need to pay the
+    // repartition shuffle twice (r6).
+    val base = embeddings.select(col("vec_id"), emb(col("embedding")).as("v"))
+    val n = base.count()
     val stride = math.max(1L, n / nCells)
-    val cells = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    val cells = base.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(nCells)
       .select(col("v")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
@@ -451,7 +472,8 @@ object SimilarityOps {
         struct(cosine(v, typedlit(cv.toSeq)).as("s"), lit(id).as("c"))
       }: _*)).getField("c")
     val assigned = e.withColumn("cell", cellOf(col("v")))
-    val q = assigned.filter(col("vec_id") === queryVecId)
+    // the query vector needs no cell assignment and no spread — one-row fetch
+    val q = base.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv")).head()
     val qv = q.getSeq[Double](0).toArray.toSeq
     val probeCells = cells.map { case (id, cv) =>

@@ -183,7 +183,9 @@ object TextOps {
         def grams(df: org.apache.spark.sql.DataFrame, idAs: String) = df.select(
           col("doc_id").as(idAs),
           explode(array_distinct(DedupOps.shingles(col("text"), 8))).as("gram"))
-        grams(corpus, "doc_id")
+        // spread: the corpus-side 8-gram explode is the hot kernel and the
+        // single-file source planned 2 tasks (r6 profile)
+        grams(Tables.spread(corpus), "doc_id")
           .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
           .groupBy(col("doc_id"))
           .agg(count_distinct(col("gram")).as("n_hit_ngrams"),
@@ -500,16 +502,19 @@ object TextOps {
       (s, d) => {
         val docs = t(s, d, "documents")
         val b = docs.select(col("doc_id"), col("lang"),
-            explode(filter(split(lower(col("text")), " "), x => x =!= ""))
-              .as("w"))
+            explode(DedupOps.tokens(col("text"))).as("w"))
           .select(col("doc_id"), col("lang"),
             pmod(conv(substring(md5(col("w")), 31, 2), 16, 10).cast("long"),
               lit(64L)).as("bucket"))
-        val tgt = b.filter(col("doc_id") % 97 === 0)
-          .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-        val raw = b.filter(col("doc_id") % 97 =!= 0)
-          .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-        val grid = tgt.join(raw, Seq("bucket"), "full_outer")
+        // ONE bucket-keyed aggregation with conditional counts instead of
+        // two (tgt/raw) + a full_outer re-join: the md5-bucket explode is
+        // the query's hot kernel and this halves its evaluations on the
+        // dictionary side (r6; guide §2.4 — share the exchange). sum(when)
+        // is NULL for a side with no words in the bucket, exactly like the
+        // missing side of the old full_outer.
+        val grid = b.groupBy(col("bucket")).agg(
+          sum(when(col("doc_id") % 97 === 0, 1L)).as("ct"),
+          sum(when(col("doc_id") % 97 =!= 0, 1L)).as("cr"))
         val totals = grid.agg(
           sum(coalesce(col("ct"), lit(0L))).as("t"),
           sum(coalesce(col("cr"), lit(0L))).as("r"))
@@ -624,10 +629,18 @@ object TextOps {
         // LEFT join: a NULL-text row has a NULL fingerprint, misses the
         // winner table, and must still count in the raw stage (the oracle
         // aggregates raw before its join) — it just never survives s1
+        // eager localCheckpoint: the flagged table has FOUR downstream
+        // consumers (gram screen, s2 join, stratum counts, final report) and
+        // each re-derived the 3-way union + md5 fingerprint + winner join
+        // lineage (~0.3 s CPU each at bench scale, r6 profile). One
+        // materialization of the corpus-sized flag table replaces three
+        // recomputes — the same iterative-DataFrame discipline the CC loop
+        // uses (swap for checkpoint() on a cluster).
         val s1flag = raw.withColumn("fp", fingerprint(col("text")))
           .join(winners, Seq("fp"), "left")
           .withColumn("s1", coalesce(col("doc_id") === col("keep_id"), lit(false)))
           .drop("fp", "keep_id")
+          .localCheckpoint(true)
         val bgrams = bench.select(explode(array_distinct(
           DedupOps.shingles(col("text"), 8))).as("gram")).distinct()
         val contaminated = s1flag.filter(col("s1"))
