@@ -515,15 +515,23 @@ object TextOps {
         val grid = b.groupBy(col("bucket")).agg(
           sum(when(col("doc_id") % 97 === 0, 1L)).as("ct"),
           sum(when(col("doc_id") % 97 =!= 0, 1L)).as("cr"))
-        val totals = grid.agg(
-          sum(coalesce(col("ct"), lit(0L))).as("t"),
-          sum(coalesce(col("cr"), lit(0L))).as("r"))
-        val ratio = grid.crossJoin(broadcast(totals)).select(col("bucket"),
-          log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("t") + lit(64))) /
-              ((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("r") + lit(64))))
-            .as("lr"))
+        // the 64-row bucket grid is aggregate-result-sized BY CONSTRUCTION
+        // (the DSIR dictionary) — collect it ONCE and fold the LLR into a
+        // map literal: the old totals-subquery + ratio-broadcast re-derived
+        // the md5-bucket explode twice more and cost two extra jobs (r6).
+        // Same doubles: exact integer counts in, the same (c+1.0)/(T+64)
+        // division and Math.log on the driver as the Column form ran per row.
+        val gridRows = grid.collect()
+        def cnt(r: org.apache.spark.sql.Row, i: Int): Long =
+          if (r.isNullAt(i)) 0L else r.getLong(i)
+        val t64 = gridRows.map(cnt(_, 1)).sum + 64L
+        val r64 = gridRows.map(cnt(_, 2)).sum + 64L
+        val lrMap = gridRows.map { r =>
+          r.getLong(0) -> math.log(((cnt(r, 1) + 1.0) / t64) /
+            ((cnt(r, 2) + 1.0) / r64))
+        }.toMap
         val scored = b.filter(col("doc_id") % 97 =!= 0)
-          .join(broadcast(ratio), Seq("bucket"))
+          .withColumn("lr", element_at(typedlit(lrMap), col("bucket")))
           .groupBy(col("doc_id"), col("lang"))
           .agg(round(sum(col("lr")), 6).as("score"))
         rankedTopK(scored, 50, col("score").desc, col("doc_id").asc)
@@ -651,17 +659,26 @@ object TextOps {
           .withColumn("cont", lit(true))
         val s2flag = s1flag.join(contaminated, Seq("doc_id"), "left")
           .withColumn("s2", col("s1") && !coalesce(col("cont"), lit(false)))
-        val counts = s2flag.filter(col("s2")).groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs_l"))
-        val tot = counts.agg(sum(col("n_docs_l")).as("total"),
-          count(lit(1)).as("n_langs"))
+        // the stratum dictionary is |langs|-sized — collect it ONCE and fold
+        // the acceptance constants into literals (same device as q64's LLR
+        // map, r6): the old counts-broadcast + tot-subquery + crossJoin cost
+        // three more jobs over the same checkpointed lineage. Integer
+        // arithmetic throughout, so the fold is exact; a lang outside the
+        // dictionary looks up NULL and fails the predicate, exactly like
+        // the old left join's NULL n_docs_l.
+        val countRows = s2flag.filter(col("s2")).groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs_l")).collect()
+        val total = countRows.map(_.getLong(1)).sum
+        val nLangs = countRows.length.toLong
+        val nDocsMap = countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
         val u = pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L),
           lit(1000000L))
-        val flagged = s2flag.join(broadcast(counts), Seq("lang"), "left")
-          .crossJoin(broadcast(tot))
+        val flagged = s2flag
+          .withColumn("n_docs_l",
+            element_at(typedlit(nDocsMap), col("lang")))
           .withColumn("s3", col("s2") &&
-            coalesce(u * col("n_docs_l") * col("n_langs") <
-              col("total") * lit(1000000L), lit(false)))
+            coalesce(u * col("n_docs_l") * lit(nLangs) <
+              lit(total * 1000000L), lit(false)))
         // per-stage sums as conditional aggregates; sum(when(flag, x)) is
         // null over an empty stage, exactly like the old per-stage sum()
         val a = flagged.agg(
