@@ -36,4 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pre-size the heap (-Xms = -Xmx): the forked JVM is a Spark driver +
+  // executor; growing the heap under load costs avoidable full GCs.
+  s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS",
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
 )

@@ -57,6 +57,35 @@ object TokenHelpers {
     new GenericArrayData(out.toArray)
   }
 
+  private val EmptyArray = new GenericArrayData(Array.empty[Any])
+
+  /** Every k-token window of an ALREADY-tokenized array as (pos, w) struct
+    * rows — pos 1-based, w the single-space join of tokens [pos, pos+k-1].
+    * Byte-exact with the Column form it replaces
+    * (`transform(sequence(1, n-k+1), i => struct(i, array_join(slice(tk,
+    * i, k), " ")))` under a `size(tk) >= k` filter): same concatWs join
+    * (null elements skipped, exactly like array_join), and n < k yields
+    * the EMPTY array, so `explode` drops the row just as the filter did —
+    * the filter (which Spark pushed below the project, re-tokenizing every
+    * row a second time in the scan-side Filter) is subsumed by the kernel. */
+  def tokenWindows(tk: ArrayData, k: Int): ArrayData = {
+    val n = tk.numElements()
+    if (n < k) return EmptyArray
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = tk.getUTF8String(i); i += 1 }
+    val out = new Array[Any](n - k + 1)
+    val gram = new Array[UTF8String](k)
+    var p = 0
+    while (p + k <= n) {
+      System.arraycopy(toks, p, gram, 0, k)
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any]((p + 1).toLong, UTF8String.concatWs(SpaceStr, gram: _*)))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def wordShingles(text: UTF8String, w: Int): ArrayData = {
     val buf = new java.util.ArrayList[UTF8String]()
     val n = tokenizeTo(text, buf)
@@ -75,6 +104,30 @@ object TokenHelpers {
       new GenericArrayData(out)
     }
   }
+}
+
+case class TokenWindows(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"token_windows: k must be positive, got $k")
+  override def dataType: DataType = TokenWindows.outType
+  override def prettyName: String = "token_windows"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case bad => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: input must be ARRAY<STRING>, got $bad")
+  }
+  override def nullSafeEval(a: Any): Any =
+    TokenHelpers.tokenWindows(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TokenHelpers.tokenWindows($a, $k)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TokenWindows {
+  /** (pos, w) struct rows; both fields non-nullable, so a downstream
+    * equijoin on `w` infers no isnotnull filter to duplicate (§4.4). */
+  val outType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("w", StringType, nullable = false))), containsNull = false)
 }
 
 case class Tokenize(child: Expression) extends UnaryExpression {
@@ -113,4 +166,6 @@ object TokenExprs {
     ColumnShim.column(Tokenize(ColumnShim.expression(c)))
   def wordShingles(c: Column, w: Int): Column =
     ColumnShim.column(WordShingles(ColumnShim.expression(c), w))
+  def tokenWindows(c: Column, k: Int): Column =
+    ColumnShim.column(TokenWindows(ColumnShim.expression(c), k))
 }

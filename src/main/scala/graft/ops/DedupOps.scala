@@ -140,22 +140,28 @@ object DedupOps {
   private[ops] def substrDocs(docs: DataFrame): DataFrame = {
     val boiler = "this shared boilerplate paragraph repeats across " +
       "many documents in the training corpus verbatim"
-    docs.select(col("doc_id"),
+    // spread BEFORE tokenizing (r6): the exchange used to sit above this
+    // project, so a single-file corpus tokenized on one core and shuffled
+    // token arrays; now it ships (doc_id, text) and every tokenize pass
+    // (windows and n_tokens alike) runs at full parallelism.
+    spread(docs).select(col("doc_id"),
       tokens(when(col("doc_id") % 5 === 0,
         concat(col("text"), lit(" " + boiler))).otherwise(col("text"))).as("tk"))
       .withColumn("n", size(col("tk")).cast("long"))
   }
 
-  /** (doc_id, pos, w) — every k-token window occurrence (1-based pos). */
-  private[ops] def substrWindows(tok: DataFrame): DataFrame = {
-    val k = SubstrK
-    spread(tok).filter(col("n") >= k)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), (col("n") - (k - 1)).cast("int")),
-        i => struct(i.cast("long").as("pos"),
-          array_join(slice(col("tk"), i, lit(k)), " ").as("w")))).as("x"))
+  /** (doc_id, pos, w) — every k-token window occurrence (1-based pos).
+    * Native one-pass kernel (r6): the previous `filter(n >= k)` +
+    * `transform(sequence, i => struct(i, array_join(slice(tk, i, k))))`
+    * form was an interpreted HOF, and the size filter was pushed below the
+    * project — re-tokenizing every row a second time in the scan-side
+    * Filter (guide §4.4). TokenWindows subsumes the filter (n < k → empty
+    * array → explode drops the row) and keeps the stage codegen'd;
+    * TokenExprsSpec pins byte-equality against the old composition. */
+  private[ops] def substrWindows(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"),
+        explode(graft.functions.TokenExprs.tokenWindows(col("tk"), SubstrK)).as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.w").as("w"))
-  }
 
   /** Per-doc coverage of the duplicated windows: explode each duplicated
     * occurrence to its k token positions, distinct, count — then the audit
@@ -1122,7 +1128,16 @@ object DedupOps {
     // (id, id, fp, fp) to the surviving pairs (id, id, hamming) — measured
     // 25 MB → ~2 MB at bench scale (guide §2.3). Duplicates of a pair
     // carry identical fingerprints, so the filter commutes with the dedup.
-    a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
+    // SHUFFLE_HASH self-join (r6): the default broadcast plan builds the
+    // SAME chunk-index subtree twice (scan + fingerprint kernel per side —
+    // BroadcastExchange and shuffle Exchange can't be reused across each
+    // other). With both sides shuffled on (chunk, ckey) the two exchanges
+    // are canonically identical, so ReusedExchange computes the scan +
+    // kernel ONCE — and at 10⁹-doc scale a broadcast of the full index is
+    // impossible anyway, so this is also the only plan shape that scales
+    // (guide §2.4: two operations keyed the same way share one exchange).
+    a.join(b.hint("shuffle_hash"), Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -1143,7 +1158,19 @@ object DedupOps {
       c.foldLeft(lit(0L)) { (acc, i) =>
         shiftleft(acc, widths(i)).bitwiseOR(blockVal(col("sh"), i)) }
     }
-    Tables.spread(docs).select(col("doc_id"), simhash64(col("text"), arith).as("sh"))
+    // Null discipline (r6): filter null texts EXPLICITLY, then mark the
+    // fingerprint non-nullable with a coalesce that provably never fires
+    // (simhash64 of a non-null string is non-null). Without this the
+    // downstream equijoin on ckey infers `isnotnull(ckey)`, which pushdown
+    // rewrites to `isnotnull(simhash64(tokenize(text)))` BELOW the spread
+    // exchange — a second full fingerprint pass per side, run on the
+    // unspread scan split (guide §4.4's duplicated-expression trap, here
+    // with a native kernel instead of a UDF). Results are identical: a
+    // null-text doc previously reached the join with a null ckey and was
+    // dropped by the join's null-reject; now it is dropped at the scan.
+    Tables.spread(docs.filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        coalesce(simhash64(col("text"), arith), lit(0L)).as("sh"))
       .select(col("doc_id"), col("sh"),
         posexplode(array(comboKeys: _*)).as(Seq("chunk", "ckey")))
   }
@@ -1157,9 +1184,17 @@ object DedupOps {
       blocks: Int = 4, comboSize: Int = 1, arith: Boolean = false): DataFrame = {
     require(blocks - maxHamming >= comboSize,
       s"blocks($blocks) - maxHamming($maxHamming) must be >= comboSize($comboSize) for exact recall")
+    // SHUFFLE_HASH joins (r6, same rewrite as [[simhashPairs]]): the batch
+    // chunk subtree feeds THREE join inputs (cross-left, within-left,
+    // within-right); with every join shuffled on (chunk, ckey) the three
+    // exchanges are canonically identical, so AQE's exchange reuse computes
+    // the batch scan + fingerprint kernel ONCE (broadcast plans rebuilt it
+    // per use). The batch side is the hinted build side — at corpus scale
+    // the index side is the unbounded one.
     val newChunked = simhashChunkIndex(newDocs, blocks, comboSize, arith)
     val cross = newChunked.select(col("chunk"), col("ckey"),
         col("doc_id").as("id_new"), col("sh").as("sh_new"))
+      .hint("shuffle_hash")
       .join(index.select(col("chunk"), col("ckey"),
         col("doc_id").as("id_old"), col("sh").as("sh_old")), Seq("chunk", "ckey"))
       .select(
@@ -1170,7 +1205,8 @@ object DedupOps {
     val within = newChunked.select(col("chunk"), col("ckey"),
         col("doc_id").as("id_a"), col("sh").as("sh_a"))
       .join(newChunked.select(col("chunk"), col("ckey"),
-        col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("chunk", "ckey"))
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
     // hamming verify BEFORE the cross-chunk dedup — same rewrite as

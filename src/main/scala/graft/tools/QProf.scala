@@ -18,6 +18,8 @@ object QProf {
       lines.add(f"[stage] ${si.stageId}%3d ${si.name.takeWhile(_ != '\n').take(60)}%-60s " +
         f"t=${si.numTasks}%3d wall=$wall%6.2f run=${m.executorRunTime / 1e3}%7.2f " +
         f"cpu=${m.executorCpuTime / 1e9}%7.2f " +
+        f"gc=${m.jvmGCTime / 1e3}%6.2f " +
+        f"dser=${m.executorDeserializeTime / 1e3}%6.2f " +
         f"in=${m.inputMetrics.bytesRead >> 10}%6dK " +
         f"shR=${(m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead) >> 10}%5dK " +
         f"shW=${m.shuffleWriteMetrics.bytesWritten >> 10}%5dK")

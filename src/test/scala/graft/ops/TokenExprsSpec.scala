@@ -72,6 +72,32 @@ class TokenExprsSpec extends SparkTestBase {
     }
   }
 
+  // the pre-r6 q76/q78 window composition, verbatim: a size filter plus
+  // transform(sequence, i => struct(i, array_join(slice(tk, i, k), " ")))
+  private def windowsRef(tk: Column, k: Int): Column =
+    when(size(tk) < k, array().cast(graft.functions.TokenWindows.outType))
+      .otherwise(transform(sequence(lit(1), (size(tk) - (k - 1)).cast("int")),
+        i => struct(i.cast("long").as("pos"),
+          array_join(slice(tk, i, lit(k)), " ").as("w"))))
+
+  test("native token windows ≡ filter+transform+slice composition, k = 1/2/8") {
+    val df = corpus.toDF("text")
+    for (k <- Seq(1, 2, 8)) {
+      val rows = df.select(
+        TokenExprs.tokenWindows(tokensRef(col("text")), k).as("nat"),
+        windowsRef(tokensRef(col("text")), k).as("ref")).collect()
+      rows.zip(corpus).foreach { case (r, src) =>
+        assert(r.isNullAt(0) == r.isNullAt(1),
+          s"k=$k null-ness mismatch for '$src'")
+        if (!r.isNullAt(0))
+          assert(r.getSeq[org.apache.spark.sql.Row](0) ==
+            r.getSeq[org.apache.spark.sql.Row](1),
+            s"k=$k window mismatch for '$src': " +
+              s"${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+      }
+    }
+  }
+
   test("kernels survive whole-stage codegen and interpreted eval alike") {
     // force both paths: the codegen'd projection and a filter referencing
     // the kernel (predicate subexpression), over a real shuffle
