@@ -128,6 +128,55 @@ object TextSimHelpers {
   /** Engine-neutral string hash: codepoint fold with seed 7 (the seed makes
     * the empty string well-defined without an empty-list reduce in SQL). */
   def arithHash(s: UTF8String): Long = {
+    // Decode code points straight off the UTF-8 bytes (r6): the previous
+    // `s.toString` allocated + copied every token/shingle before hashing —
+    // one garbage String per hashed string in every arith-mode kernel
+    // (q27/q28/q40/q79). For VALID UTF-8 the byte decode yields exactly
+    // the code points `toString.codePointAt` walks (a 4-byte sequence
+    // becomes one supplementary code point either way); ANY malformed
+    // sequence (overlong, surrogate range, truncated, bare continuation)
+    // falls back to the legacy String path wholesale, so behavior is
+    // byte-identical on every possible input (DedupSpec pins a
+    // differential test incl. malformed bytes; the r6 gate also ran an
+    // old-vs-new sweep over every sf0.1 token and shingle).
+    val b = s.getBytes
+    val n = b.length
+    var acc = 7L
+    var i = 0
+    while (i < n) {
+      val b0 = b(i) & 0xFF
+      var cp = -1
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xE0) == 0xC0) {
+        if (i + 1 < n && (b(i + 1) & 0xC0) == 0x80) {
+          cp = ((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F); len = 2
+          if (cp < 0x80) cp = -1 // overlong
+        }
+      } else if ((b0 & 0xF0) == 0xE0) {
+        if (i + 2 < n && (b(i + 1) & 0xC0) == 0x80 && (b(i + 2) & 0xC0) == 0x80) {
+          cp = ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F); len = 3
+          if (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF)) cp = -1 // overlong/surrogate
+        }
+      } else if ((b0 & 0xF8) == 0xF0) {
+        if (i + 3 < n && (b(i + 1) & 0xC0) == 0x80 && (b(i + 2) & 0xC0) == 0x80 &&
+            (b(i + 3) & 0xC0) == 0x80) {
+          cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+            ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F); len = 4
+          if (cp < 0x10000 || cp > 0x10FFFF) cp = -1 // overlong/out of range
+        }
+      }
+      if (cp < 0) return arithHashViaString(s)
+      acc = (acc * 31L + cp) % ArithP
+      i += len
+    }
+    acc
+  }
+
+  /** The pre-r6 String-roundtrip fold — kept as the malformed-input
+    * fallback (Java's UTF-8 decoder substitutes U+FFFD in ways the byte
+    * walk does not reproduce) and as the differential-test reference. */
+  private[graft] def arithHashViaString(s: UTF8String): Long = {
     val str = s.toString
     var acc = 7L
     var i = 0

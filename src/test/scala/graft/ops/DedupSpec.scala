@@ -117,6 +117,41 @@ class DedupSpec extends SparkTestBase {
     assert(keys.getLong(1) == 7L * 2147483647L + 11L)
   }
 
+  test("byte-walk arith hash ≡ String-roundtrip fold on valid AND malformed UTF-8") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextSimHelpers
+    // valid inputs across all UTF-8 widths (incl. a supplementary pair)
+    val valid = Seq("", "a", "hello world", "Ärger ÜBER GRÖSSE",
+      "ΣΊΣΥΦΟΣ καί", "日本語のテキスト", "emoji 😀 pair 🎉",
+      "mixed Ω ascii ø 中 𐀀 end", "߿ࠀ￿")
+    valid.foreach { s =>
+      val u = UTF8String.fromString(s)
+      assert(TextSimHelpers.arithHash(u) == TextSimHelpers.arithHashViaString(u),
+        s"valid-input hash drift for '$s'")
+    }
+    // random strings (deterministic seed), any BMP chars the generator emits
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val s = rnd.nextString(rnd.nextInt(40))
+      val u = UTF8String.fromString(s)
+      assert(TextSimHelpers.arithHash(u) == TextSimHelpers.arithHashViaString(u),
+        s"random-input hash drift for ${s.map(_.toInt).mkString(",")}")
+    }
+    // malformed byte sequences must take the EXACT legacy path: bare
+    // continuation, truncated 2/3/4-byte heads, overlong, surrogate range,
+    // beyond U+10FFFF
+    val malformed = Seq(
+      Array(0x80), Array(0xC2), Array(0xE0, 0xA0), Array(0xF0, 0x90, 0x80),
+      Array(0xC0, 0x80), Array(0xE0, 0x80, 0x80), Array(0xED, 0xA0, 0x80),
+      Array(0xF4, 0x90, 0x80, 0x80), Array('a'.toInt, 0xFF, 'b'.toInt),
+      Array('x'.toInt, 0xC2, 'y'.toInt))
+    malformed.foreach { bytes =>
+      val u = UTF8String.fromBytes(bytes.map(_.toByte))
+      assert(TextSimHelpers.arithHash(u) == TextSimHelpers.arithHashViaString(u),
+        s"malformed-input hash drift for ${bytes.map(b => f"$b%02x").mkString(" ")}")
+    }
+  }
+
   test("incremental simhash against a stored chunk index ≡ full recompute") {
     import org.apache.spark.sql.functions.col
     val corpus = docs.filter(col("doc_id") % 3 =!= 2)
